@@ -1,13 +1,688 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Tables
+import graft.pipeline._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2 (+ the training-data ops), each with a DuckDB-equivalent
+ * `oracleSql` over the same parquet tables.
+ *
+ * Naming convention: q0x relational core, q2x knowledge-graph pipeline
+ * (the pignlproc re-realization over the `documents` corpus viewed as
+ * `code_files`), q4x training-data ops (dedup / similarity / text /
+ * multimodal).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- anchor dictionary (ner-corpus/dbpedia_to_opennlp_types.tsv analog,
+  //      broadcast at every use: the replicated-join pattern J3) ----
+  val dict: Seq[(String, String, String)] = Seq(
+    ("spark", "Spark", "ENGINE"),
+    ("hash", "Hash", "ALGO"),
+    ("join", "Join", "OPERATOR"),
+    ("merge", "Merge", "OPERATOR"),
+    ("scan", "Scan", "ACCESS"),
+    ("window", "Window", "OPERATOR"),
+    ("stream", "Stream", "MODE"),
+    ("vector", "Vector", "DATA"))
+  val dictSurfaces: Seq[String] = dict.map(_._1)
+  private val dictSqlValues =
+    dict.map { case (s, e, t) => s"('$s','$e','$t')" }.mkString(", ")
+  private val dictInList = dictSurfaces.map(s => s"'$s'").mkString(", ")
+
+  private def dictDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    dict.toDF("surface", "entity", "etype")
+  }
+
+  private def isDictSurface(c: Column): Column =
+    c.isin(dictSurfaces.map(s => s: Any): _*)
+
+  /** Token array of the document text (single-space tokenized corpus). */
+  private def toks: Column = split(col("text"), " ")
+
+  /** Alias edge list derived deterministically from doc ids:
+    * src = doc_id (every 10th doc), dst = (7*doc_id+3) mod N — a
+    * functional redirect graph with chains and natural cycles. */
+  private def aliasEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 3) % n).as("dst"))
+  }
+
+  private val aliasEdgesSql =
+    """edges AS (
+      |  SELECT doc_id AS src, (doc_id*7+3) % (SELECT count(*) FROM documents) AS dst
+      |  FROM documents WHERE doc_id % 10 = 0
+      |)""".stripMargin
+
+  /** Entity co-occurrence edges: adjacent token pairs, both dictionary
+    * surfaces, self-loops removed, distinct (topic-graph analog). */
+  private def entityEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => struct(a.as("src"), b.as("dst")))
+    docs.select(explode(pairs).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .filter(isDictSurface(col("src")) && isDictSurface(col("dst")) &&
+        col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  private val entityEdgesSql =
+    s"""edges AS (
+       |  SELECT DISTINCT z[1] AS src, z[2] AS dst
+       |  FROM (SELECT unnest(list_zip(toks[1:length(toks)-1], toks[2:length(toks)])) AS z
+       |        FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+       |  WHERE z[1] IN ($dictInList) AND z[2] IN ($dictInList) AND z[1] <> z[2]
+       |)""".stripMargin
+
+  /** DuckDB CTE: (doc_id, surface, i) per token, 1-based position. */
+  private val tokenPosSql =
+    """tok AS (
+      |  SELECT doc_id, z[1] AS surface, CAST(z[2] AS BIGINT) AS i
+      |  FROM (SELECT doc_id,
+      |          unnest(list_zip(toks, generate_series(1, length(toks)))) AS z
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+      |)""".stripMargin
+
+  // =================================================================
+  // Flagship: end-to-end triple extraction on the corpus (entry point)
+  // =================================================================
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    // mentions -> (doc uri, pred, entity uri) triples, alias-resolved
+    val mentions = kgMentionCounts(spark, sfDir)
+    mentions.select(
+      concat(lit("http://graft.dev/doc/"), col("doc_id")).as("subj"),
+      lit("http://graft.dev/ontology#mentions").as("pred"),
+      col("uri").as("obj"))
+  }
+
+  // =================================================================
+  // q2x knowledge-graph pipeline bodies
+  // =================================================================
+
+  /** Dictionary mention extraction with token positions (U1/S3 analog). */
+  private def kgMentions(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "surface")))
+      .filter(isDictSurface(col("surface")))
+      .select(col("doc_id"), col("pos"),
+        (col("pos") / 10).cast("int").as("sentence_order"), col("surface"))
+
+  /** Mention counts per doc joined to the broadcast dictionary (J3). */
+  private def kgMentionCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = kgMentions(spark, sfDir)
+      .groupBy(col("doc_id"), col("surface"))
+      .agg(count(lit(1)).as("n_mentions"))
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    m.join(broadcast(dictDf(spark)), Seq("surface"))
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("surface"), col("entity"), col("etype"),
+        col("n_mentions"),
+        concat(lit("http://graft.dev/"), col("lang"), lit("/entity/"), col("entity")).as("uri"))
+  }
+
+  // =================================================================
+  // The queries map (driver-gated; names must match oracleSql keys)
+  // =================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational core --------------------------------------------
+    "q01_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "q02_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45 && col("l_discount") <= 0.02)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))
+    }),
+
+    "q03_join_inner" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
+    "q04_join_left_coalesce" -> ((s, d) => {
+      // left join + bincond coalesce: the redirect-resolution idiom (P5/J2)
+      val rich = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      Tables.orders(s, d)
+        .join(rich, col("o_custkey") === col("c_custkey"), "left_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("c_mktsegment"), lit("UNSEGMENTED")).as("segment"))
+    }),
+
+    "q05_join_broadcast" -> ((s, d) => {
+      // replicated join (J3): tiny dims broadcast
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(avg(col("c_acctbal")), 2).as("avg_bal"))
+    }),
+
+    "q06_semi_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey"))
+      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("HAS_ORDERS").as("status"))
+      val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("NO_ORDERS").as("status"))
+      withOrders.unionByName(without)
+    }),
+
+    "q07_self_join" -> ((s, d) => {
+      // self-join via aliased copy (J5)
+      val n = Tables.nation(s, d)
+      n.as("a").join(n.as("b"),
+          col("a.n_regionkey") === col("b.n_regionkey") &&
+            col("a.n_name") < col("b.n_name"))
+        .select(col("a.n_name").as("nation_a"), col("b.n_name").as("nation_b"),
+          col("a.n_regionkey").as("regionkey"))
+    }),
+
+    "q08_cogroup_degrees" -> ((s, d) => {
+      // 3-way COGROUP degree counting (G2): per-nation customer/supplier
+      // counts via full-outer join + zero-fill (topic-corpus/01 semantics)
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+      val p = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      c.join(p, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+    }),
+
+    "q09_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_returnflag"), col("l_linestatus")).distinct()),
+
+    "q10_union_split" -> ((s, d) => {
+      // SPLIT + UNION (O2/O3): one pass, two branches, recombined tagged
+      val o = Tables.orders(s, d)
+      val hi = o.filter(col("o_totalprice") > 200000)
+        .select(col("o_orderkey"), lit("HIGH").as("bucket"))
+      val lo = o.filter(col("o_totalprice") <= 200000)
+        .select(col("o_orderkey"), lit("LOW").as("bucket"))
+      hi.unionByName(lo)
+    }),
+
+    "q11_orderby_topk" -> ((s, d) => {
+      // total order (O1) with deterministic tiebreak, materialized as rank
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("total").desc, col("o_orderkey").asc)))
+        .filter(col("rank") <= 100)
+    }),
+
+    "q12_window_latest" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("latest_order"))
+    }),
+
+    "q13_events_window" -> ((s, d) =>
+      // batch form of the streaming windowed agg (same transform runs
+      // under readStream; see graft.streaming.EventStream)
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))),
+
+    // ---- knowledge-graph pipeline -----------------------------------
+    "q20_kg_codefiles" -> ((s, d) =>
+      Tables.codeFiles(s, d)
+        .select(col("doc_id"), col("repo"), col("path"), col("commit"), col("lang"))),
+
+    "q21_kg_mentions" -> ((s, d) => kgMentions(s, d)),
+
+    "q22_kg_mention_counts" -> ((s, d) => kgMentionCounts(s, d)),
+
+    "q23_kg_alias_edges" -> ((s, d) => aliasEdges(s, d)),
+
+    "q24_kg_resolve_1hop" -> ((s, d) => {
+      // reference one-hop redirect resolution (J2+P5, ner-corpus/02:23-25)
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val refs = docs.select(col("doc_id").as("src_doc"),
+        ((col("doc_id") * 3 + 1) % n).as("ref"))
+      Redirects.resolveOneHop(refs, aliasEdges(s, d), "ref")
+        .select(col("src_doc"), col("ref").as("resolved"))
+    }),
+
+    "q25_kg_closure" -> ((s, d) =>
+      // iterative self-join transitive closure with cycle guard (J6)
+      Redirects.transitiveClosure(aliasEdges(s, d))),
+
+    "q26_kg_degrees" -> ((s, d) => TopicGraph.degrees(entityEdges(s, d))),
+
+    "q27_kg_ancestry" -> ((s, d) => {
+      import s.implicits._
+      val roots = Seq("spark").toDF("root")
+      TopicGraph.groundedAncestry(entityEdges(s, d), roots, maxDepth = 3)
+    }),
+
+    "q28_kg_annotated" -> ((s, d) => {
+      // MergeAsOpenNLPAnnotatedText analog (U2): wrap dictionary tokens
+      val typeOf = dict.map { case (sf, _, t) => (sf, t) }.toMap
+      val annotate = (t: Column) => {
+        val cases = typeOf.foldLeft(when(lit(false), t)) { case (acc, (sf, tp)) =>
+          acc.when(t === sf, concat(lit(s"<START:$tp> "), t, lit(" <END>")))
+        }
+        cases.otherwise(t)
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_join(transform(toks, annotate), " ").as("annotated"))
+    }),
+
+    "q29_kg_concat_distinct" -> ((s, d) =>
+      // ConcatTextBag analog (U4): trim/dedup/sort/join per group
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(array_join(array_sort(array_distinct(collect_list(col("source")))), " ")
+          .as("sources"))),
+
+    "q30_kg_quality_gate" -> ((s, d) =>
+      // CheckAbstract analog (U5): single-space word count >= 30
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_words"))
+        .filter(col("n_words") >= 30)),
+
+    "q31_kg_tsv_safe" -> ((s, d) =>
+      // SafeTsvText analog (U7)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("\""),
+            regexp_replace(regexp_replace(col("text"), "[\\t\\n]", " "), "\"", "\"\""),
+            lit("\"")).as("safe_text"))),
+
+    "q32_kg_triples_nt" -> ((s, d) =>
+      // NTriples emission (K2/K3): ASCII corpus -> escape is identity
+      kgMentionCounts(s, d)
+        .select(concat(
+          lit("<http://graft.dev/doc/"), col("doc_id"), lit("> "),
+          lit("<http://graft.dev/ontology#mentions> "),
+          lit("<"), col("uri"), lit("> .")).as("line"))),
+
+    "q33_kg_noloop_paths" -> ((s, d) => {
+      // NoLoopInPath predicate (U6) over synthesized paths
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      docs.select(col("doc_id"),
+          concat_ws("/",
+            (col("doc_id") % 7).cast("string"),
+            ((col("doc_id") * 3 + 1) % 7).cast("string"),
+            ((col("doc_id") * 5 + 2) % 7).cast("string")).as("path"))
+        .withColumn("parts", split(col("path"), "/"))
+        .withColumn("no_loop",
+          (!array_contains(slice(col("parts"), lit(1), size(col("parts")) - 1),
+            element_at(col("parts"), -1))).cast("int"))
+        .select(col("doc_id"), col("path"), col("no_loop"))
+    }),
+
+    // ---- training-data ops ------------------------------------------
+    "q40_dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_id"))
+        .filter(col("n_dups") > 1)),
+
+    "q41_dedup_jaccard" -> ((s, d) => {
+      // exact n-gram Jaccard on adjacent-id candidate pairs
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        Dedup.wordShingles(col("text"), 3).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+    }),
+
+    "q43_sim_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.bruteForceTopK(probes, emb, 5)
+        .select(col("probe_id"), col("cand_id"), round(col("cos"), 4).as("cos"),
+          col("rank"))
+    }),
+
+    "q44_sim_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.lshTopK(probes, emb, 5, bits = 8)
+        .select(col("probe_id"), col("cand_id"), round(col("cos"), 4).as("cos"),
+          col("rank"))
+    }),
+
+    "q45_langid" -> ((s, d) => {
+      // long-form marker scores + argmax rank (deterministic tiebreak)
+      val docs = Tables.documents(s, d)
+      val scored = TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+        docs.select(col("doc_id"), lit(lang).as("cand_lang"),
+          size(filter(split(col("text"), " "),
+            t => t.isin(words.map(w => w: Any): _*))).cast("long").as("hits"))
+      }.reduce(_ unionByName _)
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("hits").desc, col("cand_lang").asc)
+      scored.withColumn("rank", row_number().over(w))
+    }),
+
+    "q46_quality" -> ((s, d) =>
+      TextAnalysis.qualityFeatures(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("distinct_ratio"), col("stopword_ratio"), col("mean_token_len"),
+          col("long_enough"))),
+
+    "q47_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
+
+    "q48_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)),
+
+    "q49_media_meta" -> ((s, d) => {
+      // multimodal plumbing: binary payloads -> typed metadata (stub
+      // decode); only the SQL-reproducible columns are oracle-checked
+      val media = Multimodal.documentsAsMedia(Tables.documents(s, d))
+      Multimodal.decodeMeta(media).toDF()
+        .select(col("media_id"), col("byte_len"))
+    }))
+
+  // =================================================================
+  // DuckDB oracles (driver runs these on the same parquet tables)
+  // =================================================================
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount <= 0.02""".stripMargin,
+
+    "q03_join_inner" ->
+      """SELECT o_orderpriority, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q04_join_left_coalesce" ->
+      """SELECT o_orderkey, coalesce(c_mktsegment, 'UNSEGMENTED') AS segment
+        |FROM orders LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000) c
+        |ON o_custkey = c_custkey""".stripMargin,
+
+    "q05_join_broadcast" ->
+      """SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+
+    "q06_semi_anti" ->
+      """SELECT c_custkey, 'HAS_ORDERS' AS status FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'NO_ORDERS' AS status FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q07_self_join" ->
+      """SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS regionkey
+        |FROM nation a JOIN nation b
+        |ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name""".stripMargin,
+
+    "q08_cogroup_degrees" ->
+      """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        | coalesce(n_customers, 0) AS n_customers,
+        | coalesce(n_suppliers, 0) AS n_suppliers
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+        |USING (nationkey)""".stripMargin,
+
+    "q09_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q10_union_split" ->
+      """SELECT o_orderkey, 'HIGH' AS bucket FROM orders WHERE o_totalprice > 200000
+        |UNION ALL
+        |SELECT o_orderkey, 'LOW' AS bucket FROM orders WHERE o_totalprice <= 200000""".stripMargin,
+
+    "q11_orderby_topk" ->
+      """SELECT o_orderkey, total, rank FROM (
+        | SELECT o_orderkey, round(o_totalprice, 2) AS total,
+        |  row_number() OVER (ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC) AS rank
+        | FROM orders) WHERE rank <= 100""".stripMargin,
+
+    "q12_window_latest" ->
+      """SELECT o_custkey, o_orderkey AS latest_order FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        | FROM orders) WHERE rn = 1""".stripMargin,
+
+    "q13_events_window" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q20_kg_codefiles" ->
+      """SELECT doc_id, source AS repo, 'doc/' || doc_id AS path,
+        | md5(text) AS commit, lang
+        |FROM documents""".stripMargin,
+
+    "q21_kg_mentions" ->
+      s"""WITH $tokenPosSql
+         |SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         | CAST((i - 1) // 10 AS INT) AS sentence_order, surface
+         |FROM tok WHERE surface IN ($dictInList)""".stripMargin,
+
+    "q22_kg_mention_counts" ->
+      s"""WITH $tokenPosSql,
+         |m AS (
+         |  SELECT doc_id, surface, count(*) AS n_mentions
+         |  FROM tok WHERE surface IN ($dictInList)
+         |  GROUP BY 1, 2)
+         |SELECT m.doc_id, m.surface, dict.entity, dict.etype, m.n_mentions,
+         | 'http://graft.dev/' || d.lang || '/entity/' || dict.entity AS uri
+         |FROM m
+         |JOIN (VALUES $dictSqlValues) dict(surface, entity, etype) ON m.surface = dict.surface
+         |JOIN documents d ON m.doc_id = d.doc_id""".stripMargin,
+
+    "q23_kg_alias_edges" ->
+      """SELECT doc_id AS src, (doc_id*7+3) % (SELECT count(*) FROM documents) AS dst
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+
+    "q24_kg_resolve_1hop" ->
+      s"""WITH $aliasEdgesSql,
+         |refs AS (
+         |  SELECT doc_id AS src_doc, (doc_id*3+1) % (SELECT count(*) FROM documents) AS ref
+         |  FROM documents)
+         |SELECT r.src_doc, coalesce(e.dst, r.ref) AS resolved
+         |FROM refs r LEFT JOIN edges e ON r.ref = e.src""".stripMargin,
+
+    "q25_kg_closure" ->
+      s"""WITH RECURSIVE $aliasEdgesSql,
+         |walk AS (
+         |  SELECT src, dst, [src] AS path FROM edges
+         |  UNION ALL
+         |  SELECT w.src, e.dst, list_append(w.path, w.dst)
+         |  FROM walk w JOIN edges e ON w.dst = e.src
+         |  WHERE NOT list_contains(w.path, w.dst))
+         |SELECT DISTINCT w.src, w.dst AS root FROM walk w
+         |WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.dst)""".stripMargin,
+
+    "q26_kg_degrees" ->
+      s"""WITH $entityEdgesSql,
+         |o AS (SELECT src AS node, count(*) AS broaderCount FROM edges GROUP BY 1),
+         |i AS (SELECT dst AS node, count(*) AS narrowerCount FROM edges GROUP BY 1)
+         |SELECT coalesce(o.node, i.node) AS node,
+         | coalesce(narrowerCount, 0) AS narrowerCount,
+         | coalesce(broaderCount, 0) AS broaderCount
+         |FROM o FULL OUTER JOIN i USING (node)""".stripMargin,
+
+    "q27_kg_ancestry" ->
+      s"""WITH RECURSIVE $entityEdgesSql,
+         |down AS (SELECT DISTINCT dst AS parent, src AS child FROM edges),
+         |walk AS (
+         |  SELECT 'spark' AS node, 'spark' AS root, 0 AS depth, 'spark' AS path
+         |  UNION ALL
+         |  SELECT d.child, w.root, w.depth + 1, w.path || '/' || d.child
+         |  FROM walk w JOIN down d ON w.node = d.parent
+         |  WHERE w.depth < 3
+         |    AND NOT list_contains(string_split(w.path, '/'), d.child))
+         |SELECT node, root, depth, path FROM walk""".stripMargin,
+
+    "q28_kg_annotated" -> {
+      val caseExpr = dict.map { case (sf, _, tp) =>
+        s"WHEN t = '$sf' THEN '<START:$tp> ' || t || ' <END>'"
+      }.mkString(" ")
+      s"""SELECT doc_id,
+         | array_to_string(list_transform(string_split(text, ' '),
+         |   t -> CASE $caseExpr ELSE t END), ' ') AS annotated
+         |FROM documents""".stripMargin
+    },
+
+    "q29_kg_concat_distinct" ->
+      """SELECT lang,
+        | array_to_string(list_sort(list_distinct(list(source))), ' ') AS sources
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q30_kg_quality_gate" ->
+      """SELECT doc_id, CAST(length(string_split(text, ' ')) AS INT) AS n_words
+        |FROM documents WHERE length(string_split(text, ' ')) >= 30""".stripMargin,
+
+    "q31_kg_tsv_safe" ->
+      """SELECT doc_id,
+        | '"' || replace(regexp_replace(text, '[\t\n]', ' ', 'g'), '"', '""') || '"' AS safe_text
+        |FROM documents""".stripMargin,
+
+    "q32_kg_triples_nt" ->
+      s"""WITH $tokenPosSql,
+         |m AS (
+         |  SELECT DISTINCT doc_id, surface
+         |  FROM tok WHERE surface IN ($dictInList))
+         |SELECT '<http://graft.dev/doc/' || m.doc_id || '> <http://graft.dev/ontology#mentions> <http://graft.dev/'
+         |  || d.lang || '/entity/' || dict.entity || '> .' AS line
+         |FROM m
+         |JOIN (VALUES $dictSqlValues) dict(surface, entity, etype) ON m.surface = dict.surface
+         |JOIN documents d ON m.doc_id = d.doc_id""".stripMargin,
+
+    "q33_kg_noloop_paths" ->
+      """SELECT doc_id, path,
+        | CAST(NOT list_contains(parts[1:length(parts)-1], parts[length(parts)]) AS INT) AS no_loop
+        |FROM (
+        | SELECT doc_id,
+        |  (doc_id % 7) || '/' || ((doc_id*3+1) % 7) || '/' || ((doc_id*5+2) % 7) AS path,
+        |  string_split((doc_id % 7) || '/' || ((doc_id*3+1) % 7) || '/' || ((doc_id*5+2) % 7), '/') AS parts
+        | FROM documents)""".stripMargin,
+
+    "q40_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    "q41_dedup_jaccard" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  list_transform(range(1, greatest(length(toks) - 1, 1)),
+        |    i -> array_to_string(toks[i:i+2], ' ')) AS sh
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(CASE WHEN length(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+        |  ELSE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / length(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "q43_sim_topk" ->
+      """SELECT probe_id, cand_id, round(cos, 4) AS cos, rank FROM (
+        | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |  list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+        |  row_number() OVER (PARTITION BY p.vec_id
+        |    ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |             c.vec_id ASC) AS rank
+        | FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+        | WHERE p.vec_id % 50 = 0) WHERE rank <= 5""".stripMargin,
+
+    "q44_sim_lsh" ->
+      """WITH b AS (
+        | SELECT vec_id, embedding,
+        |  array_to_string(list_transform(embedding[1:8],
+        |    v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        | FROM embeddings)
+        |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank FROM (
+        | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |  list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+        |  row_number() OVER (PARTITION BY p.vec_id
+        |    ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |             c.vec_id ASC) AS rank
+        | FROM b p JOIN b c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+        | WHERE p.vec_id % 50 = 0) WHERE rank <= 5""".stripMargin,
+
+    "q45_langid" -> {
+      val branches = TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        s"""SELECT doc_id, '$lang' AS cand_lang,
+           | CAST(length(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS BIGINT) AS hits
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT doc_id, cand_lang, hits,
+         | row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang ASC) AS rank
+         |FROM ($branches)""".stripMargin
+    },
+
+    "q46_quality" ->
+      """SELECT doc_id,
+        | CAST(length(toks) AS BIGINT) AS n_tokens,
+        | CAST(length(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        | round(CAST(length(list_distinct(toks)) AS DOUBLE) / length(toks), 4) AS distinct_ratio,
+        | round(CAST(length(list_filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE) / length(toks), 4) AS stopword_ratio,
+        | round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / length(toks), 4) AS mean_token_len,
+        | CAST(length(toks) >= 30 AS INT) AS long_enough
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin,
+
+    "q47_tokens" ->
+      """SELECT doc_id,
+        | CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(list_sum(list_transform(string_split(text, ' '),
+        |   t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+        |FROM documents""".stripMargin,
+
+    "q48_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+        | count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    "q49_media_meta" ->
+      """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
+        |FROM documents""".stripMargin)
 }

@@ -1,0 +1,124 @@
+package graft.fixtures
+
+import graft.core.{CodeFile, Span}
+import graft.functions.TextFunctions
+import scala.util.Random
+
+/**
+ * Deterministic seeded `code_files` corpus generator (FIXTURES.md §2)
+ * with planted ground truth — the analog of the reference's bundled
+ * dump samples (src/test/resources/enwiki-20090902-pages-articles-sample.xml).
+ *
+ * Plants, with known ground truth:
+ *  - mention anchors at known offsets (wiki-link analog);
+ *  - alias files (`#ALIAS [[T]]`), incl. a chain a->b->c and a 2-cycle;
+ *  - one "popular entity" anchor in ~30% of files (skew for salted joins);
+ *  - short/boring files failing the min-words check;
+ *  - sha256(content) recorded per row.
+ */
+object CorpusGen {
+
+  val entityNames: Vector[String] = Vector(
+    "HashJoin", "SortMerge", "BroadcastExchange", "ShuffleWriter",
+    "ColumnPruning", "PredicatePushdown", "TungstenCodegen", "CatalystRule",
+    "AdaptivePlan", "SkewSplit", "RangePartitioner", "BloomFilter")
+
+  /** surface form -> entity name; "spark engine" is a 2-word surface. */
+  val dictionary: Map[String, String] = Map(
+    "hashjoin" -> "HashJoin",
+    "sortmerge" -> "SortMerge",
+    "broadcast" -> "BroadcastExchange",
+    "shuffle" -> "ShuffleWriter",
+    "prune" -> "ColumnPruning",
+    "pushdown" -> "PredicatePushdown",
+    "codegen" -> "TungstenCodegen",
+    "catalyst" -> "CatalystRule",
+    "aqe" -> "AdaptivePlan",
+    "skew" -> "SkewSplit",
+    "spark engine" -> "RangePartitioner",
+    "bloom" -> "BloomFilter")
+
+  /** The popular (skewed) surface: lands in ~30% of files. */
+  val popularSurface = "shuffle"
+
+  private val fillerVocab = Vector(
+    "the", "fast", "key", "order", "sort", "table", "scan", "merge",
+    "part", "window", "small", "batch", "stream", "dup", "group",
+    "query", "row", "data", "slow", "filter", "customer", "line",
+    "value", "agg", "column", "big", "vector")
+
+  val langs = Vector("scala", "java", "py", "md")
+
+  final case class Golden(
+      file: CodeFile,
+      aliasTarget: Option[String],            // entity NAME, not uri
+      mentions: Vector[Span])                 // label = entity name here
+
+  /** Generate `n` files deterministically (seed fixed). */
+  def generate(n: Int, seed: Long = 42L): Vector[Golden] = {
+    val rnd = new Random(seed)
+    val out = Vector.newBuilder[Golden]
+    var i = 0
+    while (i < n) {
+      val lang = langs(rnd.nextInt(langs.length))
+      val repo = s"org${i % 37}/proj${i % 11}"
+      val path = s"src/pkg${i % 7}/File$i.$lang"
+      val kind = i % 101
+      val (content, alias, mentions) =
+        if (kind == 99) {
+          // alias chain member: File i -> entity (i%12), plus a planted 2-cycle pair
+          val target = entityNames(i % entityNames.length)
+          (s"#ALIAS [[$target]]", Some(target), Vector.empty[Span])
+        } else if (kind == 100) {
+          (s"#ALIAS [[${entityNames((i + 1) % entityNames.length)}]]",
+            Some(entityNames((i + 1) % entityNames.length)), Vector.empty[Span])
+        } else if (kind == 98) {
+          // boring/short file (fails min-words gate)
+          ("tiny file", None, Vector.empty[Span])
+        } else {
+          val nLines = 2 + rnd.nextInt(4)
+          val sb = new StringBuilder
+          val ms = Vector.newBuilder[Span]
+          sb.append(s"## File$i header\n")
+          var l = 0
+          while (l < nLines) {
+            val nToks = 8 + rnd.nextInt(12)
+            var t = 0
+            while (t < nToks) {
+              if (t > 0) sb.append(' ')
+              val r = rnd.nextDouble()
+              val word =
+                if (r < 0.04 * (if (l == 0 && t == 3) 8 else 1) && rnd.nextDouble() < 0.3)
+                  popularSurface
+                else if (r < 0.08) {
+                  val keys = dictionary.keysIterator.filterNot(_.contains(' ')).toVector.sorted
+                  keys(rnd.nextInt(keys.length))
+                } else fillerVocab(rnd.nextInt(fillerVocab.length))
+              if (dictionary.contains(word)) {
+                val b = sb.length
+                ms += Span(b, b + word.length, dictionary(word), word)
+              }
+              sb.append(word)
+              t += 1
+            }
+            sb.append('\n')
+            l += 1
+          }
+          (sb.toString.stripSuffix("\n"), None, ms.result())
+        }
+      val cf = CodeFile(repo, path,
+        commit = TextFunctions.sha256Hex(s"$repo/$path").take(12),
+        lang = lang, content = content)
+      out += Golden(cf, alias, mentions)
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Alias edge list planted by `generate`: uri(file) -> uri(entity). */
+  def aliasEdges(gs: Vector[Golden]): Vector[(String, String)] =
+    gs.collect { case g if g.aliasTarget.isDefined =>
+      (TextFunctions.nameToUri(s"${g.file.repo}/${g.file.path}", g.file.lang),
+        TextFunctions.nameToUri(g.aliasTarget.get, g.file.lang))
+    }
+}

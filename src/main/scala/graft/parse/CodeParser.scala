@@ -1,0 +1,168 @@
+package graft.parse
+
+import graft.core.{CodeFile, Mention, ParsedFile, Span}
+import graft.functions.TextFunctions
+
+/**
+ * Deterministic per-file parser — the ParsingWikipediaLoader +
+ * AnnotatingMarkupParser analog (reference
+ * storage/ParsingWikipediaLoader.java:33-67,
+ * markup/AnnotatingMarkupParser.java) for a source-code corpus.
+ *
+ * Offset-exactness contract (§2.9 of SURVEY.md): every emitted span
+ * satisfies `text.substring(begin, end) == value`; the sha256(content)
+ * invariant is computed here once and carried onto every derived row.
+ *
+ * The parse is a pure function — at scale it runs as `ds.map(parse)`
+ * inside one WholeStageCodegen-adjacent stage with zero shuffle; the
+ * anchor dictionary is broadcast (the replicated-join pattern of
+ * ner-corpus/03_join_by_type_and_convert.pig:22).
+ */
+object CodeParser {
+
+  /** `#ALIAS [[Target Name]]` on the first line — the `#REDIRECT [[T]]`
+    * analog (AnnotatingMarkupParser.java:69,103-109). */
+  private val AliasRe = "^#ALIAS \\[\\[([^\\]]*)\\]\\]".r
+
+  /** Header line: `## name` (declaration-header analog). */
+  private val HeaderRe = "^## (.+)$".r
+
+  /**
+   * Parse one file. `dictionary` maps surface form -> entity name; it is
+   * the broadcast anchor dictionary. Mentions are dictionary surface
+   * forms found at single-space token boundaries (the corpus is
+   * space-tokenized), label = canonical target URI.
+   */
+  def parse(f: CodeFile, dictionary: Map[String, String]): ParsedFile = {
+    val text = f.content
+    val alias = AliasRe.findFirstMatchIn(text)
+      .map(m => TextFunctions.nameToUri(m.group(1), f.lang))
+
+    val headers = Vector.newBuilder[Span]
+    val blocks = Vector.newBuilder[Span]
+    // blocks = maximal runs of non-empty lines; headers = `## x` lines
+    var lineStart = 0
+    var blockStart = -1
+    def closeBlock(end: Int): Unit =
+      if (blockStart >= 0 && end > blockStart) {
+        blocks += Span(blockStart, end, "block", text.substring(blockStart, end))
+        blockStart = -1
+      }
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == '\n') {
+        val line = text.substring(lineStart, i)
+        if (line.isEmpty) closeBlock(lineStart - 1 max 0)
+        else {
+          if (blockStart < 0) blockStart = lineStart
+          HeaderRe.findFirstMatchIn(line).foreach { m =>
+            headers += Span(lineStart + m.start(1), lineStart + m.end(1), "header", m.group(1))
+          }
+        }
+        if (i == n) closeBlock(n)
+        lineStart = i + 1
+      }
+      i += 1
+    }
+
+    val mentions =
+      if (alias.isDefined) Vector.empty[Span]
+      else scanMentions(text, dictionary, f.lang)
+
+    ParsedFile(f.repo, f.path, f.commit, f.lang,
+      uri = TextFunctions.nameToUri(s"${f.repo}/${f.path}", f.lang),
+      text = text, aliasTarget = alias,
+      mentions = mentions, headers = headers.result(), blocks = blocks.result(),
+      sha256 = TextFunctions.sha256Hex(text))
+  }
+
+  /**
+   * Token-boundary dictionary scan. Single left-to-right pass over
+   * whitespace-delimited tokens; multi-word surfaces are matched
+   * greedily (longest first) like the reference's anchor labels. Skips
+   * tokens containing ':' (interlang-link analog,
+   * AnnotatingMarkupParser.java:153-155).
+   */
+  def scanMentions(text: String, dictionary: Map[String, String], lang: String): Vector[Span] = {
+    if (dictionary.isEmpty) return Vector.empty
+    val maxWords = dictionary.keysIterator.map(_.count(_ == ' ') + 1).max
+    val out = Vector.newBuilder[Span]
+    // token positions
+    val tokens = tokenizePos(text)
+    var ti = 0
+    while (ti < tokens.length) {
+      var matched = false
+      var w = math.min(maxWords, tokens.length - ti)
+      while (w >= 1 && !matched) {
+        val begin = tokens(ti)._1
+        val end = tokens(ti + w - 1)._2
+        val surface = text.substring(begin, end)
+        if (!surface.contains(':') && dictionary.contains(surface)) {
+          out += Span(begin, end, TextFunctions.nameToUri(dictionary(surface), lang), surface)
+          ti += w
+          matched = true
+        }
+        w -= 1
+      }
+      if (!matched) ti += 1
+    }
+    out.result()
+  }
+
+  /** (begin, end) of each whitespace-delimited token. */
+  def tokenizePos(text: String): Array[(Int, Int)] = {
+    val out = Array.newBuilder[(Int, Int)]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && (text.charAt(i) == ' ' || text.charAt(i) == '\n' || text.charAt(i) == '\t')) i += 1
+      if (i < n) {
+        val b = i
+        while (i < n && text.charAt(i) != ' ' && text.charAt(i) != '\n' && text.charAt(i) != '\t') i += 1
+        out += ((b, i))
+      }
+    }
+    out.result()
+  }
+}
+
+/**
+ * Sentence/statement segmentation + per-sentence mention emission — the
+ * SentencesWithLink analog (evaluation/SentencesWithLink.java:62-131).
+ *
+ * Within each block (paragraph analog), sentences are runs of
+ * `sentenceTokens` tokens (the corpus has no punctuation; the reference
+ * used OpenNLP's detector — here segmentation is rule-based and
+ * deterministic). The sentence order counter is global and 1-based
+ * across blocks (:103); mention offsets are rebased sentence-local
+ * (:116-127); only sentences containing at least one mention are
+ * emitted (containment semantics only — the reference's `>1` early-exit
+ * quirk, §2.10.3, is not replicated).
+ */
+object Segmenter {
+  def sentencesWithMentions(p: ParsedFile, sentenceTokens: Int = 10): Vector[Mention] = {
+    val out = Vector.newBuilder[Mention]
+    var order = 0
+    val mentions = p.mentions.sortBy(_.begin)
+    p.blocks.foreach { blk =>
+      val toks = CodeParser.tokenizePos(p.text.substring(blk.begin, blk.end))
+        .map { case (b, e) => (b + blk.begin, e + blk.begin) }
+      var s = 0
+      while (s < toks.length) {
+        val e = math.min(s + sentenceTokens, toks.length)
+        val sBegin = toks(s)._1
+        val sEnd = toks(e - 1)._2
+        order += 1
+        // normalize \n\t -> ' ' without changing length (reference :112-113)
+        val sentence = p.text.substring(sBegin, sEnd).map(c => if (c == '\n' || c == '\t') ' ' else c)
+        mentions.foreach { m =>
+          if (m.begin >= sBegin && m.end <= sEnd)
+            out += Mention(p.uri, order, m.label, m.begin - sBegin, m.end - sBegin, sentence, p.sha256)
+        }
+        s = e
+      }
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication for training-data pipelines: exact (hash
+ * groupBy), MinHash+LSH, SimHash, and n-gram Jaccard. All operate on a
+ * `docs(doc_id: long, text: string, ...)` relation.
+ *
+ * Scale design:
+ *  - exact dedup is one shuffle on a 16-byte key (hash, never raw text);
+ *  - MinHash signatures are computed map-side (one pass per doc, no
+ *    shuffle); LSH banding turns O(n²) similarity into a shuffle on
+ *    band-bucket keys whose groups are tiny by construction, and the
+ *    pair join carries only (doc_id, doc_id) — text is re-joined only
+ *    for the final verify step on the candidate set;
+ *  - hash functions are engine-agnostic (md5-derived), so results are
+ *    reproducible across engines (and DuckDB-checkable).
+ */
+object Dedup {
+
+  /** Exact duplicate groups: md5(text) -> count + canonical (min id). */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_dups") > 1)
+
+  /** Word n-gram shingles of a text column, as an array column. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    // shingle i = tokens[i..i+n) joined; filter trailing partials
+    filter(
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")),
+      s => length(s) > 0)
+  }
+
+  /**
+   * MinHash signature: for hash seed i, min over shingles of
+   * md5(i:shingle) compared lexicographically (hex strings order like
+   * the underlying 128-bit values — engine-agnostic determinism).
+   */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingles, s => md5(concat(lit(s"$i:"), s))))
+    }: _*)
+
+  /**
+   * LSH banding: signature array -> array of (band, bucket-hash) keys.
+   * Docs sharing any band bucket are candidate pairs.
+   */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws("|", lit(b.toString),
+        md5(array_join(slice(sig, b * rowsPerBand + 1, rowsPerBand), ",")))
+    }: _*)
+
+  /**
+   * MinHash/LSH near-duplicate candidate pairs with estimated Jaccard
+   * (fraction of matching signature positions). `docs` must have
+   * (doc_id, text). Returns (id_a, id_b, est_jaccard), id_a < id_b.
+   */
+  def minhashCandidates(docs: DataFrame, shingleWords: Int = 3,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = docs.select(
+      col("doc_id"),
+      minhashSignature(wordShingles(col("text"), shingleWords), numHashes).as("sig"))
+    val keyed = sigs.select(col("doc_id"), col("sig"),
+      explode(lshBandKeys(col("sig"), bands, rows)).as("bucket"))
+    val a = keyed.select(col("bucket"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = keyed.select(col("bucket"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          (b: Column) => b)) / lit(16.0)).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val ua = array_distinct(a)
+    val ub = array_distinct(b)
+    val inter = size(array_intersect(ua, ub)).cast("double")
+    val union = size(array_union(ua, ub)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /**
+   * 64-bit SimHash from word features (hash = first 16 hex chars of
+   * md5(word), majority vote per bit). Pure function for typed map use.
+   */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.split(" ").foreach { w =>
+      if (w.nonEmpty) {
+        val h = java.lang.Long.parseUnsignedLong(
+          graft.functions.TextFunctions.sha256Hex(w).substring(0, 16), 16)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

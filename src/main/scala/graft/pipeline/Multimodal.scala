@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal column plumbing: image/audio/video payloads as opaque
+ * `binary` columns with typed metadata, batch-shaped decode/feature
+ * stages.
+ *
+ * The decode itself is STUBBED (no image/audio libs in this container):
+ * `decodeStub` derives deterministic fake metadata from the bytes. The
+ * Spark-side contract is real — schema, partition-parallel
+ * `mapPartitions` batching, and the metadata struct a real decoder
+ * would fill. Swapping in a real codec changes only the function body.
+ */
+object Multimodal {
+
+  final case class MediaMeta(
+      media_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      byte_len: Long,
+      checksum: String)
+
+  /**
+   * STUB decoder: deterministic fake metadata from the payload bytes.
+   * A real implementation would parse the container header here.
+   */
+  def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val len = bytes.length
+    val h = java.util.Arrays.hashCode(bytes)
+    val fmt = (math.abs(h) % 3) match {
+      case 0 => "png"
+      case 1 => "jpeg"
+      case _ => "wav"
+    }
+    MediaMeta(id, fmt,
+      width = 16 + math.abs(h % 1024),
+      height = 16 + math.abs((h / 1024) % 1024),
+      n_frames = 1 + math.abs(h % 32),
+      byte_len = len.toLong,
+      checksum = graft.functions.TextFunctions.sha256Hex(new String(bytes.map(b => (b & 0x7f).toChar))))
+  }
+
+  /**
+   * Decode a `media(media_id: long, payload: binary)` relation into
+   * typed metadata. `mapPartitions` keeps per-batch decoder state (a
+   * real codec context) alive across rows of a partition.
+   */
+  def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // decoder context would be initialized once per partition here
+        it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+  }
+
+  /** Documents table viewed as a binary media relation (UTF-8 payloads). */
+  def documentsAsMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"))
+}

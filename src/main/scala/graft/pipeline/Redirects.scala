@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Redirect / alias canonicalization — re-realization of
+ * examples/extract_redirects.pig + the redirect-resolution joins of
+ * ner-corpus/02_dbpedia_article_types.pig:23-25 and
+ * topic-corpus/02_create_topics_descriptions.pig:73-80, upgraded per
+ * the north rule from the reference's one-hop resolution (§2.10.2) to
+ * an iterative self-join transitive closure with cycle guard.
+ *
+ * Scale notes: each iteration is one shuffle join on `dst`; the frontier
+ * is `localCheckpoint`ed (on a cluster: an Iceberg snapshot checkpoint)
+ * to cut lineage — without it the plan doubles per iteration and the
+ * driver chokes on plan size long before data is the problem. Fixpoint
+ * is detected with a cheap `isEmpty` on the still-resolvable frontier.
+ * The edge list (alias graph) is orders of magnitude smaller than the
+ * corpus, so on a cluster the final application of the closure to the
+ * corpus is a broadcast join.
+ */
+object Redirects {
+
+  /**
+   * One-hop resolution (exact reference semantics,
+   * ner-corpus/02_…pig:23-25): left join `rel.key -> edges.src`, coalesce
+   * to the redirect target when present.
+   */
+  def resolveOneHop(rel: DataFrame, edges: DataFrame, key: String): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    rel.join(e, rel(key) === e("src"), "left_outer")
+      .withColumn(key, coalesce(col("dst"), col(key)))
+      .drop("src", "dst")
+  }
+
+  /**
+   * Transitive closure of an alias edge list to a fixpoint (depth-capped).
+   * Input: edges(src, dst). Output: (src, root) where root is the final
+   * non-alias target; members of a cycle never settle and are dropped.
+   *
+   * Cycle guard = NoLoopInPath semantics (evaluation/NoLoopInPath.java:32-67):
+   * each step checks the newly visited node against the accumulated path.
+   */
+  def transitiveClosure(edges: DataFrame, maxDepth: Int = 16): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    // seed: every edge, path = [src] (nodes already visited)
+    var frontier = e.select(col("src"), col("dst"), array(col("src")).as("path"))
+    var settled: DataFrame = null
+    var depth = 0
+    var done = false
+    while (depth < maxDepth && !done) {
+      val step = frontier.as("f")
+        .join(e.as("n"), col("f.dst") === col("n.src"), "left_outer")
+        .select(
+          col("f.src").as("src"),
+          col("f.dst").as("cur"),
+          col("n.dst").as("next"),
+          col("f.path").as("path"))
+      // settled: cur is not an alias source -> cur is the root
+      val newSettled = step.filter(col("next").isNull)
+        .select(col("src"), col("cur").as("root"))
+      settled = if (settled == null) newSettled else settled.unionByName(newSettled)
+      // continue: visit cur, drop cycles (cur already on the path)
+      frontier = step.filter(col("next").isNotNull)
+        .filter(!array_contains(col("path"), col("cur")))
+        .select(
+          col("src"),
+          col("next").as("dst"),
+          concat(col("path"), array(col("cur"))).as("path"))
+        .localCheckpoint(true)
+      depth += 1
+      done = frontier.isEmpty
+    }
+    settled.distinct()
+  }
+}

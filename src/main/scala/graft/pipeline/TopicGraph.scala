@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Topic-graph computations — re-realization of examples/topic-corpus/
+ * 01_count_topic_direct_degrees.pig, 03/05_build_…ancestry.pig.
+ *
+ * Graphs are plain (src=narrower, dst=broader) edge relations, exactly
+ * as in the reference (topic-corpus/01_…pig:20-25); traversal is
+ * self-join.
+ */
+object TopicGraph {
+
+  /**
+   * Per-node in/out-degree + optional grounding count — the 3-way
+   * COGROUP of topic-corpus/01_…pig:34-44. COUNT(bag) counts tuples of
+   * a possibly-empty cogroup bag, so the Spark realization is
+   * per-relation groupBy().count() merged with full-outer joins and
+   * zero-fill (SURVEY §2.10.6). Two shuffles on the same key; AQE
+   * coalesces the tiny post-agg sides.
+   */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("broaderCount"))
+    val in = edges.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("narrowerCount"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(
+        col("node"),
+        coalesce(col("narrowerCount"), lit(0L)).as("narrowerCount"),
+        coalesce(col("broaderCount"), lit(0L)).as("broaderCount"))
+  }
+
+  /**
+   * Bounded BFS ancestry with path accumulation and cycle filtering —
+   * the unrolled 5-level chain of topic-corpus/05_build_grounded_ancestry
+   * .pig:48-135, expressed as a driver loop (one shuffle join per level,
+   * localCheckpoint per level to cut lineage, exactly Pig's
+   * one-job-per-level). Output: (node, root, depth, path) for every
+   * node reachable DOWN from `roots` within `maxDepth` hops, path =
+   * '/'-joined root..node, loops removed by NoLoopInPath semantics
+   * (last element vs prefix).
+   */
+  def groundedAncestry(edges: DataFrame, roots: DataFrame, maxDepth: Int = 5): DataFrame = {
+    // edges: (src=narrower/child, dst=broader/parent); walk parent->child
+    val down = edges.select(col("dst").as("parent"), col("src").as("child"))
+      .distinct().localCheckpoint(true)
+    var frontier = roots.select(
+      col("root").as("node"),
+      col("root"),
+      lit(0).as("depth"),
+      col("root").as("path"))
+    var acc = frontier
+    var depth = 0
+    while (depth < maxDepth) {
+      val next = frontier.as("f")
+        .join(down.as("e"), col("f.node") === col("e.parent"), "inner")
+        .select(
+          col("e.child").as("node"),
+          col("f.root").as("root"),
+          (col("f.depth") + 1).as("depth"),
+          concat_ws("/", col("f.path"), col("e.child")).as("path"))
+        // cycle guard: CONCAT path then FILTER NoLoopInPath
+        // (topic-corpus/05_…pig:56,66 pattern)
+        .filter(!array_contains(
+          slice(split(col("path"), "/"), lit(1), size(split(col("path"), "/")) - 1),
+          element_at(split(col("path"), "/"), -1)))
+        .localCheckpoint(true)
+      acc = acc.unionByName(next)
+      frontier = next
+      depth += 1
+    }
+    acc
+  }
+}

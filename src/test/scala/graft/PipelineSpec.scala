@@ -1,0 +1,161 @@
+package graft
+
+import graft.core.CodeFile
+import graft.fixtures.CorpusGen
+import graft.functions.Aggregators
+import graft.pipeline._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/**
+ * Tier-3: local-SparkSession end-to-end pipeline tests on deterministic
+ * synthetic inputs (the PigServer(LOCAL) mini-pipeline analog of the
+ * reference's storage tests).
+ */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("transitive closure resolves chains and drops cycles") {
+    // chain a->b->c->R, shortcut d->R, 2-cycle x<->y, self-loop z->z
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "R"), ("d", "R"),
+      ("x", "y"), ("y", "x"), ("z", "z")).toDF("src", "dst")
+    val got = Redirects.transitiveClosure(edges)
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("a", "R"), ("b", "R"), ("c", "R"), ("d", "R")))
+  }
+
+  test("closure strictly increases recall vs one-hop (SURVEY §2.10.2)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "R")).toDF("src", "dst")
+    val rel = Seq(("m1", "a")).toDF("id", "target")
+    val oneHop = Redirects.resolveOneHop(rel, edges, "target")
+      .as[(String, String)].collect().head._2
+    assert(oneHop == "b") // reference stops after one hop
+    val closure = Redirects.transitiveClosure(edges)
+      .filter(col("src") === "a").select("root").as[String].collect().head
+    assert(closure == "R") // fixpoint reaches the root
+  }
+
+  test("degrees: full-outer + zero-fill reproduces COUNT(bag) cogroup semantics") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val rows = TopicGraph.degrees(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(("a", 0L, 2L), ("b", 1L, 1L), ("c", 2L, 0L)))
+  }
+
+  test("grounded ancestry: path accumulation + cycle guard at each level") {
+    // root -> a -> b, root -> b, b -> root (cycle back)
+    val edges = Seq(("a", "root"), ("b", "a"), ("b", "root"), ("root", "b"))
+      .toDF("src", "dst") // (child=src, parent=dst)
+    val roots = Seq("root").toDF("root")
+    val got = TopicGraph.groundedAncestry(edges, roots, maxDepth = 4)
+      .select("node", "depth", "path").as[(String, Int, String)].collect().toSet
+    assert(got.contains(("root", 0, "root")))
+    assert(got.contains(("a", 1, "root/a")))
+    assert(got.contains(("b", 1, "root/b")))
+    assert(got.contains(("b", 2, "root/a/b")))
+    // root again via b would loop -> filtered
+    assert(!got.exists(r => r._1 == "root" && r._2 > 0))
+  }
+
+  test("mentions pipeline end-to-end on the synthetic corpus (P/R vs goldens)") {
+    val corpus = CorpusGen.generate(512)
+    val files = spark.createDataset(corpus.map(_.file))
+    val parsed = Mentions.parseAll(files, CorpusGen.dictionary)
+    // per-file mention-set parity with planted goldens
+    val got = parsed.flatMap(p => p.mentions.map(m =>
+        (p.repo, p.path, m.begin, m.end, m.value)))
+      .collect().toSet
+    val want = corpus.flatMap(g => g.mentions.map(m =>
+      (g.file.repo, g.file.path, m.begin, m.end, m.value))).toSet
+    val inter = (got intersect want).size.toDouble
+    assert(inter / got.size >= 0.95, "precision")
+    assert(inter / want.size >= 0.95, "recall")
+  }
+
+  test("alias edges from corpus match planted alias goldens") {
+    val corpus = CorpusGen.generate(512)
+    val files = spark.createDataset(corpus.map(_.file))
+    val got = Mentions.aliasEdges(files, CorpusGen.dictionary).collect().toSet
+    assert(got == CorpusGen.aliasEdges(corpus).toSet)
+    assert(got.nonEmpty)
+  }
+
+  test("CappedConcat aggregator is deterministic under explicit sort key") {
+    val data = Seq((1L, 3L, "cc"), (1L, 1L, "aa"), (1L, 2L, "bb"),
+      (2L, 1L, "zz")).toDF("g", "k", "v")
+    val agg = udaf(new Aggregators.CappedConcat(1000))
+    val got = data.groupBy("g")
+      .agg(agg(col("k"), col("v")).as("txt"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "aa bb cc")
+    assert(got(2L) == "zz")
+  }
+
+  test("ConcatDistinct aggregator dedups keeping sort order") {
+    val data = Seq((1L, 1L, " b "), (1L, 2L, "a"), (1L, 3L, "b"), (1L, 4L, ""))
+      .toDF("g", "k", "v")
+    val agg = udaf(new Aggregators.ConcatDistinct(","))
+    val got = data.groupBy("g").agg(agg(col("k"), col("v")).as("txt"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "b,a")
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, other))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(docs)
+      .as[(Long, Long, Double)].collect()
+    val pair = cands.find(c => c._1 == 0L && c._2 == 1L)
+    assert(pair.isDefined, s"near-dup pair not found in ${cands.mkString(",")}")
+    assert(pair.get._3 > 0.5)
+    assert(!cands.exists(c => c._2 == 2L || c._1 == 2L))
+  }
+
+  test("simhash: near-identical texts have small hamming distance") {
+    val a = Dedup.simhash64((1 to 100).map(i => s"w$i").mkString(" "))
+    val b = Dedup.simhash64((1 to 100).map(i => if (i == 5) "x" else s"w$i").mkString(" "))
+    val c = Dedup.simhash64((1 to 100).map(i => s"q$i").mkString(" "))
+    assert(Dedup.hamming(a, b) < 12)
+    assert(Dedup.hamming(a, c) > 16)
+  }
+
+  test("brute-force ANN: self-similar vector ranks first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, 2)
+      .select("cand_id", "rank").as[(Long, Int)].collect().toMap
+    assert(got(1L) == 1) // closest
+    assert(got(2L) == 2)
+  }
+
+  test("NT triple materialization: null rows skipped, lines byte-exact") {
+    val df = Seq(("A", "B"), (null, "C"), ("D", null))
+      .toDF("subj", "obj")
+    val lines = TripleMaterialize.uriUriLines(df, "http://p", "http://s/", "http://o/")
+      .as[String].collect().toSet
+    assert(lines == Set("<http://s/A> <http://p> <http://o/B> ."))
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
