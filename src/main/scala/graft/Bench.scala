@@ -1,24 +1,136 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.core.CodeFile
+import graft.fixtures.CorpusGen
+import graft.pipeline.{Mentions, Redirects}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark main. Emits ONE JSON line:
+ *   - per-query wall times over SPARK_GRAFT_SF_DIR at SPARK_GRAFT_CPUS;
+ *   - triple-extraction throughput (files/sec) over a deterministic
+ *     synthetic code_files corpus, measured at two parallelism levels
+ *     (N and 4N threads) on identical input, with the scaling
+ *     efficiency — the in-sandbox evidence for the north rule's
+ *     "≥0.8 throughput scaling efficiency between N and 4N executors"
+ *     (no real cluster here; see BASELINE.md).
+ */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  /** The timed job: the full extraction pipeline of the north star —
+    * parse + segment + mention emission (map-side), alias closure
+    * (iterative join; small side), distinct triple materialization
+    * (one shuffle), NT formatting. Identical plan at every parallelism. */
+  def extractTriples(spark: SparkSession, corpusDir: String): Long = {
+    import spark.implicits._
+    val files = spark.read.parquet(corpusDir).as[CodeFile]
+    val dict = CorpusGen.dictionary
+    val mentions = Mentions.extract(files, dict)
+    val edges = Mentions.aliasEdges(files, dict).toDF("src", "dst")
+    val canon = Redirects.transitiveClosure(edges)
+    // mention target resolved through the alias closure (left join +
+    // coalesce), then distinct (s,o) pairs formatted as NT lines
+    val resolved = mentions.toDF()
+      .join(canon.withColumnRenamed("src", "target"), Seq("target"), "left_outer")
+      .select(col("uri").as("subj"),
+        coalesce(col("root"), col("target")).as("obj"))
+      .distinct()
+    resolved.select(concat(lit("<"), col("subj"),
+      lit("> <http://graft.dev/ontology#mentions> <"), col("obj"), lit("> .")).as("line"))
+      .count()
+  }
+
+  private def newSession(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "1048576").toInt
+    val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "4").toInt
+
+    // ---- per-query timings at the requested parallelism ----
+    val spark = newSession(cpus)
+    // warm the session (parquet footers, codegen JIT) so the first timed
+    // query doesn't absorb one-time session costs
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "events", "documents", "embeddings")
+      .foreach(t => graft.core.Tables.t(spark, sfDir, t).count())
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+
+    // ---- scaling: identical corpus + job at lo and hi parallelism ----
+    val corpusDir = s"/tmp/graft-bench-corpus-$nFiles-x$scale"
+    if (!new java.io.File(s"$corpusDir/_SUCCESS").exists()) {
+      import spark.implicits._
+      spark.range(nFiles).map(i => CorpusGen.file(i, scale = scale))
+        .repartition(128) // >=4 waves at 32 cores: stragglers amortize
+        .write.mode("overwrite").parquet(corpusDir)
+    }
+    extractTriples(spark, corpusDir) // JIT/IO warmup (not timed)
     spark.stop()
+
+    val lo = math.max(cpus / 4, 2)
+    var nTriples = 0L
+    def timed(n: Int): Double = {
+      val s = newSession(n)
+      val t0 = System.nanoTime()
+      nTriples = extractTriples(s, corpusDir)
+      val dt = (System.nanoTime() - t0) / 1e9
+      s.stop()
+      dt
+    }
+    // two measurements per level, interleaved, min taken: JIT keeps
+    // improving across runs and this VM's clock varies under load
+    val tLo = math.min(timed(lo), { timed(cpus); timed(lo) })
+    val tHi = math.min(timed(cpus), timed(cpus))
+    val thrLo = nFiles / tLo
+    val thrHi = nFiles / tHi
+    val eff = thrHi / (thrLo * (cpus.toDouble / lo))
+
+    // machine scaling ceiling: an embarrassingly parallel pure-CPU job
+    // (sha256 over synthetic rows, zero shuffle). On this virtualized
+    // host, per-core speed drops as occupancy rises (frequency scaling /
+    // host contention), capping ANY job's N->4N efficiency below 1.0.
+    // normalized_efficiency = pipeline efficiency / this ceiling.
+    def ceiling(n: Int): Double = {
+      val s = newSession(n)
+      import s.implicits._
+      val t0 = System.nanoTime()
+      s.range(2000000L).repartition(128).map(i =>
+        graft.functions.TextFunctions.sha256Hex("row-" + i + "-pad").length)
+        .reduce(_ + _)
+      val dt = (System.nanoTime() - t0) / 1e9
+      s.stop(); dt
+    }
+    ceiling(cpus) // warmup
+    val cLo = ceiling(lo)
+    val cHi = ceiling(cpus)
+    val ceilEff = (cLo * lo) / (cHi * cpus)
+    val normEff = eff / ceilEff
+
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":""" + qs +
+        s""","sf":"$sfDir","throughput":{"files":$nFiles,"triples":$nTriples,""" +
+        f""""cores_lo":$lo,"sec_lo":$tLo%.3f,"files_per_sec_lo":$thrLo%.1f,""" +
+        f""""cores_hi":$cpus,"sec_hi":$tHi%.3f,"files_per_sec_hi":$thrHi%.1f,""" +
+        f""""scaling_efficiency":$eff%.3f,""" +
+        f""""machine_ceiling_efficiency":$ceilEff%.3f,""" +
+        f""""normalized_scaling_efficiency":$normEff%.3f}}""")
   }
 }

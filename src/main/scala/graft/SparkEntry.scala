@@ -119,14 +119,19 @@ object SparkEntry {
       .select(col("doc_id"), col("pos"),
         (col("pos") / 10).cast("int").as("sentence_order"), col("surface"))
 
-  /** Mention counts per doc joined to the broadcast dictionary (J3). */
+  /** Mention counts per doc joined to the broadcast dictionary (J3).
+    * `lang` is carried through the aggregation key (it is functionally
+    * dependent on doc_id) instead of re-joined afterwards — at corpus
+    * scale that second join would be a full shuffle of the corpus; this
+    * way the only exchange is the count shuffle and the dictionary join
+    * is broadcast. */
   private def kgMentionCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val m = kgMentions(spark, sfDir)
-      .groupBy(col("doc_id"), col("surface"))
+    val m = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), explode(toks).as("surface"))
+      .filter(isDictSurface(col("surface")))
+      .groupBy(col("doc_id"), col("lang"), col("surface"))
       .agg(count(lit(1)).as("n_mentions"))
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
     m.join(broadcast(dictDf(spark)), Seq("surface"))
-      .join(docs, Seq("doc_id"))
       .select(col("doc_id"), col("surface"), col("entity"), col("etype"),
         col("n_mentions"),
         concat(lit("http://graft.dev/"), col("lang"), lit("/entity/"), col("entity")).as("uri"))
@@ -347,6 +352,45 @@ object SparkEntry {
         .select(col("doc_id"), col("path"), col("no_loop"))
     }),
 
+    "q34_kg_skew_join" -> ((s, d) => {
+      // explicit salted join for the skewed popular-surface linking
+      // (north rule): identical result to the plain dict join, hot keys
+      // spread over 8 salt buckets
+      val m = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("surface"))
+        .filter(isDictSurface(col("surface")))
+      Skew.saltedJoin(m, dictDf(s), "surface", salts = 8, saltSource = col("doc_id"))
+        .groupBy(col("entity"), col("etype"))
+        .agg(count(lit(1)).as("n_mentions"))
+    }),
+
+    "q35_kg_merge_annotated" -> ((s, d) => {
+      // grouped order-sensitive merge (G1+U2): per (doc, sentence) the
+      // tokens regrouped and annotated — the ner-corpus/03 group+merge
+      val typeOf = dict.map { case (sf, _, t) => (sf, t) }.toMap
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+      val annotate = (t: Column) => {
+        val cases = typeOf.foldLeft(when(lit(false), t)) { case (acc, (sf, tp)) =>
+          acc.when(t === sf, concat(lit(s"<START:$tp> "), t, lit(" <END>")))
+        }
+        cases.otherwise(t)
+      }
+      tok.groupBy(col("doc_id"), (col("pos") / 10).cast("int").as("sentence_order"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+            s => annotate(s.getField("token"))), " ").as("annotated"))
+    }),
+
+    "q36_kg_capped_abstracts" -> ((s, d) => {
+      // AggregateTextBag analog (U3) as a real typed Aggregator with an
+      // explicit sort key (doc_id) for determinism (SURVEY §2.10.4)
+      val agg = udaf(new graft.functions.Aggregators.CappedConcat(100000))
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(agg(col("doc_id"), col("text")).as("abstracts"))
+    }),
+
     // ---- training-data ops ------------------------------------------
     "q40_dedup_exact" -> ((s, d) =>
       Tables.documents(s, d)
@@ -364,6 +408,10 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
     }),
+
+    "q42_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashCandidates(Tables.documents(s, d))
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))),
 
     "q43_sim_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -607,6 +655,45 @@ object SparkEntry {
         |  string_split((doc_id % 7) || '/' || ((doc_id*3+1) % 7) || '/' || ((doc_id*5+2) % 7), '/') AS parts
         | FROM documents)""".stripMargin,
 
+    "q34_kg_skew_join" ->
+      s"""WITH $tokenPosSql
+         |SELECT dict.entity, dict.etype, count(*) AS n_mentions
+         |FROM tok JOIN (VALUES $dictSqlValues) dict(surface, entity, etype)
+         |  ON tok.surface = dict.surface
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q35_kg_merge_annotated" -> {
+      val caseExpr = dict.map { case (sf, _, tp) =>
+        s"WHEN surface = '$sf' THEN '<START:$tp> ' || surface || ' <END>'"
+      }.mkString(" ")
+      s"""WITH $tokenPosSql
+         |SELECT doc_id, CAST((i - 1) // 10 AS INT) AS sentence_order,
+         | string_agg(CASE $caseExpr ELSE surface END, ' ' ORDER BY i) AS annotated
+         |FROM tok GROUP BY 1, 2""".stripMargin
+    },
+
+    "q36_kg_capped_abstracts" ->
+      """WITH sized AS (
+        |  SELECT lang, doc_id, text,
+        |   greatest(100000 // count(*) OVER (PARTITION BY lang), 200) AS per
+        |  FROM documents),
+        |cut AS (
+        |  SELECT lang, doc_id,
+        |   CASE WHEN length(text) <= per THEN text
+        |        WHEN strpos(substring(text, per), ' ') > 0
+        |          THEN substring(text, 1, per - 2 + strpos(substring(text, per), ' '))
+        |        ELSE substring(text, 1, per) END AS t
+        |  FROM sized),
+        |w AS (
+        |  SELECT lang, doc_id, t,
+        |   row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS r,
+        |   coalesce(sum(length(t)) OVER (PARTITION BY lang ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM cut)
+        |SELECT lang, string_agg(t, ' ' ORDER BY r) AS abstracts
+        |FROM w WHERE 100000 - cum - greatest(r - 2, 0) > 0
+        |GROUP BY lang""".stripMargin,
+
     "q40_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
@@ -614,7 +701,7 @@ object SparkEntry {
     "q41_dedup_jaccard" ->
       """WITH sh AS (
         | SELECT doc_id,
-        |  list_transform(range(1, greatest(length(toks) - 1, 1)),
+        |  list_transform(range(1, greatest(length(toks) - 1, 2)),
         |    i -> array_to_string(toks[i:i+2], ' ')) AS sh
         | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -622,6 +709,31 @@ object SparkEntry {
         |  ELSE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / length(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "q42_dedup_minhash" -> {
+      val sigExprs = (0 until 16).map(i =>
+        s"list_aggregate(list_transform(hx, h -> substring(h, ${i * 8 + 1}, 8)), 'min')")
+        .mkString(", ")
+      val hexExpr = (0 until 4).map(j => s"md5('$j:' || s)").mkString(" || ")
+      val bucketExprs = (0 until 4).map(b =>
+        s"'$b|' || md5(array_to_string(sig[${b * 4 + 1}:${b * 4 + 4}], ','))").mkString(", ")
+      s"""WITH sh AS (
+         | SELECT doc_id,
+         |  list_transform(range(1, greatest(length(toks) - 1, 2)),
+         |    i -> array_to_string(toks[i:i+2], ' ')) AS sh
+         | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |hexes AS (SELECT doc_id, list_transform(sh, s -> $hexExpr) AS hx FROM sh),
+         |sig AS (SELECT doc_id, [$sigExprs] AS sig FROM hexes),
+         |bk AS (SELECT doc_id, sig, unnest([$bucketExprs]) AS bucket FROM sig),
+         |pairs AS (
+         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.sig AS sig_a, b.sig AS sig_b
+         | FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         | round(length(list_filter(list_zip(sig_a, sig_b), z -> z[1] = z[2])) / 16.0, 4)
+         |   AS est_jaccard
+         |FROM pairs""".stripMargin
+    },
 
     "q43_sim_topk" ->
       """SELECT probe_id, cand_id, round(cos, 4) AS cos, rank FROM (

@@ -54,12 +54,30 @@ object CorpusGen {
       aliasTarget: Option[String],            // entity NAME, not uri
       mentions: Vector[Span])                 // label = entity name here
 
-  /** Generate `n` files deterministically (seed fixed). */
-  def generate(n: Int, seed: Long = 42L): Vector[Golden] = {
-    val rnd = new Random(seed)
+  /**
+   * One file, deterministic from its index alone — safe to call from
+   * executors (`spark.range(n).map(i => CorpusGen.file(i))`), so the
+   * bench corpus generates in parallel with no driver bottleneck and no
+   * cross-partition coupling.
+   */
+  def file(i: Long, seed: Long = 42L, scale: Int = 1): CodeFile =
+    genOne(i.toInt, new Random(seed ^ (i * 0x9e3779b97f4a7c15L)), scale).file
+
+  /** Generate `n` files deterministically (seed fixed). `scale`
+    * multiplies per-file content volume (bench corpora use larger
+    * files so parse work dominates scheduling overhead). */
+  def generate(n: Int, seed: Long = 42L, scale: Int = 1): Vector[Golden] = {
     val out = Vector.newBuilder[Golden]
     var i = 0
     while (i < n) {
+      out += genOne(i, new Random(seed ^ (i.toLong * 0x9e3779b97f4a7c15L)), scale)
+      i += 1
+    }
+    out.result()
+  }
+
+  private def genOne(i: Int, rnd: Random, scale: Int = 1): Golden = {
+    {
       val lang = langs(rnd.nextInt(langs.length))
       val repo = s"org${i % 37}/proj${i % 11}"
       val path = s"src/pkg${i % 7}/File$i.$lang"
@@ -76,7 +94,7 @@ object CorpusGen {
           // boring/short file (fails min-words gate)
           ("tiny file", None, Vector.empty[Span])
         } else {
-          val nLines = 2 + rnd.nextInt(4)
+          val nLines = (2 + rnd.nextInt(4)) * scale
           val sb = new StringBuilder
           val ms = Vector.newBuilder[Span]
           sb.append(s"## File$i header\n")
@@ -109,10 +127,8 @@ object CorpusGen {
       val cf = CodeFile(repo, path,
         commit = TextFunctions.sha256Hex(s"$repo/$path").take(12),
         lang = lang, content = content)
-      out += Golden(cf, alias, mentions)
-      i += 1
+      Golden(cf, alias, mentions)
     }
-    out.result()
   }
 
   /** Alias edge list planted by `generate`: uri(file) -> uri(entity). */

@@ -26,25 +26,59 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_id"))
       .filter(col("n_dups") > 1)
 
-  /** Word n-gram shingles of a text column, as an array column. */
+  /** Word n-gram shingles of a text column, as an array column.
+    * Texts shorter than n tokens yield a single whole-text shingle
+    * (guards `sequence`, which would otherwise run descending). */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
-    // shingle i = tokens[i..i+n) joined; filter trailing partials
-    filter(
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")),
-      s => length(s) > 0)
+    transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
   }
 
   /**
-   * MinHash signature: for hash seed i, min over shingles of
-   * md5(i:shingle) compared lexicographically (hex strings order like
-   * the underlying 128-bit values — engine-agnostic determinism).
+   * MinHash signature, 16 hash functions from 4 md5 calls per shingle:
+   * hash i = 8-hex-char (32-bit) chunk i%4 of md5((i/4):shingle),
+   * minimized lexicographically (hex order == numeric order —
+   * engine-agnostic determinism, and 4x less digest work than one md5
+   * per hash function; at corpus scale the md5s are the dominant cost
+   * of the signature stage).
    */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  val MinhashFunctions = 16
+  private val seedsPerDoc = 4
+
+  /** Per-shingle concatenated digest material: md5("0:"+s)+...+md5("3:"+s). */
+  private def shingleHexes(shingles: Column): Column =
+    transform(shingles, s =>
+      concat((0 until seedsPerDoc).map(j => md5(concat(lit(s"$j:"), s))): _*))
+
+  def minhashSignature(shingles: Column, numHashes: Int = MinhashFunctions): Column = {
+    val hexes = shingleHexes(shingles)
     array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => md5(concat(lit(s"$i:"), s))))
+      array_min(transform(hexes, h => substring(h, i * 8 + 1, 8)))
     }: _*)
+  }
+
+  /**
+   * (doc_id, sig) signatures via explode + 16 partial-min aggregates.
+   * This shape matters: a single projection computes the 4 md5s ONCE
+   * per shingle row, and the mins combine map-side before the shuffle.
+   * (The pure-Column form above duplicates the digest expression into
+   * every array_min lambda — Catalyst does not CSE through higher-order
+   * functions — making it 16x more digest work; measured 31s vs 2s at
+   * sf0.1.)
+   */
+  def minhashSignatures(docs: DataFrame, shingleWords: Int = 3,
+      numHashes: Int = MinhashFunctions): DataFrame =
+    docs.select(col("doc_id"),
+        explode(wordShingles(col("text"), shingleWords)).as("s"))
+      .select(col("doc_id"),
+        concat((0 until seedsPerDoc).map(j => md5(concat(lit(s"$j:"), col("s")))): _*).as("hx"))
+      .groupBy(col("doc_id"))
+      .agg(min(substring(col("hx"), 1, 8)).as("m0"),
+        (1 until numHashes).map(i =>
+          min(substring(col("hx"), i * 8 + 1, 8)).as(s"m$i")): _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
 
   /**
    * LSH banding: signature array -> array of (band, bucket-hash) keys.
@@ -64,9 +98,11 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, shingleWords: Int = 3,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
-    val sigs = docs.select(
-      col("doc_id"),
-      minhashSignature(wordShingles(col("text"), shingleWords), numHashes).as("sig"))
+    // materialize once: both sides of the bucket self-join reuse the
+    // signatures instead of recomputing every digest (2x cost saved);
+    // on a cluster this is the natural stage-checkpoint boundary
+    val sigs = minhashSignatures(docs, shingleWords, numHashes)
+      .localCheckpoint(true)
     val keyed = sigs.select(col("doc_id"), col("sig"),
       explode(lshBandKeys(col("sig"), bands, rows)).as("bucket"))
     val a = keyed.select(col("bucket"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
@@ -75,7 +111,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          (b: Column) => b)) / lit(16.0)).as("est_jaccard"))
+          (b: Column) => b)) / lit(numHashes.toDouble)).as("est_jaccard"))
       .distinct()
   }
 

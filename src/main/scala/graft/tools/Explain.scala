@@ -1,0 +1,18 @@
+// Scratch main for plan inspection: sbt "runMain graft.tools.Explain <query> <sfDir>"
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    spark.stop()
+  }
+}

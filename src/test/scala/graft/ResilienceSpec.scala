@@ -1,0 +1,97 @@
+package graft
+
+import graft.pipeline.{Checkpoints, Metrics, Skew}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.util.concurrent.atomic.AtomicInteger
+
+/**
+ * Resumability + skew-control + counters (the north rule's operational
+ * requirements): checkpointed stages skip recompute on restart; salted
+ * joins equal unsalted joins exactly; accumulators and stage metrics
+ * surface per-partition lineage.
+ */
+class ResilienceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("salted join result is identical to the plain join") {
+    val big = (1 to 1000).map(i =>
+      (i.toLong, if (i % 3 == 0) "hot" else s"k${i % 17}")).toDF("id", "key")
+    val small = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("key", "v")
+    val plain = big.join(small, Seq("key")).select("id", "key", "v")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Skew.saltedJoin(big, small, "key", salts = 8, saltSource = col("id"))
+      .select("id", "key", "v").collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("salted two-phase count equals plain groupBy count") {
+    val df = (1 to 5000).map(i => (i.toLong, if (i % 2 == 0) "hot" else s"k${i % 7}"))
+      .toDF("id", "key")
+    val plain = df.groupBy("key").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedCount(df, "key", salts = 16, saltSource = col("id"))
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("checkpointed pipeline resumes without recomputing committed stages") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val computeCalls = new AtomicInteger(0)
+    def pipelineRun(): Long = {
+      val cp = new Checkpoints(spark, dir)
+      val s1 = cp.runStage("stage1") {
+        computeCalls.incrementAndGet()
+        spark.range(100).withColumn("v", col("id") * 2)
+      }
+      val s2 = cp.runStage("stage2") {
+        computeCalls.incrementAndGet()
+        s1.filter(col("v") % 4 === 0)
+      }
+      s2.count()
+    }
+    val first = pipelineRun()
+    assert(computeCalls.get() == 2)
+    // "restart": a fresh Checkpoints over the same dir reloads snapshots
+    val second = pipelineRun()
+    assert(computeCalls.get() == 2, "committed stages must not recompute")
+    assert(first == second)
+    val cp = new Checkpoints(spark, dir)
+    assert(cp.committedStages() == Seq("stage1", "stage2"))
+    // manifest carries row count + per-partition lineage
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/stage1/_MANIFEST"))
+    assert(manifest.contains("\"rows\":100"))
+    assert(manifest.contains("\"lineage\""))
+  }
+
+  test("partial stage (no manifest) is recomputed on resume") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    val cp = new Checkpoints(spark, dir)
+    cp.runStage("s") { spark.range(10).toDF() }
+    // simulate a crash mid-write on a second stage: data written, no manifest
+    spark.range(5).toDF().write.parquet(s"$dir/broken")
+    assert(!cp.isCommitted("broken"))
+    var ran = false
+    val df = cp.runStage("broken") { ran = true; spark.range(7).toDF() }
+    assert(ran, "uncommitted stage must recompute")
+    assert(df.count() == 7)
+    assert(cp.isCommitted("broken"))
+  }
+
+  test("metrics: accumulators and per-stage records are captured") {
+    val m = new Metrics(spark)
+    try {
+      val parsed = m.counter("files_parsed")
+      val ds = spark.range(1000).as[Long].map { i => parsed.add(1); i * 2 }
+      assert(ds.reduce(_ + _) == 999000L)
+      assert(m.snapshot()("files_parsed") == 1000L)
+      val rep = m.report()
+      assert(rep.contains("\"files_parsed\":1000"))
+      assert(rep.contains("\"stages\""))
+    } finally m.close()
+  }
+}
