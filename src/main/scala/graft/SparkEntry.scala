@@ -391,6 +391,25 @@ object SparkEntry {
         .agg(agg(col("doc_id"), col("text")).as("abstracts"))
     }),
 
+    "q37_kg_ner_corpus" -> ((s, d) => {
+      // full ner-corpus chain (01->03) through NerCorpus.run: parse ->
+      // mentions -> alias-closure-resolved typing -> broadcast type
+      // names -> grouped annotated merge, sha256 invariant carried
+      import s.implicits._
+      val files = Tables.codeFiles(s, d).as[graft.core.CodeFile]
+      val docLangs = Seq("de", "en", "es", "fr", "zh")
+      val surfaceToEntity = dict.map { case (sf, e, _) => (sf, e) }.toMap
+      val entityTypes = (for {
+        (_, e, t) <- dict
+        lang <- docLangs
+      } yield (graft.functions.TextFunctions.nameToUri(e, lang),
+        s"http://graft.dev/ontology/$t")).toDF("subject", "object")
+      val typeNames = dict.map { case (_, _, t) =>
+        (s"http://graft.dev/ontology/$t", t)
+      }.distinct.toDF("typeUri", "typeName")
+      NerCorpus.run(files, surfaceToEntity, entityTypes, typeNames)
+    }),
+
     // ---- training-data ops ------------------------------------------
     "q40_dedup_exact" -> ((s, d) =>
       Tables.documents(s, d)
@@ -459,6 +478,23 @@ object SparkEntry {
         .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .filter(col("n_docs") > 1)),
+
+    "q50_dedup_simhash_pairs" -> ((s, d) => {
+      // SimHash near-dup candidates: codegen simhash64 expression +
+      // hamming distance via bit_count(xor) on adjacent-id pairs
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash64(col("text")).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+    }),
+
+    "q51_dedup_simhash" -> ((s, d) =>
+      // per-doc 60-bit SimHash (custom Catalyst expression)
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash64(col("text")).as("sh"))),
 
     "q49_media_meta" -> ((s, d) => {
       // multimodal plumbing: binary payloads -> typed metadata (stub
@@ -694,6 +730,27 @@ object SparkEntry {
         |FROM w WHERE 100000 - cum - greatest(r - 2, 0) > 0
         |GROUP BY lang""".stripMargin,
 
+    "q37_kg_ner_corpus" -> {
+      val wrapCase = dict.map { case (sf, _, t) =>
+        s"WHEN surface = '$sf' THEN '<START:$t> ' || surface || ' <END>'"
+      }.mkString(" ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, source, text, z[1] AS surface, CAST(z[2] AS BIGINT) AS i
+         |  FROM (SELECT doc_id, lang, source, text,
+         |          unnest(list_zip(toks, generate_series(1, length(toks)))) AS z
+         |        FROM (SELECT doc_id, lang, source, text,
+         |                string_split(text, ' ') AS toks FROM documents)))
+         |SELECT
+         | 'http://graft.dev/' || lang || '/entity/' ||
+         |   replace(source || '/doc/' || doc_id, '/', '%2F') AS uri,
+         | CAST((i - 1) // 10 + 1 AS INT) AS sentenceOrder,
+         | string_agg(CASE $wrapCase ELSE surface END, ' ' ORDER BY i) AS annotated,
+         | sha256(text) AS sha256
+         |FROM tok
+         |GROUP BY doc_id, lang, source, text, (i - 1) // 10
+         |HAVING sum(CASE WHEN surface IN ($dictInList) THEN 1 ELSE 0 END) > 0""".stripMargin
+    },
+
     "q40_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
@@ -796,5 +853,33 @@ object SparkEntry {
 
     "q49_media_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    "q51_dedup_simhash" ->
+      """WITH h AS (
+        | SELECT doc_id, ('0x' || substring(md5(w.word), 1, 15))::BIGINT AS h
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) w
+        | WHERE w.word <> ''),
+        |bits AS (
+        | SELECT doc_id, b, sum(((h >> b) & 1)::INT) AS cnt, count(*) AS total
+        | FROM h, range(0, 60) r(b) GROUP BY 1, 2)
+        |SELECT doc_id,
+        | CAST(sum(CASE WHEN 2*cnt > total THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "q50_dedup_simhash_pairs" ->
+      """WITH h AS (
+        | SELECT doc_id, ('0x' || substring(md5(w.word), 1, 15))::BIGINT AS h
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) w
+        | WHERE w.word <> ''),
+        |bits AS (
+        | SELECT doc_id, b, sum(((h >> b) & 1)::INT) AS cnt, count(*) AS total
+        | FROM h, range(0, 60) r(b) GROUP BY 1, 2),
+        |sh AS (
+        | SELECT doc_id,
+        |  CAST(sum(CASE WHEN 2*cnt > total THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
+        | FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin)
 }

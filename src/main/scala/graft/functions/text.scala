@@ -164,6 +164,58 @@ object TextFunctions {
   }
 
   /**
+   * Char-offset variant of the annotated merge — the exact contract of
+   * MergeAsOpenNLPAnnotatedText.java:105-162: tokenize the sentence,
+   * wrap maximal token runs fully covered by an annotation span
+   * [begin, end) with `<START:type> ... <END>`, single-space join, trim.
+   * Spans sorted; overlapping spans: first (by begin) wins, later ones
+   * starting inside a consumed run are dropped.
+   */
+  def mergeAnnotatedChars(text: String, spans: Seq[(Int, Int, String)]): String = {
+    // whitespace token positions
+    val toks = {
+      val out = Vector.newBuilder[(Int, Int)]
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        while (i < n && text.charAt(i).isWhitespace) i += 1
+        if (i < n) {
+          val b = i
+          while (i < n && !text.charAt(i).isWhitespace) i += 1
+          out += ((b, i))
+        }
+      }
+      out.result()
+    }
+    val sorted = spans.sortBy(s => (s._1, s._2))
+    val sb = new StringBuilder
+    var si = 0
+    var ti = 0
+    while (ti < toks.length) {
+      val (tb, te) = toks(ti)
+      while (si < sorted.length && sorted(si)._2 <= tb) si += 1
+      if (sb.nonEmpty) sb.append(' ')
+      if (si < sorted.length && tb >= sorted(si)._1 && te <= sorted(si)._2) {
+        val (b, e, tpe) = sorted(si)
+        if (tpe != null && tpe.nonEmpty) sb.append(s"<START:$tpe> ") else sb.append("<START> ")
+        var first = true
+        while (ti < toks.length && toks(ti)._1 >= b && toks(ti)._2 <= e) {
+          if (!first) sb.append(' ')
+          sb.append(text.substring(toks(ti)._1, toks(ti)._2))
+          first = false
+          ti += 1
+        }
+        sb.append(" <END>")
+        si += 1
+      } else {
+        sb.append(text.substring(tb, te))
+        ti += 1
+      }
+    }
+    sb.toString.trim
+  }
+
+  /**
    * OpenNLP-style annotated text merge (MergeAsOpenNLPAnnotatedText.java:105-162):
    * tokenize by single spaces (the corpus is single-space tokenized; the
    * reference used SimpleTokenizer), wrap token runs covered by a span

@@ -125,26 +125,40 @@ object Dedup {
   }
 
   /**
-   * 64-bit SimHash from word features (hash = first 16 hex chars of
-   * md5(word), majority vote per bit). Pure function for typed map use.
+   * 60-bit SimHash from word features: token hash = first 15 hex chars
+   * of md5(word) (60 bits — fits signed 64-bit in every engine), bit b
+   * of the result set iff strictly more than half the tokens have bit b
+   * set. Pure JVM function; exposed to Catalyst as the codegen
+   * expression graft.functions.SimHash64Expr and restated in SQL by the
+   * q51 oracle.
    */
+  val SimhashBits = 60
   def simhash64(text: String): Long = {
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](SimhashBits)
+    var n = 0
     text.split(" ").foreach { w =>
       if (w.nonEmpty) {
-        val h = java.lang.Long.parseUnsignedLong(
-          graft.functions.TextFunctions.sha256Hex(w).substring(0, 16), 16)
+        n += 1
+        val h = java.lang.Long.parseLong(md5Hex(w).substring(0, 15), 16)
         var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        while (b < SimhashBits) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1
           b += 1
         }
       }
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    while (b < SimhashBits) { if (2 * counts(b) > n) out |= (1L << b); b += 1 }
     out
+  }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
   }
 
   /** Hamming distance between two simhash values. */

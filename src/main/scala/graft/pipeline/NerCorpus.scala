@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import graft.core.{CodeFile, Mention}
+import graft.functions.TextFunctions
+import graft.io.NTriples
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * NER training-corpus pipeline — the examples/ner-corpus/01..03 chain
+ * re-realized:
+ *
+ *   01 extract_sentences_with_links  -> Mentions.extract (U1)
+ *   02 dbpedia_article_types         -> entity typing through redirect
+ *      resolution (left join + coalesce, J2+P5) and generic-type filter
+ *      (`type NEQ owl#Thing`, ner-corpus/02_…pig:34-35)
+ *   03 join_by_type_and_convert      -> mention⋈type shuffle join, 8-row
+ *      type-name dictionary broadcast (replicated join J3,
+ *      ner-corpus/03_…pig:22), group by (uri, sentenceOrder), annotated
+ *      merge (U2) with deterministic in-group ordering
+ *
+ * Per the north rule, redirect resolution uses the transitive closure
+ * (strictly more recall than the reference's single hop, SURVEY §2.10.2).
+ */
+object NerCorpus {
+
+  /** Load a uri-uri NT file through the Spark text source (S4 analog:
+    * predicate filter + namespace strip happen in the flatMap parser;
+    * Catalyst prunes/pushes around it). */
+  def readUriUriNt(spark: SparkSession, path: String, predicateFilter: String = "",
+      subjNs: String = "", objNs: String = ""): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .flatMap(l => NTriples.parseUriUri(l, predicateFilter, subjNs, objNs))
+      .toDF("subject", "object")
+  }
+
+  /** Load a uri-literal NT file (S5 analog). */
+  def readUriLiteralNt(spark: SparkSession, path: String, predicateFilter: String = "",
+      subjNs: String = ""): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .flatMap(l => NTriples.parseUriLiteral(l, predicateFilter, subjNs))
+      .toDF("subject", "object", "lang")
+  }
+
+  /**
+   * Stage 02: per-entity type, with the entity uri canonicalized through
+   * the alias closure. `entityTypes(subject, object)` rows with a
+   * generic type are dropped (the owl#Thing filter).
+   */
+  def typedEntities(entityTypes: DataFrame, aliasEdges: DataFrame,
+      genericType: String = "http://www.w3.org/2002/07/owl#Thing"): DataFrame = {
+    val canon = Redirects.transitiveClosure(aliasEdges)
+    entityTypes
+      .filter(col("object") =!= genericType)
+      .join(canon.withColumnRenamed("src", "subject"), Seq("subject"), "left_outer")
+      .select(coalesce(col("root"), col("subject")).as("entity"),
+        col("object").as("typeUri"))
+      .distinct()
+  }
+
+  /**
+   * Stage 03: mentions joined with typed entities (shuffle join on the
+   * mention target), type names broadcast (replicated join), grouped by
+   * (uri, sentenceOrder) with deterministic ordering, merged into
+   * `<START:typeName> … <END>` annotated sentences.
+   */
+  def annotatedCorpus(mentions: Dataset[Mention], typed: DataFrame,
+      typeNames: DataFrame): DataFrame = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    val m = mentions.toDF()
+    val joined = m
+      .join(typed.withColumnRenamed("entity", "target"), Seq("target"))
+      .join(broadcast(typeNames), Seq("typeUri"))
+      .select(col("uri"), col("sentenceOrder"), col("sentence"),
+        col("begin"), col("end"), col("typeName"), col("sha256"))
+    joined
+      .groupBy(col("uri"), col("sentenceOrder"))
+      .agg(
+        first(col("sentence")).as("sentence"),
+        first(col("sha256")).as("sha256"),
+        // deterministic in-group order (SURVEY §2.10.4): sort by begin
+        array_sort(collect_list(struct(col("begin"), col("end"), col("typeName"))))
+          .as("spans"))
+      .as[(String, Int, String, String, Seq[(Int, Int, String)])]
+      .map { case (uri, order, sentence, sha, spans) =>
+        (uri, order, TextFunctions.mergeAnnotatedChars(sentence, spans), sha)
+      }
+      .toDF("uri", "sentenceOrder", "annotated", "sha256")
+  }
+
+  /** Full chain over a corpus + NT-file side inputs. */
+  def run(files: Dataset[CodeFile], dictionary: Map[String, String],
+      entityTypes: DataFrame, typeNames: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val mentions = Mentions.extract(files, dictionary)
+    val aliases = Mentions.aliasEdges(files, dictionary).toDF("src", "dst")
+    val typed = typedEntities(entityTypes, aliases)
+    annotatedCorpus(mentions, typed, typeNames)
+  }
+}

@@ -42,8 +42,18 @@ object TopicGraph {
    * node reachable DOWN from `roots` within `maxDepth` hops, path =
    * '/'-joined root..node, loops removed by NoLoopInPath semantics
    * (last element vs prefix).
+   *
+   * SCALE WARNING: path accumulation enumerates every distinct simple
+   * path — on a sparse taxonomy (the reference's SKOS input) that is
+   * ~|V|, but on a dense graph it is combinatorial (measured: 30-node
+   * dense co-occurrence graph, depth 5 -> 195k paths). For dense inputs
+   * set `dedupFrontier = true`: the frontier dedups per (node, root)
+   * keeping the lexicographically-first path, bounding each level at
+   * |V|x|roots| rows (the reference itself dedups its frontier,
+   * topic-corpus/03_…pig:26,35).
    */
-  def groundedAncestry(edges: DataFrame, roots: DataFrame, maxDepth: Int = 5): DataFrame = {
+  def groundedAncestry(edges: DataFrame, roots: DataFrame, maxDepth: Int = 5,
+      dedupFrontier: Boolean = false): DataFrame = {
     // edges: (src=narrower/child, dst=broader/parent); walk parent->child
     val down = edges.select(col("dst").as("parent"), col("src").as("child"))
       .distinct().localCheckpoint(true)
@@ -55,7 +65,7 @@ object TopicGraph {
     var acc = frontier
     var depth = 0
     while (depth < maxDepth) {
-      val next = frontier.as("f")
+      val stepped = frontier.as("f")
         .join(down.as("e"), col("f.node") === col("e.parent"), "inner")
         .select(
           col("e.child").as("node"),
@@ -67,7 +77,12 @@ object TopicGraph {
         .filter(!array_contains(
           slice(split(col("path"), "/"), lit(1), size(split(col("path"), "/")) - 1),
           element_at(split(col("path"), "/"), -1)))
-        .localCheckpoint(true)
+      val next = (if (dedupFrontier) {
+        // keep one (lexicographically-first) path per (node, root)
+        stepped.groupBy(col("node"), col("root"), col("depth"))
+          .agg(min(col("path")).as("path"))
+          .select(col("node"), col("root"), col("depth"), col("path"))
+      } else stepped).localCheckpoint(true)
       acc = acc.unionByName(next)
       frontier = next
       depth += 1

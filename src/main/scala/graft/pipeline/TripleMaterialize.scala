@@ -1,6 +1,5 @@
 package graft.pipeline
 
-import graft.io.NTriples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,29 +14,33 @@ import org.apache.spark.sql.functions._
  */
 object TripleMaterialize {
 
-  /** (s,o) rows -> NT lines; null rows skipped (storer :40-50). */
+  import graft.functions.GraftFunctions.nt_escape
+  import graft.functions.TextFunctions
+
+  /** (s,o) rows -> NT lines; null rows skipped (storer :40-50).
+    * Pure-Column formatting: the escape runs as the codegen'd
+    * NtEscapeExpr inside WholeStageCodegen (no typed-map encoder
+    * round-trip); the constant predicate is escaped at plan build. */
   def uriUriLines(df: DataFrame, pred: String,
-      subjNs: String = "", objNs: String = ""): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+      subjNs: String = "", objNs: String = ""): DataFrame =
     df.na.drop(Seq("subj", "obj"))
-      .select(col("subj").cast("string"), col("obj").cast("string"))
-      .as[(String, String)]
-      .map { case (s, o) => NTriples.formatUriUri(s, o, pred, subjNs, objNs) }
-      .toDF("line")
-  }
+      .select(concat(
+        lit("<"), nt_escape(concat(lit(subjNs), col("subj").cast("string"))),
+        lit(s"> <${TextFunctions.ntEscape(pred)}> <"),
+        nt_escape(concat(lit(objNs), col("obj").cast("string"))),
+        lit("> .")).as("line"))
 
   /** (s, lit, lang) rows -> NT literal lines. */
-  def uriLiteralLines(df: DataFrame, pred: String, subjNs: String = ""): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  def uriLiteralLines(df: DataFrame, pred: String, subjNs: String = ""): DataFrame =
     df.na.drop(Seq("subj", "obj"))
-      .select(col("subj").cast("string"), col("obj").cast("string"),
-        coalesce(col("lang"), lit("")).cast("string"))
-      .as[(String, String, String)]
-      .map { case (s, o, l) => NTriples.formatUriLiteral(s, o, l, pred, subjNs) }
-      .toDF("line")
-  }
+      .select(concat(
+        lit("<"), nt_escape(concat(lit(subjNs), col("subj").cast("string"))),
+        lit(s"> <${TextFunctions.ntEscape(pred)}> \""),
+        nt_escape(col("obj").cast("string")),
+        lit("\""),
+        when(coalesce(col("lang"), lit("")) === "", lit(""))
+          .otherwise(concat(lit("@"), col("lang"))),
+        lit(" .")).as("line"))
 
   /** Partitioned triple write (parquet here; Iceberg on a cluster). */
   def write(triples: DataFrame, outDir: String): Unit =
