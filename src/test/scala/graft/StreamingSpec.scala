@@ -12,6 +12,33 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
 
+  test("stateful sessionization matches the batch window formulation") {
+    val sfDir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    // batch truth from the q16 formulation
+    val batch = SparkEntry.queries("q16_sessionize")(spark, sfDir)
+    // closed sessions only: flatMapGroupsWithState emits a session when
+    // the NEXT one opens, so each user's final session stays in state
+    val lastPerUser = batch.groupBy("user_id")
+      .agg(max(col("session_id")).as("last_id"))
+    val closedBatch = batch.join(lastPerUser, Seq("user_id"))
+      .filter(col("session_id") < col("last_id"))
+      .select("user_id", "session_id", "n_events", "session_start", "session_end")
+      .collect().map(_.toString).sorted.toSeq
+
+    val q = EventStream.sessionize(EventStream.readEventStream(spark, sfDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_out")
+        .select("user_id", "session_id", "n_events", "session_start", "session_end")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == closedBatch)
+    } finally q.stop()
+  }
+
   test("streaming windowed counts equal batch result") {
     val sfDir = "/root/testdata/sf0.001"
     val batch = EventStream.windowedCounts(
