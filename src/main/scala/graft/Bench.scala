@@ -25,19 +25,11 @@ object Bench {
   def extractTriples(spark: SparkSession, corpusDir: String): Long = {
     import spark.implicits._
     val files = spark.read.parquet(corpusDir).as[CodeFile]
-    val dict = CorpusGen.dictionary
-    val mentions = Mentions.extract(files, dict)
-    val edges = Mentions.aliasEdges(files, dict).toDF("src", "dst")
-    val canon = Redirects.transitiveClosure(edges)
-    // mention target resolved through the alias closure (left join +
-    // coalesce), then distinct (s,o) pairs formatted as NT lines
-    val resolved = mentions.toDF()
-      .join(canon.withColumnRenamed("src", "target"), Seq("target"), "left_outer")
-      .select(col("uri").as("subj"),
-        coalesce(col("root"), col("target")).as("obj"))
-      .distinct()
-    resolved.select(concat(lit("<"), col("subj"),
-      lit("> <http://graft.dev/ontology#mentions> <"), col("obj"), lit("> .")).as("line"))
+    // parse -> mentions -> alias closure -> resolved distinct (s,o),
+    // formatted as NT lines (graft.pipeline.Triples)
+    graft.pipeline.Triples.mentionTriples(files, CorpusGen.dictionary)
+      .select(concat(lit("<"), col("subj"),
+        lit("> <http://graft.dev/ontology#mentions> <"), col("obj"), lit("> .")).as("line"))
       .count()
   }
 

@@ -479,6 +479,22 @@ object SparkEntry {
           col("rank"))
     }),
 
+    "q53_emb_neardup" -> ((s, d) => {
+      // embedding-cosine near-duplicate pairs: LSH sign-bucket join +
+      // threshold (the embedding analog of minhash near-dup); the
+      // synthetic embeddings are random, so the demo threshold is low
+      val b = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        Similarity.signBucket(col("embedding"), 8).as("bucket"))
+      val a1 = b.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val a2 = b.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+      a1.join(a2, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Similarity.cosine(col("ea"), col("eb")).as("cos"))
+        .filter(col("cos") >= 0.25)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    }),
+
     "q52_sim_ivf" -> ((s, d) => {
       // IVF-style ANN: coarse cells = nearest of a fixed centroid set
       // (deterministic seeds), probes search only their own cell — the
@@ -903,6 +919,17 @@ object SparkEntry {
         |             c.vec_id ASC) AS rank
         | FROM b p JOIN b c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
         | WHERE p.vec_id % 50 = 0) WHERE rank <= 5""".stripMargin,
+
+    "q53_emb_neardup" ->
+      """WITH b AS (
+        | SELECT vec_id, embedding,
+        |  array_to_string(list_transform(embedding[1:8],
+        |    v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        | FROM embeddings)
+        |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos
+        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.25""".stripMargin,
 
     "q52_sim_ivf" ->
       """WITH cents AS (

@@ -155,6 +155,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(lines == Set("<http://s/A> <http://p> <http://o/B> ."))
   }
 
+  test("triple P/R vs the golden oracle is >= 0.95 (north-rule criterion)") {
+    import graft.functions.TextFunctions
+    val corpus = CorpusGen.generate(1024)
+    val files = spark.createDataset(corpus.map(_.file))
+    val got = Triples.mentionTriples(files, CorpusGen.dictionary)
+    // golden triples straight from the planted ground truth
+    val want = corpus.filter(_.aliasTarget.isEmpty).flatMap { g =>
+      g.mentions.map { m =>
+        (TextFunctions.nameToUri(s"${g.file.repo}/${g.file.path}", g.file.lang),
+          TextFunctions.nameToUri(m.label, g.file.lang))
+      }
+    }.distinct.toDF("subj", "obj")
+    val (p, r) = Triples.precisionRecall(got, want)
+    // (recall can dip slightly below 1.0: a mention straddling a
+    // sentence-window boundary is not sentence-contained, matching the
+    // reference's containment semantics)
+    assert(p >= 0.95, s"precision $p")
+    assert(r >= 0.95, s"recall $r")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
