@@ -483,14 +483,20 @@ object SparkEntry {
       // embedding-cosine near-duplicate pairs: LSH sign-bucket join +
       // threshold (the embedding analog of minhash near-dup); the
       // synthetic embeddings are random, so the demo threshold is low
+      // norms precomputed per side, not per pair
       val b = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"),
         Similarity.signBucket(col("embedding"), 8).as("bucket"))
-      val a1 = b.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("ea"))
-      val a2 = b.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+      val a1 = b.select(col("bucket"), col("vec_id").as("id_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val a2 = b.select(col("bucket"), col("vec_id").as("id_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
       a1.join(a2, Seq("bucket"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          Similarity.cosine(col("ea"), col("eb")).as("cos"))
+          when(col("na") * col("nb") === 0, lit(0.0))
+            .otherwise(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+            .as("cos"))
         .filter(col("cos") >= 0.25)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
     }),
@@ -515,15 +521,19 @@ object SparkEntry {
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
       val probes = assign.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"), col("cell"))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          Similarity.norm(col("embedding")).as("pn"), col("cell"))
       val cands = assign
-        .select(col("vec_id").as("cand_id"), col("embedding").as("cvv"), col("cell"))
+        .select(col("vec_id").as("cand_id"), col("embedding").as("cvv"),
+          Similarity.norm(col("embedding")).as("cn"), col("cell"))
       val wTop = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos").desc, col("cand_id").asc)
       probes.join(cands, Seq("cell"))
         .filter(col("probe_id") =!= col("cand_id"))
         .select(col("probe_id"), col("cand_id"),
-          Similarity.cosine(col("pv"), col("cvv")).as("cos"))
+          when(col("pn") * col("cn") === 0, lit(0.0))
+            .otherwise(Similarity.dot(col("pv"), col("cvv")) / (col("pn") * col("cn")))
+            .as("cos"))
         .withColumn("rank", row_number().over(wTop))
         .filter(col("rank") <= 5)
         .select(col("probe_id"), col("cand_id"), round(col("cos"), 4).as("cos"), col("rank"))

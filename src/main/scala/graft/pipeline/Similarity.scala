@@ -37,13 +37,20 @@ object Similarity {
    * probes are the large side; here probes are few, so broadcast probes
    * and stream the corpus — one pass, no shuffle except the final
    * per-probe top-k aggregation).
+   *
+   * Norms are precomputed per SIDE before the pair join — `cosine(a,b)`
+   * inline would recompute both norms once per PAIR (|P|x|C| times
+   * instead of |P|+|C|), tripling the vector math in the hot loop.
    */
   def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv")))
-    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val p = broadcast(probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pv"), norm(col("embedding")).as("pn")))
+    val c = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), norm(col("embedding")).as("cn"))
     val scored = c.join(p, col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
-        cosine(col("pv"), col("cv")).as("cos"))
+        when(col("pn") * col("cn") === 0, lit(0.0))
+          .otherwise(dot(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("cos"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -66,12 +73,16 @@ object Similarity {
    */
   def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8): DataFrame = {
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+      norm(col("embedding")).as("pn"),
       signBucket(col("embedding"), bits).as("bucket"))
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"),
       signBucket(col("embedding"), bits).as("bucket"))
     val scored = p.join(c, Seq("bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
-      .select(col("probe_id"), col("cand_id"), cosine(col("pv"), col("cv")).as("cos"))
+      .select(col("probe_id"), col("cand_id"),
+        when(col("pn") * col("cn") === 0, lit(0.0))
+          .otherwise(dot(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("cos"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))
