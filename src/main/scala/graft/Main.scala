@@ -52,18 +52,23 @@ object Main {
       val ds = files.as[CodeFile]
       ds.map { f => parsedCounter.add(1); f } // counted once per stage run
     }
+    // parse ONCE for both the mention and alias stages (persisted; on a
+    // cluster this would itself be a snapshot stage)
+    lazy val parsed = Mentions.parseAll(typedFiles, dict)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var mentions: DataFrame = null
     if (stages("mentions")) {
       mentions = cp.runStage("01_mentions") {
-        Mentions.extract(typedFiles, dict).toDF()
+        parsed.flatMap(p => graft.parse.Segmenter.sentencesWithMentions(p)).toDF()
       }
       println(s"[graft] mentions: ${mentions.count()}")
     }
     var aliases: DataFrame = null
     if (stages("aliases")) {
       aliases = cp.runStage("02_aliases") {
-        Mentions.aliasEdges(typedFiles, dict).toDF("src", "dst")
+        parsed.filter(_.aliasTarget.isDefined)
+          .map(p => (p.uri, p.aliasTarget.get)).toDF("src", "dst")
       }
       println(s"[graft] alias edges: ${aliases.count()}")
     }

@@ -91,13 +91,17 @@ object NerCorpus {
       .toDF("uri", "sentenceOrder", "annotated", "sha256")
   }
 
-  /** Full chain over a corpus + NT-file side inputs. */
+  /** Full chain over a corpus + NT-file side inputs. Parses once: both
+    * the mention and alias branches reuse the persisted parse. */
   def run(files: Dataset[CodeFile], dictionary: Map[String, String],
       entityTypes: DataFrame, typeNames: DataFrame): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
-    val mentions = Mentions.extract(files, dictionary)
-    val aliases = Mentions.aliasEdges(files, dictionary).toDF("src", "dst")
+    val parsed = Mentions.parseAll(files, dictionary)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mentions = parsed.flatMap(p => graft.parse.Segmenter.sentencesWithMentions(p))
+    val aliases = parsed.filter(_.aliasTarget.isDefined)
+      .map(p => (p.uri, p.aliasTarget.get)).toDF("src", "dst")
     val typed = typedEntities(entityTypes, aliases)
     annotatedCorpus(mentions, typed, typeNames)
   }

@@ -12,14 +12,24 @@ import org.apache.spark.sql.functions._
 object Triples {
 
   def mentionTriples(files: Dataset[CodeFile], dict: Map[String, String]): DataFrame = {
-    val mentions = Mentions.extract(files, dict)
-    val edges = Mentions.aliasEdges(files, dict).toDF("src", "dst")
+    val spark = files.sparkSession
+    import spark.implicits._
+    // parse ONCE: mentions and alias edges both branch off the persisted
+    // parse (without it, each branch re-runs the full parse — the
+    // single most expensive stage). On a cluster this persist is the
+    // 01_parse snapshot stage (see graft.Main).
+    val parsed = Mentions.parseAll(files, dict)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mentions = parsed.flatMap(p => graft.parse.Segmenter.sentencesWithMentions(p))
+    val edges = parsed.filter(_.aliasTarget.isDefined)
+      .map(p => (p.uri, p.aliasTarget.get)).toDF("src", "dst")
     val canon = Redirects.transitiveClosure(edges)
-    mentions.toDF()
+    val out = mentions.toDF()
       .join(canon.withColumnRenamed("src", "target"), Seq("target"), "left_outer")
       .select(col("uri").as("subj"),
         coalesce(col("root"), col("target")).as("obj"))
       .distinct()
+    out
   }
 
   /** Precision/recall of a got-vs-want triple set (the north rule's

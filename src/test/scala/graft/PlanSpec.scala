@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan regression guards: the properties that make these
+ * queries survive a 100x scale-up (pushdown, pruning, broadcast,
+ * partition pruning) asserted against the actual executed plans.
+ */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q02 filter is pushed into the parquet scan") {
+    val p = plan("q02_filter_project")
+    // (plan toString truncates the list; assert the prefix)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_discount), " +
+      "GreaterThan(l_quantity,45.0)"), p)
+  }
+
+  test("q02 scan reads only the referenced columns (pruning)") {
+    val p = plan("q02_filter_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_shipdate") && !read.contains("l_returnflag"), read)
+  }
+
+  test("q05 dimension joins are broadcast, not shuffled") {
+    val p = plan("q05_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q22 mention counts: dictionary join is broadcast; one shuffle total") {
+    val df = SparkEntry.queries("q22_kg_mention_counts")(spark, sfDir)
+    df.collect() // finalize AQE
+    val full = df.queryExecution.executedPlan.toString
+    // AQE prints Final and Initial plans; measure the Final one only
+    val p = full.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p)
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+    assert(exchanges <= 1, s"expected <=1 shuffle, got $exchanges:\n$p")
+  }
+
+  test("partitioned triple write enables partition pruning on read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val triples = Seq(
+      ("s1", "p", "o1", "scala"), ("s2", "p", "o2", "java"))
+      .toDF("subj", "pred", "obj", "lang")
+    graft.pipeline.TripleMaterialize.write(triples, dir)
+    val read = spark.read.parquet(dir).filter(col("lang") === "scala")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), p)
+    assert(read.count() == 1)
+  }
+
+  test("brute-force ANN computes norms per side, not per pair") {
+    val df = SparkEntry.queries("q43_sim_topk")(spark, sfDir)
+    // norms appear in the per-side projections below the join, so the
+    // join itself only divides — count SQRT occurrences above the join
+    val p = df.queryExecution.optimizedPlan.toString
+    val joinIdx = p.indexOf("Join")
+    val aboveJoin = p.substring(0, math.max(joinIdx, 0))
+    assert(!aboveJoin.contains("SQRT"), s"norm computed above the join:\n$aboveJoin")
+  }
+}
