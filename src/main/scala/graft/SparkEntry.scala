@@ -422,6 +422,23 @@ object SparkEntry {
         .agg(agg(col("doc_id"), col("text")).as("abstracts"))
     }),
 
+    "q38_kg_grounding" -> ((s, d) => {
+      // topic grounding with the null-marker projection (P6) + zero-fill
+      // (topic-corpus/02 shape): per entity, how many docs mention it and
+      // whether any mentioning doc passes the quality gate
+      val m = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("surface"),
+          (size(toks) >= 30).cast("int").as("quality"))
+        .filter(isDictSurface(col("surface")))
+        .groupBy(col("surface"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          max(when(col("quality") === 1, lit(1))).as("q_marker")) // null if none
+      broadcast(dictDf(s)).join(m, Seq("surface"), "left_outer")
+        .select(col("entity"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("q_marker"), lit(0)).as("has_quality_doc"))
+    }),
+
     "q37_kg_ner_corpus" -> ((s, d) => {
       // full ner-corpus chain (01->03) through NerCorpus.run: parse ->
       // mentions -> alias-closure-resolved typing -> broadcast type
@@ -842,6 +859,23 @@ object SparkEntry {
         |SELECT lang, string_agg(t, ' ' ORDER BY r) AS abstracts
         |FROM w WHERE 100000 - cum - greatest(r - 2, 0) > 0
         |GROUP BY lang""".stripMargin,
+
+    "q38_kg_grounding" ->
+      s"""WITH $tokenPosSql,
+         |docq AS (
+         |  SELECT doc_id, CAST(length(string_split(text, ' ')) >= 30 AS INT) AS quality
+         |  FROM documents),
+         |m AS (
+         |  SELECT surface, count(DISTINCT tok.doc_id) AS n_docs,
+         |   max(CASE WHEN quality = 1 THEN 1 END) AS q_marker
+         |  FROM tok JOIN docq ON tok.doc_id = docq.doc_id
+         |  WHERE surface IN ($dictInList)
+         |  GROUP BY surface)
+         |SELECT dict.entity,
+         | coalesce(m.n_docs, 0) AS n_docs,
+         | coalesce(m.q_marker, 0) AS has_quality_doc
+         |FROM (VALUES $dictSqlValues) dict(surface, entity, etype)
+         |LEFT JOIN m ON dict.surface = m.surface""".stripMargin,
 
     "q37_kg_ner_corpus" -> {
       val wrapCase = dict.map { case (sf, _, t) =>

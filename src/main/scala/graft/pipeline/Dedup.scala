@@ -27,12 +27,20 @@ object Dedup {
       .filter(col("n_dups") > 1)
 
   /** Word n-gram shingles of a text column, as an array column.
-    * Texts shorter than n tokens yield a single whole-text shingle
-    * (guards `sequence`, which would otherwise run descending). */
+    * Built from n-1 zip_with passes over shifted slices (n slices of
+    * the token array total) — the per-shingle `slice + array_join`
+    * formulation costs one array copy PER SHINGLE and measured ~2x
+    * slower on the shingle stage. Texts shorter than n tokens yield a
+    * single whole-text shingle. */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
-    transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    val m = size(toks)
+    val len = greatest(m - (n - 1), lit(0))
+    var acc = slice(toks, lit(1), len)
+    for (k <- 1 until n)
+      acc = zip_with(acc, slice(toks, lit(k + 1), len),
+        (a, b) => concat(a, lit(" "), b))
+    when(m < n, array(array_join(toks, " "))).otherwise(acc)
   }
 
   /**
@@ -98,11 +106,13 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, shingleWords: Int = 3,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
-    // materialize once: both sides of the bucket self-join reuse the
-    // signatures instead of recomputing every digest (2x cost saved);
-    // on a cluster this is the natural stage-checkpoint boundary
+    // NOTE deliberately NOT checkpointed: with the zip_with shingle
+    // builder the signature stage costs ~0.6s at sf0.1 while an eager
+    // localCheckpoint costs ~2.2s to materialize — recomputing the
+    // lineage on the join's second side is the cheaper plan here. On a
+    // cluster at corpus scale, write signatures to a snapshot table
+    // instead (Checkpoints.runStage) and join from that.
     val sigs = minhashSignatures(docs, shingleWords, numHashes)
-      .localCheckpoint(true)
     val keyed = sigs.select(col("doc_id"), col("sig"),
       explode(lshBandKeys(col("sig"), bands, rows)).as("bucket"))
     val a = keyed.select(col("bucket"), col("doc_id").as("id_a"), col("sig").as("sig_a"))

@@ -61,6 +61,40 @@ object Multimodal {
       }
   }
 
+  /**
+   * STUB feature extractor: a deterministic 16-dim float vector from
+   * byte histograms (a real implementation would run the image/audio
+   * model here). The batch shape is the real contract: one vector per
+   * payload, `array<float>` column directly consumable by the
+   * Similarity ANN operators.
+   */
+  def featureStub(bytes: Array[Byte]): Array[Float] = {
+    val v = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length) {
+      v(bytes(i) & 0x0f) += 1f
+      i += 1
+    }
+    val n = math.max(bytes.length, 1).toFloat
+    var j = 0
+    while (j < 16) { v(j) /= n; j += 1 }
+    v
+  }
+
+  /** media(media_id, payload) -> (vec_id, embedding) feature relation —
+    * partition-parallel batch decode+featurize, ANN-ready. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // model/codec context would be initialized once per partition
+        it.map { case (id, bytes) => (id, featureStub(bytes)) }
+      }
+      .toDF("vec_id", "embedding")
+  }
+
   /** Documents table viewed as a binary media relation (UTF-8 payloads). */
   def documentsAsMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").as("media_id"),
