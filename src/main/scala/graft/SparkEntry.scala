@@ -604,6 +604,16 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"),
         graft.functions.GraftFunctions.simhash64(col("text")).as("sh"))),
 
+    "q55_vocab_stats" -> ((s, d) =>
+      // corpus vocabulary statistics: exact distinct counting (the HLL
+      // approx variant is the scale path; equivalence-within-tolerance
+      // is asserted in PipelineSpec)
+      Tables.documents(s, d)
+        .select(col("lang"), explode(toks).as("tok"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("tok")).as("n_vocab"),
+          count(lit(1)).as("n_tokens"))),
+
     "q49_media_meta" -> ((s, d) => {
       // multimodal plumbing: binary payloads -> typed metadata (stub
       // decode); only the SQL-reproducible columns are oracle-checked
@@ -1031,6 +1041,11 @@ object SparkEntry {
     "q49_media_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
         |FROM documents""".stripMargin,
+
+    "q55_vocab_stats" ->
+      """SELECT lang, count(DISTINCT tok) AS n_vocab, count(*) AS n_tokens
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY lang""".stripMargin,
 
     "q51_dedup_simhash" ->
       """WITH h AS (

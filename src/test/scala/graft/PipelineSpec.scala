@@ -175,6 +175,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(r >= 0.95, s"recall $r")
   }
 
+  test("HLL approx distinct stays within 5% of exact (scale path of q55)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val both = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("exact"),
+        approx_count_distinct(col("tok"), 0.02).as("approx"))
+      .collect().head
+    val (exact, approx) = (both.getLong(0), both.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"exact=$exact approx=$approx")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -60,6 +60,34 @@ class PlanSpec extends AnyFunSuite {
     assert(read.count() == 1)
   }
 
+  test("bucketed tables join without a shuffle (merge-join intent, J4)") {
+    // the reference pre-sorted outputs to enable merge joins
+    // (ner-corpus/01:31-32); bucketed tables are the Spark realization:
+    // co-located storage-partitioned joins, zero Exchange
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS b_left")
+    spark.sql("DROP TABLE IF EXISTS b_right")
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_left")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_right")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("b_left").join(spark.table("b_right"),
+        col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join should not shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("brute-force ANN computes norms per side, not per pair") {
     val df = SparkEntry.queries("q43_sim_topk")(spark, sfDir)
     // norms appear in the per-side projections below the join, so the

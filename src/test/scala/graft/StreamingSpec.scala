@@ -39,6 +39,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental KG: mention extraction runs unchanged on a stream") {
+    // the SAME typed flatMap pipeline (parse -> segment -> mentions)
+    // over readStream — incremental KG maintenance with zero code change
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    def toFiles(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("source").as("repo"),
+      concat(lit("doc/"), col("doc_id")).as("path"),
+      md5(col("text")).as("commit"),
+      col("lang"),
+      col("text").as("content")).as[graft.core.CodeFile]
+    val dict = SparkEntry.dict.map { case (sf, e, _) => (sf, e) }.toMap
+
+    val batch = graft.pipeline.Mentions.extract(
+      toFiles(spark.read.parquet(s"$sfDir/documents.parquet")), dict)
+      .toDF().collect().map(_.toString).sorted.toSeq
+
+    val stream = graft.pipeline.Mentions.extract(
+      toFiles(spark.readStream.schema(schema).parquet(dir.toString)), dict)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("mentions_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("mentions_out").collect().map(_.toString).sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming windowed counts equal batch result") {
     val sfDir = "/root/testdata/sf0.001"
     val batch = EventStream.windowedCounts(
