@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // NOTE: keep the heap moderate. A 32g heap on this VM triggered
+  // kernel page-zeroing churn (sys-time storms, 32-thread runs 4-10x
+  // slower); 10g comfortably fits the bench corpus persist + queries.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "10g")}",
 )

@@ -98,13 +98,16 @@ object SparkEntry {
   // Flagship: end-to-end triple extraction on the corpus (entry point)
   // =================================================================
   def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"
-    // mentions -> (doc uri, pred, entity uri) triples, alias-resolved
-    val mentions = kgMentionCounts(spark, sfDir)
-    mentions.select(
-      concat(lit("http://graft.dev/doc/"), col("doc_id")).as("subj"),
-      lit("http://graft.dev/ontology#mentions").as("pred"),
-      col("uri").as("obj"))
+    // the full extraction pipeline: parse -> mentions -> alias closure ->
+    // resolved distinct (subj, pred, obj) triples
+    val files = Tables.codeFiles(spark, sfDir).as[graft.core.CodeFile]
+    val surfaceToEntity = dict.map { case (sf, e, _) => (sf, e) }.toMap
+    Triples.mentionTriples(files, surfaceToEntity)
+      .select(col("subj"),
+        lit("http://graft.dev/ontology#mentions").as("pred"),
+        col("obj"))
   }
 
   // =================================================================

@@ -67,6 +67,19 @@ class PlanSpec extends AnyFunSuite {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS b_left")
     spark.sql("DROP TABLE IF EXISTS b_right")
+    // each JVM gets a fresh in-memory metastore but the warehouse dir
+    // persists on disk — remove stale physical locations too
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("b_left", "b_right").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(d)
+      }
+    }
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
