@@ -266,6 +266,15 @@ object SparkEntry {
           round(sum(col("l_extendedprice")).over(w), 2).as("running_revenue"))
     }),
 
+    "q15_rollup" -> ((s, d) =>
+      // hierarchical subtotals (grouping-sets family; absent in the
+      // reference, standard in the engine): per (flag, status), per
+      // flag, and grand total in one pass
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))),
+
     "q16_sessionize" -> ((s, d) => {
       // gap-based sessionization (30-min inactivity): lag + running sum
       // of session starts — the batch twin of the stateful streaming
@@ -707,6 +716,11 @@ object SparkEntry {
         |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
         |FROM lineitem""".stripMargin,
+
+    "q15_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q16_sessionize" ->
       """WITH marked AS (
