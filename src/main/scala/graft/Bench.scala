@@ -2,8 +2,8 @@ package graft
 
 import graft.core.CodeFile
 import graft.fixtures.CorpusGen
-import graft.pipeline.{Mentions, Redirects}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /**

@@ -238,7 +238,6 @@ object SparkEntry {
 
     "q11_orderby_topk" -> ((s, d) => {
       // total order (O1) with deterministic tiebreak, materialized as rank
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       Tables.orders(s, d)
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
         .withColumn("rank", row_number().over(

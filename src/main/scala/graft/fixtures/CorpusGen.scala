@@ -108,6 +108,8 @@ object CorpusGen {
               val word =
                 if (r < 0.04 * (if (l == 0 && t == 3) 8 else 1) && rnd.nextDouble() < 0.3)
                   popularSurface
+                else if (r < 0.05 && t < nToks - 1)
+                  "spark engine" // the multi-word surface (greedy match)
                 else if (r < 0.08) {
                   val keys = dictionary.keysIterator.filterNot(_.contains(' ')).toVector.sorted
                   keys(rnd.nextInt(keys.length))

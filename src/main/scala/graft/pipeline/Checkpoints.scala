@@ -58,20 +58,8 @@ final class Checkpoints(spark: SparkSession, baseDir: String) {
 
   /** Names of committed stages (resume inspection). */
   def committedStages(): Seq[String] = {
-    val base = Paths.get(baseDir)
-    if (!Files.exists(base)) Seq.empty
-    else {
-      val s = Files.list(base)
-      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-        .asScala().toSeq.map(_.getFileName.toString).filter(isCommitted).sorted
-      finally s.close()
-    }
-  }
-
-  private implicit class IterOps[A](it: java.util.Iterator[A]) {
-    def asScala(): Iterator[A] = new Iterator[A] {
-      def hasNext: Boolean = it.hasNext
-      def next(): A = it.next()
-    }
+    val base = new java.io.File(baseDir)
+    if (!base.isDirectory) Seq.empty
+    else base.listFiles().toSeq.map(_.getName).filter(isCommitted).sorted
   }
 }

@@ -113,15 +113,13 @@ class CodeParserSpec extends AnyFunSuite {
     corpus.foreach { g =>
       val p = CodeParser.parse(g.file, dict)
       val ms = Segmenter.sentencesWithMentions(p, sentenceTokens = 10)
-      // sentences of 10 tokens never split a mention across sentences in
-      // this corpus (single-token + adjacent 2-token surfaces), except a
-      // multi-word surface straddling a boundary — count those separately
-      val straddlers = p.mentions.count { m =>
-        !ms.exists(x => x.target == m.label &&
-          x.sentence.substring(x.begin, x.end) == m.value)
-      }
-      assert(ms.size + straddlers == p.mentions.size,
-        s"${g.file.path}: ${ms.size} emitted + $straddlers straddling != ${p.mentions.size}")
+      // single-token mentions always land inside a 10-token sentence
+      // window; only multi-word surfaces can straddle a boundary and be
+      // dropped (containment semantics) — bound the emission count
+      val multiWord = p.mentions.count(_.value.contains(' '))
+      assert(ms.size <= p.mentions.size &&
+        ms.size >= p.mentions.size - multiWord,
+        s"${g.file.path}: ${ms.size} emitted of ${p.mentions.size} planted ($multiWord multi-word)")
     }
   }
 }

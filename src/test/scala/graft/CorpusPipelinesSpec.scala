@@ -101,6 +101,19 @@ class CorpusPipelinesSpec extends AnyFunSuite {
     assert(!paths.exists(p => p.split("/").count(_ == "t1") > 1))
   }
 
+  test("NT sink with gzip compression round-trips (K2 compression-by-suffix)") {
+    val dir = Files.createTempDirectory("graft-nt-gz").toString + "/out"
+    val df = Seq(("A", "B"), ("C", "café")).toDF("subj", "obj")
+    graft.pipeline.TripleMaterialize.uriUriLines(df, "http://p", "http://s/", "http://o/")
+      .write.option("compression", "gzip").text(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".txt.gz")), files.mkString(","))
+    val back = spark.read.text(dir).as[String].collect().toSet
+    assert(back == Set(
+      "<http://s/A> <http://p> <http://o/B> .",
+      "<http://s/C> <http://p> <http://o/caf\\u00E9> ."))
+  }
+
   test("capped abstracts respect the HAVING-style min filter") {
     val grounding = Seq(("t1", "e1"), ("t2", "e9missing")).toDF("topic", "entity")
     val abstracts = Seq(("e1", "some text", "en")).toDF("subject", "object", "lang")
