@@ -590,7 +590,10 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-          TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"),
+          // BPE-ish regex segmentation: letter runs / digit runs / other
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_bpe"))),
 
     "q48_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1046,7 +1049,8 @@ object SparkEntry {
       """SELECT doc_id,
         | CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         | CAST(list_sum(list_transform(string_split(text, ' '),
-        |   t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+        |   t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
+        | CAST(length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
 
     "q48_fingerprint" ->

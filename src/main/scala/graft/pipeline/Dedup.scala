@@ -173,4 +173,48 @@ object Dedup {
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /**
+   * Rolling (Rabin-Karp) window fingerprints: polynomial hash base 257
+   * mod 2^61-1 over a sliding char window, sampled content-defined
+   * (emitted when the window hash's low `maskBits` bits are zero, ~one
+   * per 2^maskBits positions) — the sampling is SHIFT-INVARIANT, so
+   * fingerprints of unedited regions survive insertions elsewhere
+   * (unlike fixed-stride sampling or the bag-of-words fingerprint).
+   * O(n) per document, one pass.
+   */
+  def rollingFingerprints(text: String, window: Int = 32, maskBits: Int = 4): Vector[Long] = {
+    val Mod = (1L << 61) - 1
+    val Base = 257L
+    // 128-bit product reduction mod 2^61-1 (2^61 ≡ 1)
+    def mulMod(a: Long, b: Long): Long = {
+      val hi = java.lang.Math.multiplyHigh(a, b)
+      val lo = a * b
+      var r = (lo & Mod) + ((hi << 3) | (lo >>> 61))
+      while (r >= Mod) r -= Mod
+      r
+    }
+    if (text.length < window) {
+      var h = 0L
+      var i = 0
+      while (i < text.length) { h = (mulMod(h, Base) + text.charAt(i)) % Mod; i += 1 }
+      return Vector(h)
+    }
+    // precompute Base^(window-1) for the rolling subtraction
+    var pow = 1L
+    for (_ <- 1 until window) pow = mulMod(pow, Base)
+    val out = Vector.newBuilder[Long]
+    var h = 0L
+    var i = 0
+    while (i < text.length) {
+      if (i >= window) {
+        val drop = mulMod(text.charAt(i - window).toLong, pow)
+        h = (h - drop + Mod) % Mod
+      }
+      h = (mulMod(h, Base) + text.charAt(i)) % Mod
+      if (i >= window - 1 && (h & ((1L << maskBits) - 1)) == 0L) out += h
+      i += 1
+    }
+    out.result()
+  }
 }

@@ -175,6 +175,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(r >= 0.95, s"recall $r")
   }
 
+  test("rolling fingerprints: shared windows survive edits outside them") {
+    val stable = (1 to 60).map(i => s"w$i").mkString(" ") // ~200 chars
+    val a = "x" * 20 + stable + "y" * 20
+    val b = "EDITED PREFIX!" + "x" * 20 + stable + "z" * 20
+    val fa = Dedup.rollingFingerprints(a).toSet
+    val fb = Dedup.rollingFingerprints(b).toSet
+    assert((fa intersect fb).nonEmpty, "stable region must share fingerprints")
+    val c = "completely different text with nothing in common at all ok"
+    assert((fa intersect Dedup.rollingFingerprints(c).toSet).isEmpty)
+    // deterministic + short-text path
+    assert(Dedup.rollingFingerprints("tiny") == Dedup.rollingFingerprints("tiny"))
+    assert(Dedup.rollingFingerprints("tiny").size == 1)
+  }
+
   test("HLL approx distinct stays within 5% of exact (scale path of q55)") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val both = docs.select(explode(split(col("text"), " ")).as("tok"))
