@@ -73,7 +73,12 @@ object Bench {
     val total = results.map(_._2).sum
 
     // ---- scaling: identical corpus + job at lo and hi parallelism ----
-    val corpusDir = s"/tmp/graft-bench-corpus-$nFiles-x$scale"
+    // cache key includes a generator-content fingerprint so the cached
+    // corpus self-invalidates whenever CorpusGen changes
+    val genTag = graft.functions.TextFunctions.sha256Hex(
+      (0L until 4L).map(i => CorpusGen.file(i, scale = scale).content).mkString(""))
+      .take(8)
+    val corpusDir = s"/tmp/graft-bench-corpus-$nFiles-x$scale-$genTag"
     if (!new java.io.File(s"$corpusDir/_SUCCESS").exists()) {
       import spark.implicits._
       spark.range(nFiles).map(i => CorpusGen.file(i, scale = scale))

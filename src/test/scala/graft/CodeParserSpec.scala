@@ -21,6 +21,12 @@ class CodeParserSpec extends AnyFunSuite {
     assert(corpus.map(_.file) == again.map(_.file))
   }
 
+  test("per-index file() agrees with bulk generate() (bench vs test paths)") {
+    (0 until 128).foreach { i =>
+      assert(CorpusGen.file(i.toLong) == corpus(i).file, s"index $i")
+    }
+  }
+
   test("offset invariant: every mention span round-trips through substring") {
     corpus.foreach { g =>
       val p = CodeParser.parse(g.file, dict)

@@ -101,6 +101,29 @@ class CorpusPipelinesSpec extends AnyFunSuite {
     assert(!paths.exists(p => p.split("/").count(_ == "t1") > 1))
   }
 
+  test("NT loader exact counts + last-row golden (TestUriUriNTriplesLoader style)") {
+    // 110 valid rows + malformed/comment/filtered lines interleaved —
+    // mirrors the reference's assertEquals(110, ...) fixture discipline
+    val valid = (1 to 110).map(i =>
+      s"<http://db.org/resource/E$i> <http://db.org/ontology/type> <http://db.org/class/C${i % 7}> .")
+    val noise = Seq(
+      "# a comment line",
+      "<http://a> <http://b> .",                      // 3 tokens
+      "<http://a> <http://b> \"literal\" .",          // literal object
+      "<http://a> <http://otherpred> <http://c> .",   // filtered out below
+      "")
+    val dir = writeNt(scala.util.Random.shuffle(valid ++ noise).toSeq)
+    val all = NerCorpus.readUriUriNt(spark, dir)
+    assert(all.count() == 111) // 110 + the otherpred row
+    val filtered = NerCorpus.readUriUriNt(spark, dir,
+      predicateFilter = "http://db.org/ontology/type",
+      subjNs = "http://db.org/resource/", objNs = "http://db.org/class/")
+    assert(filtered.count() == 110)
+    val last = filtered.orderBy(col("subject")).collect().last
+    assert(last.getString(0) == "E99") // lexicographic max of E1..E110
+    assert(last.getString(1) == "C1")  // 99 % 7 = 1
+  }
+
   test("NT sink with gzip compression round-trips (K2 compression-by-suffix)") {
     val dir = Files.createTempDirectory("graft-nt-gz").toString + "/out"
     val df = Seq(("A", "B"), ("C", "café")).toDF("subj", "obj")
