@@ -470,6 +470,27 @@ object SparkEntry {
     }),
 
     // ---- training-data ops ------------------------------------------
+    "q39_kg_entity_contexts" -> ((s, d) => {
+      // ne-disambiguation-corpus analog: one size-capped context
+      // document per entity surface, merged from every sentence window
+      // that mentions it, deterministically ordered by (doc, window)
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+        .withColumn("w", (col("pos") / 10).cast("int"))
+      val sent = tok.groupBy(col("doc_id"), col("w"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+            x => x.getField("token")), " ").as("sentence"))
+      val hits = tok.filter(isDictSurface(col("token")))
+        .select(col("doc_id"), col("w"), col("token").as("surface"))
+        .distinct()
+      val capped = udaf(new graft.functions.Aggregators.CappedConcat(100000))
+      hits.join(sent, Seq("doc_id", "w"))
+        .groupBy(col("surface"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          capped(col("doc_id") * 100000 + col("w"), col("sentence")).as("context"))
+    }),
+
     "q40_dedup_exact" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy(md5(col("text")).as("content_hash"))
@@ -926,6 +947,41 @@ object SparkEntry {
          |GROUP BY doc_id, lang, source, text, (i - 1) // 10
          |HAVING sum(CASE WHEN surface IN ($dictInList) THEN 1 ELSE 0 END) > 0""".stripMargin
     },
+
+    "q39_kg_entity_contexts" ->
+      s"""WITH $tokenPosSql,
+         |sent AS (
+         |  SELECT doc_id, CAST((i - 1) // 10 AS INT) AS w,
+         |   string_agg(surface, ' ' ORDER BY i) AS sentence
+         |  FROM tok GROUP BY 1, 2),
+         |hits AS (
+         |  SELECT DISTINCT doc_id, CAST((i - 1) // 10 AS INT) AS w, surface
+         |  FROM tok WHERE surface IN ($dictInList)),
+         |ctx AS (
+         |  SELECT h.surface, h.doc_id * 100000 + h.w AS k, s.sentence AS v
+         |  FROM hits h JOIN sent s ON h.doc_id = s.doc_id AND h.w = s.w),
+         |sized AS (
+         |  SELECT surface, k, v,
+         |   greatest(100000 // count(*) OVER (PARTITION BY surface), 200) AS per
+         |  FROM ctx),
+         |cut AS (
+         |  SELECT surface, k,
+         |   CASE WHEN length(v) <= per THEN v
+         |        WHEN strpos(substring(v, per), ' ') > 0
+         |          THEN substring(v, 1, per - 2 + strpos(substring(v, per), ' '))
+         |        ELSE substring(v, 1, per) END AS t
+         |  FROM sized),
+         |w AS (
+         |  SELECT surface, t,
+         |   row_number() OVER (PARTITION BY surface ORDER BY k) AS r,
+         |   coalesce(sum(length(t)) OVER (PARTITION BY surface ORDER BY k
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM cut)
+         |SELECT w.surface,
+         | (SELECT count(*) FROM ctx c WHERE c.surface = w.surface) AS n_occurrences,
+         | string_agg(t, ' ' ORDER BY r) AS context
+         |FROM w WHERE 100000 - cum - greatest(r - 2, 0) > 0
+         |GROUP BY w.surface""".stripMargin,
 
     "q40_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS canonical_id

@@ -91,6 +91,25 @@ object NerCorpus {
       .toDF("uri", "sentenceOrder", "annotated", "sha256")
   }
 
+  /**
+   * Per-entity occurrence-context profile — the
+   * examples/ne-disambiguation-corpus pipeline
+   * (02_merge_occurrence_contexts per its README: group sentence-level
+   * mentions by entity, merge the occurrence sentences into one
+   * context document per entity for MoreLikeThis-style similarity).
+   * Deterministic ordering + size-capped merge (U3) as everywhere.
+   */
+  def entityContexts(mentions: Dataset[Mention], sizeLimit: Int = 100000): DataFrame = {
+    val spark = mentions.sparkSession
+    import org.apache.spark.sql.functions.udaf
+    val capped = udaf(new graft.functions.Aggregators.CappedConcat(sizeLimit))
+    mentions.toDF()
+      .groupBy(col("target"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        capped(xxhash64(col("uri"), col("sentenceOrder")), col("sentence"))
+          .as("context"))
+  }
+
   /** Full chain over a corpus + NT-file side inputs. Parses once: both
     * the mention and alias branches reuse the persisted parse. */
   def run(files: Dataset[CodeFile], dictionary: Map[String, String],

@@ -59,6 +59,22 @@ class CorpusPipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("entity contexts: one capped profile per entity (ne-disambiguation analog)") {
+    val mentions = graft.pipeline.Mentions.extract(files, CorpusGen.dictionary)
+    val ctx = graft.pipeline.NerCorpus.entityContexts(mentions).collect()
+    assert(ctx.nonEmpty)
+    val total = mentions.count()
+    assert(ctx.map(_.getAs[Long]("n_occurrences")).sum == total)
+    ctx.foreach { r =>
+      val c = r.getAs[String]("context")
+      assert(c.nonEmpty && c.length <= 100000 + 200 + 1)
+    }
+    // deterministic across runs (explicit sort key)
+    val again = graft.pipeline.NerCorpus.entityContexts(
+      graft.pipeline.Mentions.extract(files, CorpusGen.dictionary)).collect()
+    assert(ctx.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("annotated merge golden: char-offset spans") {
     val got = TextFunctions.mergeAnnotatedChars(
       "John Smith works at Smith Consulting .",
