@@ -139,6 +139,25 @@ object Bench {
     val ceilEff = (cLo * lo) / (cHi * cpus)
     val normEff = eff / ceilEff
 
+    // triple P/R vs the planted golden oracle (north-rule headline
+    // criterion, P/R >= 0.95) on a 4096-file slice of the same corpus
+    val (prP, prR) = {
+      val s = newSession(lo)
+      import s.implicits._
+      val slice = CorpusGen.generate(4096)
+      val got = graft.pipeline.Triples.mentionTriples(
+        s.createDataset(slice.map(_.file)), CorpusGen.dictionary)
+      val want = slice.filter(_.aliasTarget.isEmpty).flatMap { g =>
+        g.mentions.map { m =>
+          (graft.functions.TextFunctions.nameToUri(s"${g.file.repo}/${g.file.path}", g.file.lang),
+            graft.functions.TextFunctions.nameToUri(m.label, g.file.lang))
+        }
+      }.distinct.toDF("subj", "obj")
+      val pr = graft.pipeline.Triples.precisionRecall(got, want)
+      s.stop()
+      pr
+    }
+
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":""" + qs +
         s""","sf":"$sfDir","throughput":{"files":$nFiles,"triples":$nTriples,""" +
@@ -147,6 +166,7 @@ object Bench {
         f""""cpu_sec_lo":$cpuLo%.1f,"cpu_sec_hi":$cpuHi%.1f,""" +
         f""""scaling_efficiency":$eff%.3f,""" +
         f""""machine_ceiling_efficiency":$ceilEff%.3f,""" +
-        f""""normalized_scaling_efficiency":$normEff%.3f}}""")
+        f""""normalized_scaling_efficiency":$normEff%.3f},""" +
+        f""""triple_precision":$prP%.4f,"triple_recall":$prR%.4f}""")
   }
 }
