@@ -111,10 +111,15 @@ object CodeParser {
   }
 
   /** (begin, end) of each whitespace-delimited token. */
-  def tokenizePos(text: String): Array[(Int, Int)] = {
+  def tokenizePos(text: String): Array[(Int, Int)] =
+    tokenizePos(text, 0, text.length)
+
+  /** Same, over `[from, until)` without copying the slice; offsets are
+    * absolute into `text`. */
+  def tokenizePos(text: String, from: Int, until: Int): Array[(Int, Int)] = {
     val out = Array.newBuilder[(Int, Int)]
-    var i = 0
-    val n = text.length
+    var i = from
+    val n = until
     while (i < n) {
       while (i < n && (text.charAt(i) == ' ' || text.charAt(i) == '\n' || text.charAt(i) == '\t')) i += 1
       if (i < n) {
@@ -145,20 +150,33 @@ object Segmenter {
     val out = Vector.newBuilder[Mention]
     var order = 0
     val mentions = p.mentions.sortBy(_.begin)
+    // mentions and sentence windows are both begin-ordered within a
+    // block; mi advances monotonically so each mention is inspected a
+    // bounded number of times (not once per window). The normalized
+    // sentence string is only materialized when the window actually
+    // contains a mention — most windows don't, and building it anyway
+    // was the dominant allocation of the whole mention pipeline.
     p.blocks.foreach { blk =>
-      val toks = CodeParser.tokenizePos(p.text.substring(blk.begin, blk.end))
-        .map { case (b, e) => (b + blk.begin, e + blk.begin) }
+      val toks = CodeParser.tokenizePos(p.text, blk.begin, blk.end)
+      var mi = 0
+      while (mi < mentions.length && mentions(mi).begin < blk.begin) mi += 1
       var s = 0
       while (s < toks.length) {
         val e = math.min(s + sentenceTokens, toks.length)
         val sBegin = toks(s)._1
         val sEnd = toks(e - 1)._2
         order += 1
-        // normalize \n\t -> ' ' without changing length (reference :112-113)
-        val sentence = p.text.substring(sBegin, sEnd).map(c => if (c == '\n' || c == '\t') ' ' else c)
-        mentions.foreach { m =>
-          if (m.begin >= sBegin && m.end <= sEnd)
-            out += Mention(p.uri, order, m.label, m.begin - sBegin, m.end - sBegin, sentence, p.sha256)
+        while (mi < mentions.length && mentions(mi).begin < sBegin) mi += 1
+        if (mi < mentions.length && mentions(mi).begin < sEnd) {
+          // normalize \n\t -> ' ' without changing length (reference :112-113)
+          val sentence = p.text.substring(sBegin, sEnd).map(c => if (c == '\n' || c == '\t') ' ' else c)
+          var j = mi
+          while (j < mentions.length && mentions(j).begin < sEnd) {
+            val m = mentions(j)
+            if (m.begin >= sBegin && m.end <= sEnd)
+              out += Mention(p.uri, order, m.label, m.begin - sBegin, m.end - sBegin, sentence, p.sha256)
+            j += 1
+          }
         }
         s = e
       }

@@ -14,22 +14,36 @@ object Triples {
   def mentionTriples(files: Dataset[CodeFile], dict: Map[String, String]): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
-    // parse ONCE: mentions and alias edges both branch off the persisted
-    // parse (without it, each branch re-runs the full parse — the
-    // single most expensive stage). On a cluster this persist is the
-    // 01_parse snapshot stage (see graft.Main).
-    val parsed = Mentions.parseAll(files, dict)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mentions = parsed.flatMap(p => graft.parse.Segmenter.sentencesWithMentions(p))
-    val edges = parsed.filter(_.aliasTarget.isDefined)
-      .map(p => (p.uri, p.aliasTarget.get)).toDF("src", "dst")
+    val dictB = spark.sparkContext.broadcast(dict)
+
+    // Alias edges first: `#ALIAS [[T]]` is anchored to the file start
+    // (CodeParser.AliasRe), so a startsWith pre-filter selects exactly
+    // the alias files. Re-scanning the columnar source for this
+    // highly-selective predicate costs one cheap vectorized decode pass;
+    // persisting the full parsed corpus (text + spans) to share a single
+    // pass costs far more in memory traffic and pins the map chain to
+    // the persist's partitioning — measured slower at every parallelism.
+    val edges = files.filter(col("content").startsWith("#ALIAS [["))
+      .map(f => graft.parse.CodeParser.parse(f, dictB.value))
+      .flatMap(p => p.aliasTarget.map(t => (p.uri, t)))
+      .toDF("src", "dst")
     val canon = Redirects.transitiveClosure(edges)
-    val out = mentions.toDF()
+
+    // Mention emission: one fused persist-free stage —
+    // scan → parse → segment → project(uri, target) → partial distinct —
+    // writing directly into the final distinct's shuffle. Alias files
+    // emit no mentions (parser skips the dictionary scan on them).
+    val mentions = files.flatMap { f =>
+      val p = graft.parse.CodeParser.parse(f, dictB.value)
+      if (p.aliasTarget.isDefined) Iterator.empty[(String, String)]
+      else graft.parse.Segmenter.sentencesWithMentions(p).iterator.map(m => (m.uri, m.target))
+    }.toDF("uri", "target")
+
+    mentions
       .join(canon.withColumnRenamed("src", "target"), Seq("target"), "left_outer")
       .select(col("uri").as("subj"),
         coalesce(col("root"), col("target")).as("obj"))
       .distinct()
-    out
   }
 
   /** Precision/recall of a got-vs-want triple set (the north rule's

@@ -11,6 +11,7 @@ object ScalingOnly {
     def session(n: Int) = {
       val s = SparkSession.builder().master(s"local[$n]")
         .config("spark.sql.shuffle.partitions", n)
+        .config("spark.sql.files.maxPartitionBytes", "4m") // see Bench.newSession
         .config("spark.ui.enabled", "false").getOrCreate()
       s.sparkContext.setLogLevel("ERROR"); s
     }
