@@ -12,13 +12,15 @@ import org.apache.spark.sql.functions._
  * an iterative self-join transitive closure with cycle guard.
  *
  * Scale notes: each iteration is one shuffle join on `dst`; the frontier
- * is `localCheckpoint`ed (on a cluster: an Iceberg snapshot checkpoint)
- * to cut lineage — without it the plan doubles per iteration and the
- * driver chokes on plan size long before data is the problem. Fixpoint
- * is detected with a cheap `isEmpty` on the still-resolvable frontier.
- * The edge list (alias graph) is orders of magnitude smaller than the
- * corpus, so on a cluster the final application of the closure to the
- * corpus is a broadcast join.
+ * is persisted and materialized by the fixpoint `count` (on a cluster:
+ * an Iceberg snapshot checkpoint) to cut lineage — without it the plan
+ * doubles per iteration and the driver chokes on plan size long before
+ * data is the problem. persist+count is ONE job per level where
+ * eager-localCheckpoint+isEmpty was two; at small alias-graph sizes the
+ * closure is scheduling-latency-bound, not data-bound, so job count is
+ * the cost that matters. The edge list (alias graph) is orders of
+ * magnitude smaller than the corpus, so on a cluster the final
+ * application of the closure to the corpus is a broadcast join.
  */
 object Redirects {
 
@@ -44,7 +46,7 @@ object Redirects {
    */
   def transitiveClosure(edges: DataFrame, maxDepth: Int = 16): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed: every edge, path = [src] (nodes already visited)
     var frontier = e.select(col("src"), col("dst"), array(col("src")).as("path"))
     var settled: DataFrame = null
@@ -69,9 +71,13 @@ object Redirects {
           col("src"),
           col("next").as("dst"),
           concat(col("path"), array(col("cur"))).as("path"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       depth += 1
-      done = frontier.isEmpty
+      // persist stops recomputation but the logical plan still nests one
+      // level per iteration; truncate it with a real checkpoint every
+      // 4 levels so a deep closure can't grow an unplannable tree
+      if (depth % 4 == 0) frontier = frontier.localCheckpoint(true)
+      done = frontier.count() == 0
     }
     settled.distinct()
   }
