@@ -655,6 +655,26 @@ object SparkEntry {
       val media = Multimodal.documentsAsMedia(Tables.documents(s, d))
       Multimodal.decodeMeta(media).toDF()
         .select(col("media_id"), col("byte_len"))
+    }),
+
+    "q56_sample_split" -> ((s, d) =>
+      // deterministic md5-bucket train/val/test split + 1.2% sample —
+      // reproducible across engines/runs/cluster sizes (no RNG)
+      Curation.splitSummary(Tables.documents(s, d))),
+
+    "q57_redact" -> ((s, d) =>
+      // secret/PII scrubbing: match count + redacted-content hash
+      Curation.redact(Tables.documents(s, d))),
+
+    "q58_boilerplate" -> ((s, d) =>
+      // CCNet/Gopher-style duplicate-chunk ratio per document
+      Curation.boilerplate(Tables.documents(s, d))),
+
+    "q59_contamination" -> ((s, d) => {
+      // benchmark-contamination: shared shingles with a held-out set
+      val docs = Tables.documents(s, d)
+      Curation.contamination(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
     }))
 
   // =================================================================
@@ -1149,5 +1169,48 @@ object SparkEntry {
         | FROM bits GROUP BY doc_id)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         | CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin)
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "q56_sample_split" ->
+      """WITH s AS (
+        | SELECT lang,
+        |  CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) <= 'cc' THEN 'train'
+        |       WHEN substring(md5(doc_id::VARCHAR), 1, 2) <= 'e5' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CASE WHEN substring(md5('s:' || doc_id::VARCHAR), 1, 2) < '03'
+        |       THEN 1 ELSE 0 END AS samp
+        | FROM documents)
+        |SELECT split, lang, count(*) AS n_docs, sum(samp) AS n_sampled
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q57_redact" ->
+      """SELECT doc_id,
+        | CAST(length(regexp_extract_all(text, '\b(key|hash|customer)\b')) AS BIGINT)
+        |   AS n_secrets,
+        | md5(regexp_replace(text, '\b(key|hash|customer)\b', '[REDACTED]', 'g'))
+        |   AS redacted_hash
+        |FROM documents""".stripMargin,
+
+    "q58_boilerplate" ->
+      """WITH ch AS (
+        | SELECT doc_id, md5(c) AS h FROM (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+( [^ ]+){0,4}')) AS c
+        |  FROM documents)),
+        |freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, count(*) AS n_chunks,
+        | sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+        | round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+        |   AS dup_ratio
+        |FROM ch JOIN freq USING (h) GROUP BY ch.doc_id""".stripMargin,
+
+    "q59_contamination" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  list_transform(range(1, greatest(length(toks) - 1, 2)),
+        |    i -> array_to_string(toks[i:i+2], ' ')) AS sh
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 20),
+        |corp AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= 20)
+        |SELECT corp.doc_id, count(DISTINCT corp.s) AS n_shared_shingles
+        |FROM corp JOIN bench USING (s) GROUP BY 1""".stripMargin)
 }

@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus curation operators for training-data pipelines — the steps
+ * between raw corpus and training shards that the reference never
+ * needed (its output was an NLP corpus for model *evaluation*) but a
+ * 100 TB pretraining pipeline runs on every document:
+ *
+ *  - deterministic sampling and train/val/test splitting (hash-bucket,
+ *    no RNG: the same document lands in the same split on every engine,
+ *    every run, every cluster size — an md5 prefix is the bucket, so
+ *    the split is reproducible in any system that can md5);
+ *  - pattern-based secret/PII redaction (leftmost non-overlapping
+ *    regex, count + redacted-content hash per doc);
+ *  - boilerplate detection: corpus-wide duplicate-chunk ratio per doc
+ *    (the CCNet/Gopher repetition-filter shape: chunk → hash → global
+ *    frequency → join back);
+ *  - benchmark-contamination checking: corpus docs sharing n-gram
+ *    shingles with a (small, broadcast) benchmark set.
+ *
+ * Scale notes: sampling/split/redaction are pure map-side column math
+ * (one codegen'd pass, filters push down). Boilerplate is one explode +
+ * one groupBy(hash) + one join back on the chunk hash — at corpus scale
+ * the chunk-frequency relation is the big shuffle; it aggregates
+ * map-side first. Contamination broadcasts the benchmark shingle set
+ * (the replicated-join pattern, ner-corpus/03_…pig:22).
+ */
+object Curation {
+
+  /** Hex bucket (2 chars, 256 buckets) of a seeded md5 over a key —
+    * the deterministic sampling primitive. */
+  def hashBucket(key: Column, seed: String = ""): Column =
+    substring(md5(concat(lit(seed), key.cast("string"))), 1, 2)
+
+  /**
+   * Deterministic train/val/test split + independent sample flag.
+   * Thresholds are on the 256-bucket hex space: <= "cc" (205/256 ≈ 80%)
+   * train, <= "e5" (+25/256 ≈ 10%) val, else test; `sampled` uses an
+   * independent seeded hash (< "03" ≈ 1.2%).
+   */
+  def splitAssign(docs: DataFrame, key: String = "doc_id"): DataFrame = {
+    val h = hashBucket(col(key))
+    docs
+      .withColumn("split",
+        when(h <= "cc", "train").when(h <= "e5", "val").otherwise("test"))
+      .withColumn("sampled",
+        (hashBucket(col(key), "s:") < "03").cast("int"))
+  }
+
+  /** Per-(split, lang) counts — the shard-manifest summary. */
+  def splitSummary(docs: DataFrame): DataFrame =
+    splitAssign(docs)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("sampled")).as("n_sampled"))
+
+  /** Default stand-in secret patterns (word-boundary token classes; in
+    * a real code corpus these are key/token/credential formats). */
+  val SecretPattern = "\\b(key|hash|customer)\\b"
+
+  /**
+   * Pattern redaction: count matches and emit the redacted text's hash
+   * (the content invariant AFTER scrubbing). One map-side pass,
+   * codegen'd regex — no UDF.
+   */
+  def redact(docs: DataFrame, pattern: String = SecretPattern,
+      replacement: String = "[REDACTED]"): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
+        .cast("long").as("n_secrets"),
+      md5(regexp_replace(col("text"), pattern, replacement)).as("redacted_hash"))
+
+  /** Non-overlapping chunks of up to `n` tokens, by one greedy regex
+    * global match — engine-agnostic segmentation (identical in RE2 and
+    * Java regex; no lateral/posexplode index math needed). */
+  def tokenChunks(text: Column, n: Int): Column =
+    regexp_extract_all(text, lit(s"[^ ]+( [^ ]+){0,${n - 1}}"), lit(0))
+
+  /**
+   * Boilerplate score: per doc, the fraction of its chunks whose hash
+   * occurs in more than one document corpus-wide.
+   */
+  def boilerplate(docs: DataFrame, chunkTokens: Int = 5): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), explode(tokenChunks(col("text"), chunkTokens)).as("c"))
+      .select(col("doc_id"), md5(col("c")).as("h"))
+    val freq = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunks.join(freq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_chunks") / col("n_chunks"), 4))
+  }
+
+  /**
+   * Contamination: for each corpus doc, the number of distinct n-gram
+   * shingles it shares with the benchmark set. The benchmark shingle
+   * set is small by definition → broadcast semi-side.
+   */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+      shingleWords: Int = 3): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(Dedup.wordShingles(col("text"), shingleWords)).as("s"))
+      .distinct()
+    val corpusShingles = corpus
+      .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), shingleWords)).as("s"))
+    corpusShingles.join(broadcast(benchShingles), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_shared_shingles"))
+  }
+}

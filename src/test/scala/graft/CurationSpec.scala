@@ -1,0 +1,78 @@
+package graft
+
+import graft.pipeline.Curation
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-curation operators: deterministic split/sample, redaction,
+  * boilerplate ratio, contamination check. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+
+  test("split is deterministic, total, and roughly 80/10/10") {
+    val d = spark.range(10000).toDF("doc_id")
+      .withColumn("text", lit("x")).withColumn("lang", lit("en"))
+    val s1 = Curation.splitAssign(d).groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val s2 = Curation.splitAssign(d).groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(s1 == s2)
+    assert(s1.values.sum == 10000L)
+    assert(s1("train") > 7700 && s1("train") < 8300)
+    assert(s1("val") > 700 && s1("val") < 1300)
+    assert(s1("test") > 700 && s1("test") < 1300)
+  }
+
+  test("split assignment depends only on the key, not on partitioning") {
+    val d = spark.range(1000).toDF("doc_id")
+      .withColumn("text", lit("x")).withColumn("lang", lit("en"))
+    val a = Curation.splitAssign(d).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val b = Curation.splitAssign(d.repartition(7)).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
+
+  test("redact counts word-boundary matches and hashes the scrubbed text") {
+    val d = docs((1L, "the key of the hash is keyhash customer key"))
+    val row = Curation.redact(d).as[(Long, Long, String)].collect().head
+    // "key", "hash", "customer", "key" match; "keyhash" does not (word boundary)
+    assert(row._2 == 4L)
+    val expected = "the [REDACTED] of the [REDACTED] is keyhash [REDACTED] [REDACTED]"
+    assert(row._3 == java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("boilerplate ratio counts corpus-wide duplicate chunks") {
+    // chunks of 2 tokens; "a b" appears in docs 1 and 2, "c d" only in 1,
+    // "e f" only in 2
+    val d = docs((1L, "a b c d"), (2L, "a b e f"), (3L, "g h"))
+    val got = Curation.boilerplate(d, chunkTokens = 2)
+      .select("doc_id", "n_chunks", "n_dup_chunks")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 2L, 1L), (3L, 1L, 0L)))
+  }
+
+  test("contamination finds shared shingles against a broadcast benchmark") {
+    val bench = docs((1L, "alpha beta gamma delta"))
+    val corpus = docs(
+      (10L, "alpha beta gamma zeta"), // shares shingle "alpha beta gamma"
+      (11L, "zeta eta theta iota"))   // shares nothing
+    val got = Curation.contamination(corpus, bench, shingleWords = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L)))
+  }
+
+  test("token chunking is a total segmentation (every token in one chunk)") {
+    val d = docs((1L, (1 to 13).map(i => s"t$i").mkString(" ")))
+    val chunks = d.select(explode(Curation.tokenChunks(col("text"), 5)).as("c"))
+      .as[String].collect()
+    assert(chunks.toSeq == Seq(
+      "t1 t2 t3 t4 t5", "t6 t7 t8 t9 t10", "t11 t12 t13"))
+  }
+}
