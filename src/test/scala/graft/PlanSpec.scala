@@ -101,6 +101,20 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("q57 redaction scan reads only doc_id and text (pruning)") {
+    val p = plan("q57_redact")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("source") && !read.contains("n_chars"), read)
+  }
+
+  test("q59 contamination joins via broadcast (benchmark side small)") {
+    val df = SparkEntry.queries("q59_contamination")(spark, sfDir)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("brute-force ANN computes norms per side, not per pair") {
     val df = SparkEntry.queries("q43_sim_topk")(spark, sfDir)
     // norms appear in the per-side projections below the join, so the
