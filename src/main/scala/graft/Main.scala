@@ -52,23 +52,30 @@ object Main {
       val ds = files.as[CodeFile]
       ds.map { f => parsedCounter.add(1); f } // counted once per stage run
     }
-    // parse ONCE for both the mention and alias stages (persisted; on a
-    // cluster this would itself be a snapshot stage)
-    lazy val parsed = Mentions.parseAll(typedFiles, dict)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dictB = spark.sparkContext.broadcast(dict)
 
     var mentions: DataFrame = null
     if (stages("mentions")) {
+      // one fused persist-free stage (see Triples.mentionTriples): the
+      // stage snapshot below is the materialization boundary
       mentions = cp.runStage("01_mentions") {
-        parsed.flatMap(p => graft.parse.Segmenter.sentencesWithMentions(p)).toDF()
+        typedFiles.flatMap { f =>
+          val p = graft.parse.CodeParser.parse(f, dictB.value)
+          if (p.aliasTarget.isDefined) Iterator.empty[graft.core.Mention]
+          else graft.parse.Segmenter.sentencesWithMentions(p)
+        }.toDF()
       }
       println(s"[graft] mentions: ${mentions.count()}")
     }
     var aliases: DataFrame = null
     if (stages("aliases")) {
+      // pushed-down content-prefix scan: alias files are ~2% of the
+      // corpus, re-scanning beats persisting the full parse
       aliases = cp.runStage("02_aliases") {
-        parsed.filter(_.aliasTarget.isDefined)
-          .map(p => (p.uri, p.aliasTarget.get)).toDF("src", "dst")
+        typedFiles.filter(col("content").startsWith("#ALIAS [["))
+          .map(f => graft.parse.CodeParser.parse(f, dictB.value))
+          .flatMap(p => p.aliasTarget.map(t => (p.uri, t)))
+          .toDF("src", "dst")
       }
       println(s"[graft] alias edges: ${aliases.count()}")
     }

@@ -110,17 +110,25 @@ object NerCorpus {
           .as("context"))
   }
 
-  /** Full chain over a corpus + NT-file side inputs. Parses once: both
-    * the mention and alias branches reuse the persisted parse. */
+  /** Full chain over a corpus + NT-file side inputs. Alias edges come
+    * from a pushed-down content-prefix scan (exactly the parser's
+    * anchored AliasRe), the mention branch runs as one fused
+    * persist-free stage — same shape as Triples.mentionTriples; see the
+    * rationale there. */
   def run(files: Dataset[CodeFile], dictionary: Map[String, String],
       entityTypes: DataFrame, typeNames: DataFrame): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
-    val parsed = Mentions.parseAll(files, dictionary)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mentions = parsed.flatMap(p => graft.parse.Segmenter.sentencesWithMentions(p))
-    val aliases = parsed.filter(_.aliasTarget.isDefined)
-      .map(p => (p.uri, p.aliasTarget.get)).toDF("src", "dst")
+    val dictB = spark.sparkContext.broadcast(dictionary)
+    val aliases = files.filter(col("content").startsWith("#ALIAS [["))
+      .map(f => graft.parse.CodeParser.parse(f, dictB.value))
+      .flatMap(p => p.aliasTarget.map(t => (p.uri, t)))
+      .toDF("src", "dst")
+    val mentions = files.flatMap { f =>
+      val p = graft.parse.CodeParser.parse(f, dictB.value)
+      if (p.aliasTarget.isDefined) Iterator.empty[Mention]
+      else graft.parse.Segmenter.sentencesWithMentions(p)
+    }
     val typed = typedEntities(entityTypes, aliases)
     annotatedCorpus(mentions, typed, typeNames)
   }
