@@ -106,13 +106,15 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, shingleWords: Int = 3,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
-    // NOTE deliberately NOT checkpointed: with the zip_with shingle
-    // builder the signature stage costs ~0.6s at sf0.1 while an eager
-    // localCheckpoint costs ~2.2s to materialize — recomputing the
-    // lineage on the join's second side is the cheaper plan here. On a
-    // cluster at corpus scale, write signatures to a snapshot table
-    // instead (Checkpoints.runStage) and join from that.
+    // Lazily persisted (NOT eagerly checkpointed: an eager
+    // localCheckpoint costs ~2.2s at sf0.1 to materialize while the
+    // whole signature stage costs ~0.6s): the first join side populates
+    // the cache within the same action and the second side reads it,
+    // so the shingle+md5 lineage runs once, not twice. On a cluster at
+    // corpus scale, write signatures to a snapshot table instead
+    // (Checkpoints.runStage) and join from that.
     val sigs = minhashSignatures(docs, shingleWords, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = sigs.select(col("doc_id"), col("sig"),
       explode(lshBandKeys(col("sig"), bands, rows)).as("bucket"))
     val a = keyed.select(col("bucket"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
