@@ -63,11 +63,51 @@ object Bench {
     // corpus must be large enough that parallel work dominates per-job
     // fixed costs (~1s/action), else the scaling signal drowns: 262k
     // files measured eff 0.27 from fixed costs alone; 1M x4 measures at
-    // the machine ceiling. One measured run per level keeps the bench
-    // ~3min — this VM's per-core speed degrades under sustained load
-    // (burst-credit throttling), so longer measurement worsens results.
+    // the machine ceiling.
     val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "1048576").toInt
     val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "4").toInt
+
+    // ---- scaling corpus (cache key includes a generator-content
+    // fingerprint so the cached corpus self-invalidates whenever
+    // CorpusGen changes) ----
+    val genTag = graft.functions.TextFunctions.sha256Hex(
+      (0L until 4L).map(i => CorpusGen.file(i, scale = scale).content).mkString(""))
+      .take(8)
+    val corpusParts = 256 // 8 waves at 32 cores: straggler tail amortizes
+    val corpusDir = s"/tmp/graft-bench-corpus-$nFiles-x$scale-p$corpusParts-$genTag"
+    if (!new java.io.File(s"$corpusDir/_SUCCESS").exists()) {
+      val s = newSession(cpus)
+      import s.implicits._
+      s.range(nFiles).map(i => CorpusGen.file(i, scale = scale))
+        .repartition(corpusParts)
+        .write.mode("overwrite").parquet(corpusDir)
+      s.stop()
+    }
+
+    // ---- scaling FIRST, queries after: the host throttles per-core
+    // speed monotonically under sustained load, so measuring scaling on
+    // the burst credits a preceding 40s query sweep just burned would
+    // punish the engine for the host's budget, not its own behavior ----
+    val (scalingJson, nTriples) = runScaling(cpus, nFiles, corpusDir)
+
+    // triple P/R vs the planted golden oracle (north-rule headline
+    // criterion, P/R >= 0.95) on a 4096-file slice of the same corpus
+    val (prP, prR) = {
+      val s = newSession(math.max(cpus / 4, 2))
+      import s.implicits._
+      val slice = CorpusGen.generate(4096)
+      val got = graft.pipeline.Triples.mentionTriples(
+        s.createDataset(slice.map(_.file)), CorpusGen.dictionary)
+      val want = slice.filter(_.aliasTarget.isEmpty).flatMap { g =>
+        g.mentions.map { m =>
+          (graft.functions.TextFunctions.nameToUri(s"${g.file.repo}/${g.file.path}", g.file.lang),
+            graft.functions.TextFunctions.nameToUri(m.label, g.file.lang))
+        }
+      }.distinct.toDF("subj", "obj")
+      val pr = graft.pipeline.Triples.precisionRecall(got, want)
+      s.stop()
+      pr
+    }
 
     // ---- per-query timings at the requested parallelism ----
     val spark = newSession(cpus)
@@ -81,39 +121,33 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    spark.stop()
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
-    // ---- scaling: identical corpus + job at lo and hi parallelism ----
-    // cache key includes a generator-content fingerprint so the cached
-    // corpus self-invalidates whenever CorpusGen changes
-    val genTag = graft.functions.TextFunctions.sha256Hex(
-      (0L until 4L).map(i => CorpusGen.file(i, scale = scale).content).mkString(""))
-      .take(8)
-    val corpusParts = 256 // 8 waves at 32 cores: straggler tail amortizes
-    val corpusDir = s"/tmp/graft-bench-corpus-$nFiles-x$scale-p$corpusParts-$genTag"
-    if (!new java.io.File(s"$corpusDir/_SUCCESS").exists()) {
-      import spark.implicits._
-      spark.range(nFiles).map(i => CorpusGen.file(i, scale = scale))
-        .repartition(corpusParts)
-        .write.mode("overwrite").parquet(corpusDir)
-    }
-    spark.stop()
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":""" + qs +
+        s""","sf":"$sfDir","throughput":{"files":$nFiles,"triples":$nTriples,""" +
+        scalingJson + "}," +
+        f""""triple_precision":$prP%.4f,"triple_recall":$prR%.4f}""")
+  }
 
+  /** Two-parallelism scaling measurement over the cached corpus; returns
+    * (json fields, triple count). */
+  private def runScaling(cpus: Int, nFiles: Int, corpusDir: String): (String, Long) = {
     val lo = math.max(cpus / 4, 2)
     var nTriples = 0L
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    var (cpuLo, cpuHi) = (0.0, 0.0)
+    var lastCpu = 0.0
     def timed(n: Int): Double = {
       val s = newSession(n)
       val t0 = System.nanoTime()
       val c0 = osBean.getProcessCpuTime
       nTriples = extractTriples(s, corpusDir)
       val dt = (System.nanoTime() - t0) / 1e9
-      val cpu = (osBean.getProcessCpuTime - c0) / 1e9
-      if (n == lo) cpuLo = cpu else cpuHi = cpu
+      lastCpu = (osBean.getProcessCpuTime - c0) / 1e9
       s.stop()
       dt
     }
@@ -140,65 +174,45 @@ object Bench {
     // pass 0 is the JIT warm-up (C2 takes ~2 runs to converge on the
     // codegen classes — measured 71s -> 47s -> 22s for the identical
     // job), then THREE measured passes, each a tight (ceiling_lo, lo,
-    // ceiling_hi, hi) interleave. The host's burst-credit throttling
-    // degrades per-core speed monotonically across consecutive runs
-    // (measured 10.4s -> 14.7s -> 21.5s for the identical 32-thread
-    // job), so the best pass approximates the unthrottled machine and
-    // is the reported headline; every pass is emitted for transparency.
+    // ceiling_hi, hi) interleave. Burst-credit throttling degrades
+    // consecutive runs monotonically (measured 10.4s -> 14.7s -> 21.5s
+    // for the identical 32-thread job), so the best pass approximates
+    // the unthrottled machine and is the reported headline; every pass
+    // is emitted for transparency, with its own cpu-second telemetry
+    // (cpu_ratio = cpu_hi/cpu_lo > 1 is the host giving each of 32
+    // threads fewer cycles/sec than each of 8 — an engine-independent
+    // ceiling; eff * cpu_ratio is a second, probe-free normalization).
     ceiling(lo); timed(lo); ceiling(cpus); timed(cpus) // warm-up pass
     final case class Pass(cLo: Double, tLo: Double, cHi: Double, tHi: Double,
         cpuLo: Double, cpuHi: Double) {
       def eff: Double = (tLo / tHi) / (cpus.toDouble / lo)
       def ceilEff: Double = (cLo * lo) / (cHi * cpus)
       def normEff: Double = eff / ceilEff
+      def cpuNormEff: Double = eff * (cpuHi / cpuLo)
     }
     val passes = (1 to 3).map { _ =>
-      val cL = ceiling(lo); val tL = timed(lo); val pcL = cpuLo
-      val cH = ceiling(cpus); val tH = timed(cpus); val pcH = cpuHi
+      val cL = ceiling(lo); val tL = timed(lo); val pcL = lastCpu
+      val cH = ceiling(cpus); val tH = timed(cpus); val pcH = lastCpu
       Pass(cL, tL, cH, tH, pcL, pcH)
     }
     val best = passes.maxBy(_.normEff)
-    val (tLo, tHi) = (best.tLo, best.tHi)
-    val (cpuLoB, cpuHiB) = (best.cpuLo, best.cpuHi)
-    val thrLo = nFiles / tLo
-    val thrHi = nFiles / tHi
-    val eff = best.eff
-    val ceilEff = best.ceilEff
-    val normEff = best.normEff
+    val thrLo = nFiles / best.tLo
+    val thrHi = nFiles / best.tHi
     val passJson = passes.map(p =>
       f"""{"sec_lo":${p.tLo}%.2f,"sec_hi":${p.tHi}%.2f,"eff":${p.eff}%.3f,""" +
-        f""""ceil_eff":${p.ceilEff}%.3f,"norm_eff":${p.normEff}%.3f}""")
+        f""""ceil_eff":${p.ceilEff}%.3f,"norm_eff":${p.normEff}%.3f,""" +
+        f""""cpu_sec_lo":${p.cpuLo}%.1f,"cpu_sec_hi":${p.cpuHi}%.1f,""" +
+        f""""cpu_norm_eff":${p.cpuNormEff}%.3f}""")
       .mkString("[", ",", "]")
-
-    // triple P/R vs the planted golden oracle (north-rule headline
-    // criterion, P/R >= 0.95) on a 4096-file slice of the same corpus
-    val (prP, prR) = {
-      val s = newSession(lo)
-      import s.implicits._
-      val slice = CorpusGen.generate(4096)
-      val got = graft.pipeline.Triples.mentionTriples(
-        s.createDataset(slice.map(_.file)), CorpusGen.dictionary)
-      val want = slice.filter(_.aliasTarget.isEmpty).flatMap { g =>
-        g.mentions.map { m =>
-          (graft.functions.TextFunctions.nameToUri(s"${g.file.repo}/${g.file.path}", g.file.lang),
-            graft.functions.TextFunctions.nameToUri(m.label, g.file.lang))
-        }
-      }.distinct.toDF("subj", "obj")
-      val pr = graft.pipeline.Triples.precisionRecall(got, want)
-      s.stop()
-      pr
-    }
-
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":""" + qs +
-        s""","sf":"$sfDir","throughput":{"files":$nFiles,"triples":$nTriples,""" +
-        f""""cores_lo":$lo,"sec_lo":$tLo%.3f,"files_per_sec_lo":$thrLo%.1f,""" +
-        f""""cores_hi":$cpus,"sec_hi":$tHi%.3f,"files_per_sec_hi":$thrHi%.1f,""" +
-        f""""cpu_sec_lo":$cpuLoB%.1f,"cpu_sec_hi":$cpuHiB%.1f,""" +
-        f""""scaling_efficiency":$eff%.3f,""" +
-        f""""machine_ceiling_efficiency":$ceilEff%.3f,""" +
-        f""""normalized_scaling_efficiency":$normEff%.3f,""" +
-        s""""passes":$passJson},""" +
-        f""""triple_precision":$prP%.4f,"triple_recall":$prR%.4f}""")
+    val json =
+      f""""cores_lo":$lo,"sec_lo":${best.tLo}%.3f,"files_per_sec_lo":$thrLo%.1f,""" +
+        f""""cores_hi":$cpus,"sec_hi":${best.tHi}%.3f,"files_per_sec_hi":$thrHi%.1f,""" +
+        f""""cpu_sec_lo":${best.cpuLo}%.1f,"cpu_sec_hi":${best.cpuHi}%.1f,""" +
+        f""""scaling_efficiency":${best.eff}%.3f,""" +
+        f""""machine_ceiling_efficiency":${best.ceilEff}%.3f,""" +
+        f""""normalized_scaling_efficiency":${best.normEff}%.3f,""" +
+        f""""cpu_normalized_scaling_efficiency":${best.cpuNormEff}%.3f,""" +
+        s""""passes":$passJson"""
+    (json, nTriples)
   }
 }
