@@ -84,22 +84,58 @@ object CodeParser {
    * tokens containing ':' (interlang-link analog,
    * AnnotatingMarkupParser.java:153-155).
    */
+  /** Per-dictionary scan metadata, cached by broadcast-instance identity
+    * (the dictionary rides to every task as ONE broadcast Map, so the
+    * single-slot reference-equality cache hits on every file after the
+    * first; without it the max-words scan reran over the whole
+    * dictionary once per file). `labelUri` memoizes the per-(surface,
+    * lang) canonical URI so URL-encoding runs once per distinct label,
+    * not once per mention occurrence. */
+  private final class DictMeta(val dict: Map[String, String]) {
+    val maxWords: Int =
+      if (dict.isEmpty) 1 else dict.keysIterator.map(_.count(_ == ' ') + 1).max
+    /** First tokens of multi-word surfaces: a w>1 probe can only match
+      * when the current token is one of these. */
+    val multiFirst: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      dict.keysIterator.filter(_.contains(' '))
+        .foreach(k => s.add(k.substring(0, k.indexOf(' '))))
+      s
+    }
+    private val uriCache = new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+    def labelUri(surface: String, lang: String): String =
+      uriCache.computeIfAbsent((surface, lang),
+        _ => TextFunctions.nameToUri(dict(surface), lang))
+  }
+  @volatile private var cachedMeta: DictMeta = null
+  private def metaFor(d: Map[String, String]): DictMeta = {
+    val c = cachedMeta
+    if (c != null && (c.dict eq d)) c
+    else { val m = new DictMeta(d); cachedMeta = m; m }
+  }
+
   def scanMentions(text: String, dictionary: Map[String, String], lang: String): Vector[Span] = {
     if (dictionary.isEmpty) return Vector.empty
-    val maxWords = dictionary.keysIterator.map(_.count(_ == ' ') + 1).max
+    val meta = metaFor(dictionary)
+    val maxWords = meta.maxWords
     val out = Vector.newBuilder[Span]
     // token positions
     val tokens = tokenizePos(text)
     var ti = 0
     while (ti < tokens.length) {
       var matched = false
-      var w = math.min(maxWords, tokens.length - ti)
+      // multi-word probes only when the current token can start one
+      val tryMulti = maxWords > 1 && {
+        val t0 = text.substring(tokens(ti)._1, tokens(ti)._2)
+        meta.multiFirst.contains(t0)
+      }
+      var w = if (tryMulti) math.min(maxWords, tokens.length - ti) else 1
       while (w >= 1 && !matched) {
         val begin = tokens(ti)._1
         val end = tokens(ti + w - 1)._2
         val surface = text.substring(begin, end)
         if (!surface.contains(':') && dictionary.contains(surface)) {
-          out += Span(begin, end, TextFunctions.nameToUri(dictionary(surface), lang), surface)
+          out += Span(begin, end, meta.labelUri(surface, lang), surface)
           ti += w
           matched = true
         }
