@@ -24,8 +24,8 @@ object CodeParser {
     * analog (AnnotatingMarkupParser.java:69,103-109). */
   private val AliasRe = "^#ALIAS \\[\\[([^\\]]*)\\]\\]".r
 
-  /** Header line: `## name` (declaration-header analog). */
-  private val HeaderRe = "^## (.+)$".r
+  /** Header line marker: `## name` (declaration-header analog);
+    * detected inline in the line loop (semantics of `^## (.+)$`). */
 
   /**
    * Parse one file. `dictionary` maps surface form -> entity name; it is
@@ -52,13 +52,13 @@ object CodeParser {
     var i = 0
     while (i <= n) {
       if (i == n || text.charAt(i) == '\n') {
-        val line = text.substring(lineStart, i)
-        if (line.isEmpty) closeBlock(lineStart - 1 max 0)
+        if (i == lineStart) closeBlock(lineStart - 1 max 0)
         else {
           if (blockStart < 0) blockStart = lineStart
-          HeaderRe.findFirstMatchIn(line).foreach { m =>
-            headers += Span(lineStart + m.start(1), lineStart + m.end(1), "header", m.group(1))
-          }
+          // `^## (.+)$` without the per-line regex + substring: group(1)
+          // is everything after the 3-char marker, non-empty
+          if (i - lineStart > 3 && text.startsWith("## ", lineStart))
+            headers += Span(lineStart + 3, i, "header", text.substring(lineStart + 3, i))
         }
         if (i == n) closeBlock(n)
         lineStart = i + 1
