@@ -101,7 +101,9 @@ object Bench {
       val want = slice.filter(_.aliasTarget.isEmpty).flatMap { g =>
         g.mentions.map { m =>
           (graft.functions.TextFunctions.nameToUri(s"${g.file.repo}/${g.file.path}", g.file.lang),
-            graft.functions.TextFunctions.nameToUri(m.label, g.file.lang))
+            // labels pointing at planted alias names resolve through the
+            // name-level oracle (chain follows, cycles stay unresolved)
+            graft.functions.TextFunctions.nameToUri(CorpusGen.resolveName(m.label), g.file.lang))
         }
       }.distinct.toDF("subj", "obj")
       val pr = graft.pipeline.Triples.precisionRecall(got, want)

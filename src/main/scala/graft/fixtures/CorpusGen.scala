@@ -11,7 +11,9 @@ import scala.util.Random
  *
  * Plants, with known ground truth:
  *  - mention anchors at known offsets (wiki-link analog);
- *  - alias files (`#ALIAS [[T]]`), incl. a chain a->b->c and a 2-cycle;
+ *  - alias files (`#ALIAS [[T]]`), incl. a name-level 2-hop chain and a
+ *    2-cycle that documents actually MENTION (so closure resolution is
+ *    exercised by the headline triples, not just by the alias tables);
  *  - one "popular entity" anchor in ~30% of files (skew for salted joins);
  *  - short/boring files failing the min-words check;
  *  - sha256(content) recorded per row.
@@ -23,7 +25,11 @@ object CorpusGen {
     "ColumnPruning", "PredicatePushdown", "TungstenCodegen", "CatalystRule",
     "AdaptivePlan", "SkewSplit", "RangePartitioner", "BloomFilter")
 
-  /** surface form -> entity name; "spark engine" is a 2-word surface. */
+  /** surface form -> entity name; "spark engine" is a 2-word surface.
+    * The last three surfaces resolve to planted alias NAMES (not
+    * entities), so the headline pipeline's transitive closure has real
+    * work: "oldapi" needs two hops, "midapi" one, "cyclic" must stay
+    * unresolved (cycle members never settle). */
   val dictionary: Map[String, String] = Map(
     "hashjoin" -> "HashJoin",
     "sortmerge" -> "SortMerge",
@@ -36,7 +42,40 @@ object CorpusGen {
     "aqe" -> "AdaptivePlan",
     "skew" -> "SkewSplit",
     "spark engine" -> "RangePartitioner",
-    "bloom" -> "BloomFilter")
+    "bloom" -> "BloomFilter",
+    "oldapi" -> "aliases/Hop0",
+    "midapi" -> "aliases/Hop1",
+    "cyclic" -> "aliases/CycleA")
+
+  /**
+   * Name-level alias graph, planted as real `#ALIAS` FILES — one copy
+   * per lang, because mention URIs are lang-namespaced (titleToUri
+   * semantics) and an alias edge only resolves a mention within the
+   * same namespace. Gives the corpus a 2-hop chain
+   * Hop0 -> Hop1 -> HashJoin and a 2-cycle CycleA <-> CycleB.
+   */
+  val plantedAliases: Map[String, String] = Map(
+    "aliases/Hop0" -> "aliases/Hop1",
+    "aliases/Hop1" -> "HashJoin",
+    "aliases/CycleA" -> "aliases/CycleB",
+    "aliases/CycleB" -> "aliases/CycleA")
+  private val plantedNames: Vector[String] = plantedAliases.keys.toVector.sorted
+
+  /**
+   * Resolve a mention label through the planted alias graph exactly as
+   * the distributed closure does: follow edges to the first non-alias
+   * name; members of a cycle never settle, so the label stays as-is.
+   * (The name-level oracle for the bench/test P/R `want` sets.)
+   */
+  def resolveName(n: String): String = {
+    var cur = n
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    while (plantedAliases.contains(cur)) {
+      if (!seen.add(cur)) return n // cycle: never settles
+      cur = plantedAliases(cur)
+    }
+    cur
+  }
 
   /** The popular (skewed) surface: lands in ~30% of files. */
   val popularSurface = "shuffle"
@@ -51,7 +90,7 @@ object CorpusGen {
 
   final case class Golden(
       file: CodeFile,
-      aliasTarget: Option[String],            // entity NAME, not uri
+      aliasTarget: Option[String],            // target NAME (entity or alias), not uri
       mentions: Vector[Span])                 // label = entity name here
 
   /**
@@ -77,6 +116,20 @@ object CorpusGen {
   }
 
   private def genOne(i: Int, rnd: Random, scale: Int = 1): Golden = {
+    // indices [0, |plantedAliases| x |langs|) are the planted name-level
+    // alias files: one per (alias name, lang)
+    val nPlanted = plantedNames.length * langs.length
+    if (i < nPlanted) {
+      val name = plantedNames(i / langs.length)
+      val lang = langs(i % langs.length)
+      val slash = name.indexOf('/')
+      val (repo, path) = (name.substring(0, slash), name.substring(slash + 1))
+      val target = plantedAliases(name)
+      val cf = CodeFile(repo, path,
+        commit = TextFunctions.sha256Hex(s"$repo/$path").take(12),
+        lang = lang, content = s"#ALIAS [[$target]]")
+      return Golden(cf, Some(target), Vector.empty)
+    }
     {
       val lang = langs(rnd.nextInt(langs.length))
       val repo = s"org${i % 37}/proj${i % 11}"

@@ -155,16 +155,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(lines == Set("<http://s/A> <http://p> <http://o/B> ."))
   }
 
+  test("planted alias chains resolve in mention triples; cycles stay unresolved") {
+    import graft.functions.TextFunctions
+    // the first 16 generated files are the planted name-level alias
+    // files (4 names x 4 langs); one handmade doc mentions all three
+    // alias surfaces
+    val aliasFiles = CorpusGen.generate(16).map(_.file)
+    assert(aliasFiles.forall(_.content.startsWith("#ALIAS [[")))
+    val doc = CodeFile("r", "d.scala", "c", "scala",
+      "## h\noldapi uses midapi but cyclic stays here now ok")
+    val files = spark.createDataset(aliasFiles :+ doc)
+    val got = Triples.mentionTriples(files, CorpusGen.dictionary)
+      .as[(String, String)].collect().toSet
+    val subj = TextFunctions.nameToUri("r/d.scala", "scala")
+    assert(got == Set(
+      // oldapi (2 hops) and midapi (1 hop) both land on the real entity
+      (subj, TextFunctions.nameToUri("HashJoin", "scala")),
+      // cycle members never settle: the mention keeps its raw target
+      (subj, TextFunctions.nameToUri("aliases/CycleA", "scala"))))
+  }
+
   test("triple P/R vs the golden oracle is >= 0.95 (north-rule criterion)") {
     import graft.functions.TextFunctions
     val corpus = CorpusGen.generate(1024)
     val files = spark.createDataset(corpus.map(_.file))
     val got = Triples.mentionTriples(files, CorpusGen.dictionary)
-    // golden triples straight from the planted ground truth
+    // golden triples straight from the planted ground truth; labels
+    // pointing at planted alias names resolve through the name-level
+    // oracle (chain follows, cycle members stay unresolved)
     val want = corpus.filter(_.aliasTarget.isEmpty).flatMap { g =>
       g.mentions.map { m =>
         (TextFunctions.nameToUri(s"${g.file.repo}/${g.file.path}", g.file.lang),
-          TextFunctions.nameToUri(m.label, g.file.lang))
+          TextFunctions.nameToUri(CorpusGen.resolveName(m.label), g.file.lang))
       }
     }.distinct.toDF("subj", "obj")
     val (p, r) = Triples.precisionRecall(got, want)
