@@ -657,6 +657,19 @@ object SparkEntry {
         .select(col("media_id"), col("byte_len"))
     }),
 
+    "q60_length_quantiles" -> ((s, d) =>
+      // corpus length distribution per lang: exact interpolated
+      // percentiles (the DuckDB-checkable oracle); approx_percentile is
+      // the 100TB path (single-pass sketch, no sort) — equivalence
+      // within tolerance asserted in PipelineSpec
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          round(expr("percentile(n_chars, 0.5)"), 2).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 2).as("p90"),
+          round(expr("percentile(n_chars, 0.99)"), 2).as("p99"),
+          max(col("n_chars")).as("max_chars"))),
+
     "q56_sample_split" -> ((s, d) =>
       // deterministic md5-bucket train/val/test split + 1.2% sample —
       // reproducible across engines/runs/cluster sizes (no RNG)
@@ -1170,6 +1183,14 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         | CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "q60_length_quantiles" ->
+      """SELECT lang,
+        | round(quantile_cont(n_chars, 0.5), 2) AS p50,
+        | round(quantile_cont(n_chars, 0.9), 2) AS p90,
+        | round(quantile_cont(n_chars, 0.99), 2) AS p99,
+        | max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "q56_sample_split" ->
       """WITH s AS (

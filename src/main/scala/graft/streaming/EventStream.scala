@@ -84,6 +84,19 @@ object EventStream {
   /** Read the events parquet as a bounded stream (for tests).
     * FileStreamSource requires a directory of files, so the single-file
     * table is exposed through a temp directory symlink. */
+  /**
+   * Streaming exact dedup — the streaming twin of the batch exact-dedup
+   * operator (Dedup.exactGroups / q40): keep the first event per key,
+   * with the dedup state bounded by the event-time watermark (late
+   * duplicates beyond it are dropped by definition — the standard
+   * dropDuplicates-within-watermark training-ingest pattern).
+   */
+  def dedupStream(events: DataFrame, keys: Seq[String] = Seq("user_id", "event_type")): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates(keys)
+
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
     val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")

@@ -222,6 +222,16 @@ class PipelineSpec extends AnyFunSuite {
       s"exact=$exact approx=$approx")
   }
 
+  test("approx_percentile stays within 5% of exact (scale path of q60)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val row = docs.agg(
+      expr("percentile(n_chars, 0.9)").as("exact"),
+      expr("approx_percentile(n_chars, 0.9, 1000)").as("approx"))
+      .collect().head
+    val (exact, approx) = (row.getDouble(0), row.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

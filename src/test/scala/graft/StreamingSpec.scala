@@ -73,6 +73,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps one row per key (batch-distinct parity)") {
+    val sfDir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    // batch truth: the set of distinct keys
+    val batchKeys = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id", "event_type").distinct()
+      .collect().map(_.toString).sorted.toSeq
+
+    val q = EventStream.dedupStream(EventStream.readEventStream(spark, sfDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out")
+      // exactly one surviving event per (user_id, event_type)
+      assert(streamed.groupBy("user_id", "event_type").count()
+        .filter(col("count") > 1).isEmpty)
+      val streamedKeys = streamed.select("user_id", "event_type")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamedKeys.nonEmpty && streamedKeys == batchKeys)
+    } finally q.stop()
+  }
+
   test("streaming windowed counts equal batch result") {
     val sfDir = "/root/testdata/sf0.001"
     val batch = EventStream.windowedCounts(
