@@ -657,6 +657,30 @@ object SparkEntry {
         .select(col("media_id"), col("byte_len"))
     }),
 
+    "q61_tfidf_topterms" -> ((s, d) => {
+      // per-doc top-3 TF-IDF terms: explode -> per-(doc,term) tf ->
+      // per-term document frequency (one groupBy, broadcastable result)
+      // -> join back -> windowed top-k with deterministic tie-break.
+      // At corpus scale the df relation is |vocab| rows — tiny next to
+      // the postings — so the join back is a broadcast, and the window
+      // partitions by doc_id (no global sort).
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count()
+      val postings = docs
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = postings.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+      postings.join(broadcast(df), Seq("term"))
+        .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+    }),
+
     "q60_length_quantiles" -> ((s, d) =>
       // corpus length distribution per lang: exact interpolated
       // percentiles (the DuckDB-checkable oracle); approx_percentile is
@@ -1183,6 +1207,22 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         | CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "q61_tfidf_topterms" ->
+      """WITH postings AS (
+        | SELECT doc_id, term, count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        | GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        | SELECT p.doc_id, p.term,
+        |  round(p.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)), 6) AS tfidf
+        | FROM postings p JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, rank, term, tfidf FROM (
+        | SELECT doc_id, term, tfidf,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+        | FROM scored) WHERE rank <= 3""".stripMargin,
 
     "q60_length_quantiles" ->
       """SELECT lang,
