@@ -657,6 +657,21 @@ object SparkEntry {
         .select(col("media_id"), col("byte_len"))
     }),
 
+    "q62_asof_join" -> ((s, d) => {
+      // as-of join: each purchase gets the user's most recent prior-or-
+      // equal click (DuckDB's native ASOF JOIN is the oracle). Build
+      // side pre-aggregated per (user, ts) for deterministic ties.
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(round(max(col("value")), 4).as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Temporal.asofJoin(purchases, clicks)
+        .select(col("event_id"), col("user_id"),
+          col("asof_ts").as("click_ts"), col("asof_click_value").as("click_value"))
+    }),
+
     "q61_tfidf_topterms" -> ((s, d) => {
       // per-doc top-3 TF-IDF terms: explode -> per-(doc,term) tf ->
       // per-term document frequency (one groupBy, broadcastable result)
@@ -1207,6 +1222,16 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         | CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "q62_asof_join" ->
+      """WITH clicks AS (
+        | SELECT user_id, ts, round(max(value), 4) AS click_value
+        | FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purch AS (
+        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, c.ts AS click_ts, c.click_value
+        |FROM purch p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
     "q61_tfidf_topterms" ->
       """WITH postings AS (

@@ -222,6 +222,21 @@ class PipelineSpec extends AnyFunSuite {
       s"exact=$exact approx=$approx")
   }
 
+  test("as-of join: latest build row at or before probe time; nulls when none") {
+    val build = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 50L, "z"))
+      .toDF("user_id", "ts", "v")
+    val probe = Seq((1L, 15L, 100L), (1L, 20L, 101L), (1L, 5L, 102L), (2L, 60L, 103L))
+      .toDF("user_id", "ts", "pid")
+    val got = Temporal.asofJoin(probe, build)
+      .select("pid", "asof_ts", "asof_v")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    assert(got == Set(
+      (100L, Some(10L), Some("a")),  // latest build <= 15 is ts=10
+      (101L, Some(20L), Some("b")),  // tie at equal ts: build included (<=)
+      (102L, None, None),            // nothing at or before ts=5
+      (103L, Some(50L), Some("z"))))
+  }
+
   test("approx_percentile stays within 5% of exact (scale path of q60)") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val row = docs.agg(
