@@ -672,6 +672,23 @@ object SparkEntry {
           col("asof_ts").as("click_ts"), col("asof_click_value").as("click_value"))
     }),
 
+    "q63_range_join" -> ((s, d) => {
+      // interval-containment join: clicks falling inside a 30-minute
+      // window after a signup of the same user (bucketed equi-join,
+      // exact containment post-filter)
+      val ev = Tables.events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("end_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+      Temporal.rangeJoin(clicks, signups)
+        .select(col("click_id"), col("signup_id"), col("user_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("start_ts")))
+            .as("delta_sec"))
+    }),
+
     "q61_tfidf_topterms" -> ((s, d) => {
       // per-doc top-3 TF-IDF terms: explode -> per-(doc,term) tf ->
       // per-term document frequency (one groupBy, broadcastable result)
@@ -1232,6 +1249,19 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, c.ts AS click_ts, c.click_value
         |FROM purch p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "q63_range_join" ->
+      """WITH s AS (
+        | SELECT user_id, event_id AS signup_id, ts AS start_ts,
+        |  ts + INTERVAL 30 MINUTE AS end_ts
+        | FROM events WHERE event_type = 'signup'),
+        |c AS (
+        | SELECT user_id, event_id AS click_id, ts
+        | FROM events WHERE event_type = 'click')
+        |SELECT c.click_id, s.signup_id, c.user_id,
+        | CAST(date_diff('second', s.start_ts, c.ts) AS BIGINT) AS delta_sec
+        |FROM c JOIN s ON c.user_id = s.user_id
+        | AND c.ts >= s.start_ts AND c.ts <= s.end_ts""".stripMargin,
 
     "q61_tfidf_topterms" ->
       """WITH postings AS (

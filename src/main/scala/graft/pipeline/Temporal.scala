@@ -47,4 +47,28 @@ object Temporal {
       .filter(col("_side") === 1)
       .select(Seq(col(key), col(time)) ++ others.map(col) :+ expr("_asof.*"): _*)
   }
+
+  /**
+   * Range (interval-containment) join: probe rows matched to every
+   * interval of the same key with `start <= time <= end`. Realized as a
+   * BUCKETED equi-join — intervals explode into the fixed-width time
+   * buckets they span, the probe carries its single bucket, and the
+   * join runs on (key, bucket) with an exact containment post-filter.
+   * Turns an unexecutable-at-scale theta join (O(|P||I|) per key) into
+   * one shuffle whose fan-out is interval_width / bucket_width.
+   * Non-key/time column names must be disjoint between the two sides.
+   */
+  def rangeJoin(probe: DataFrame, intervals: DataFrame, key: String = "user_id",
+      time: String = "ts", start: String = "start_ts", end: String = "end_ts",
+      bucketSeconds: Long = 1800L): DataFrame = {
+    val pb = probe.withColumn("_bkt",
+      floor(unix_timestamp(col(time)) / bucketSeconds))
+    val ib = intervals
+      .withColumn("_bkt", explode(sequence(
+        floor(unix_timestamp(col(start)) / bucketSeconds),
+        floor(unix_timestamp(col(end)) / bucketSeconds))))
+    pb.join(ib, Seq(key, "_bkt"))
+      .filter(col(time) >= col(start) && col(time) <= col(end))
+      .drop("_bkt")
+  }
 }

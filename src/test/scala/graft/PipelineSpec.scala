@@ -237,6 +237,34 @@ class PipelineSpec extends AnyFunSuite {
       (103L, Some(50L), Some("z"))))
   }
 
+  test("range join matches a naive theta join on bucket boundaries") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // intervals crossing bucket boundaries (bucket = 1800s) and probes
+    // exactly at interval edges
+    val intervals = Seq(
+      (1L, 10L, t("2024-01-01 00:15:00"), t("2024-01-01 00:45:00")), // spans 2 buckets
+      (1L, 11L, t("2024-01-01 01:00:00"), t("2024-01-01 01:00:00")), // zero-width
+      (2L, 12L, t("2024-01-01 00:00:00"), t("2024-01-01 02:00:00"))) // spans 5 buckets
+      .toDF("user_id", "iid", "start_ts", "end_ts")
+    val probes = Seq(
+      (1L, 100L, t("2024-01-01 00:15:00")), // at start edge
+      (1L, 101L, t("2024-01-01 00:45:00")), // at end edge
+      (1L, 102L, t("2024-01-01 00:46:00")), // just outside
+      (1L, 103L, t("2024-01-01 01:00:00")), // zero-width hit
+      (2L, 104L, t("2024-01-01 01:59:59")), // inside the long interval
+      (2L, 105L, t("2024-01-01 00:45:00"))) // inside, other user's interval times
+      .toDF("user_id", "pid", "ts")
+    val got = Temporal.rangeJoin(probes, intervals)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = probes.as("p").join(intervals.as("i"),
+        col("p.user_id") === col("i.user_id") &&
+          col("p.ts") >= col("i.start_ts") && col("p.ts") <= col("i.end_ts"))
+      .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    assert(got == Set((100L, 10L), (101L, 10L), (103L, 11L), (104L, 12L), (105L, 12L)))
+  }
+
   test("approx_percentile stays within 5% of exact (scale path of q60)") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val row = docs.agg(
