@@ -672,6 +672,19 @@ object SparkEntry {
           col("asof_ts").as("click_ts"), col("asof_click_value").as("click_value"))
     }),
 
+    "q64_connected_components" -> ((s, d) => {
+      // near-dup components: simhash-adjacent pairs within hamming 20
+      // as edges, generic iterative min-label propagation for labels
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash64(col("text")).as("sh"))
+      val a = sh.select(col("doc_id").as("src"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("dst"), col("sh").as("sh_b"))
+      val edges = a.join(b, col("dst") === col("src") + 1)
+        .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 20)
+        .select(col("src"), col("dst"))
+      TopicGraph.connectedComponents(edges)
+    }),
+
     "q63_range_join" -> ((s, d) => {
       // interval-containment join: clicks falling inside a 30-minute
       // window after a signup of the same user (bucketed equi-join,
@@ -1249,6 +1262,32 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, c.ts AS click_ts, c.click_value
         |FROM purch p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "q64_connected_components" ->
+      // components of the (i, i+1) near-dup chain graph via
+      // gaps-and-islands: a node starts a new component iff no edge
+      // arrives from its predecessor
+      """WITH h AS (
+        | SELECT doc_id, ('0x' || substring(md5(w.word), 1, 15))::BIGINT AS h
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) w
+        | WHERE w.word <> ''),
+        |bits AS (
+        | SELECT doc_id, b, sum(((h >> b) & 1)::INT) AS cnt, count(*) AS total
+        | FROM h, range(0, 60) r(b) GROUP BY 1, 2),
+        |sh AS (
+        | SELECT doc_id,
+        |  CAST(sum(CASE WHEN 2*cnt > total THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
+        | FROM bits GROUP BY doc_id),
+        |e AS (
+        | SELECT a.doc_id AS src, b.doc_id AS dst
+        | FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        | WHERE bit_count(xor(a.sh, b.sh)) <= 20),
+        |nodes AS (SELECT DISTINCT n FROM (SELECT src AS n FROM e UNION SELECT dst FROM e)),
+        |grp AS (
+        | SELECT n, sum(CASE WHEN EXISTS (SELECT 1 FROM e WHERE e.dst = n)
+        |                    THEN 0 ELSE 1 END) OVER (ORDER BY n) AS g
+        | FROM nodes)
+        |SELECT n AS node, min(n) OVER (PARTITION BY g) AS label FROM grp""".stripMargin,
 
     "q63_range_join" ->
       """WITH s AS (

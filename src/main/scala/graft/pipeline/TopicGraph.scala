@@ -89,4 +89,42 @@ object TopicGraph {
     }
     acc
   }
+
+  /**
+   * Connected components by min-label propagation to a fixpoint: every
+   * node starts labeled with itself; each round takes the min of its
+   * own and its neighbors' labels (symmetrized edges). Converges in
+   * O(diameter) rounds — fine for the chain/clique graphs of dedup
+   * components; a graph with huge diameters would want the
+   * large-star/small-star contraction instead (same API, fewer rounds).
+   * Per-round persist + single count, checkpoint every 4 rounds to
+   * truncate the plan (same discipline as Redirects.transitiveClosure).
+   */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(lvl)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).persist(lvl)
+    var it = 0
+    var changed = true
+    while (changed && it < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("node", "src").withColumnRenamed("label", "nl"),
+          Seq("src"))
+        .select(col("dst").as("node"), col("nl").as("label"))
+      var next = labels.unionByName(nbrMin)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .persist(lvl)
+      it += 1
+      if (it % 4 == 0) next = next.localCheckpoint(true)
+      val nChanged = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      changed = nChanged > 0
+    }
+    labels
+  }
 }

@@ -237,6 +237,17 @@ class PipelineSpec extends AnyFunSuite {
       (103L, Some(50L), Some("z"))))
   }
 
+  test("connected components on an arbitrary graph (branches, cycle, isolate-pair)") {
+    // component A: 1-2-3-4 with a cycle 2-4 and branch 3-7
+    // component B: 5-6; component C: 8-9 (string labels work too: min is lexicographic)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 2L), (3L, 7L),
+      (6L, 5L), (8L, 9L)).toDF("src", "dst")
+    val got = TopicGraph.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 1L,
+      5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("range join matches a naive theta join on bucket boundaries") {
     import java.sql.Timestamp
     def t(s: String) = Timestamp.valueOf(s)
