@@ -327,6 +327,11 @@ object SparkEntry {
       // iterative self-join transitive closure with cycle guard (J6)
       Redirects.transitiveClosure(aliasEdges(s, d))),
 
+    "q65_closure_doubling" -> ((s, d) =>
+      // pointer-doubling closure (log-depth scale path; same output
+      // contract and oracle as q25's per-hop loop)
+      Redirects.transitiveClosureDoubling(aliasEdges(s, d))),
+
     "q26_kg_degrees" -> ((s, d) => TopicGraph.degrees(entityEdges(s, d))),
 
     "q27_kg_ancestry" -> ((s, d) => {
@@ -898,6 +903,17 @@ object SparkEntry {
          |FROM refs r LEFT JOIN edges e ON r.ref = e.src""".stripMargin,
 
     "q25_kg_closure" ->
+      s"""WITH RECURSIVE $aliasEdgesSql,
+         |walk AS (
+         |  SELECT src, dst, [src] AS path FROM edges
+         |  UNION ALL
+         |  SELECT w.src, e.dst, list_append(w.path, w.dst)
+         |  FROM walk w JOIN edges e ON w.dst = e.src
+         |  WHERE NOT list_contains(w.path, w.dst))
+         |SELECT DISTINCT w.src, w.dst AS root FROM walk w
+         |WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.dst)""".stripMargin,
+
+    "q65_closure_doubling" ->
       s"""WITH RECURSIVE $aliasEdgesSql,
          |walk AS (
          |  SELECT src, dst, [src] AS path FROM edges

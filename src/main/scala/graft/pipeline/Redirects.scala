@@ -81,4 +81,44 @@ object Redirects {
     }
     settled.distinct()
   }
+
+  /**
+   * Pointer-doubling transitive closure — the SCALE PATH for deep
+   * chains on a FUNCTIONAL alias graph (at most one outgoing edge per
+   * src, which redirect/alias maps are by construction): after round k
+   * every pointer has jumped 2^k hops, so `maxRounds` rounds resolve
+   * chains up to 2^maxRounds long with O(|V| log depth) total join work
+   * where the per-hop loop does O(|V| · depth). Cycle members never
+   * reach a terminal and are dropped by the final anti-join — the same
+   * output contract as [[transitiveClosure]] (equivalence tested).
+   */
+  def transitiveClosureDoubling(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).distinct().persist(lvl)
+    var f = e.select(col("src"), col("dst").as("cur")).persist(lvl)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val jumped = f.as("a")
+        .join(f.as("b"), col("a.cur") === col("b.src"), "left_outer")
+        .select(col("a.src").as("src"),
+          coalesce(col("b.cur"), col("a.cur")).as("cur"),
+          col("b.cur").isNotNull.as("_moved"))
+        .persist(lvl)
+      // converged when nothing moved. Rows inside a cycle move forever,
+      // so a cyclic graph runs all maxRounds — bounded, and each round
+      // is one |V|-row self-join (cheap at alias-graph sizes); their
+      // rows are dropped by the final anti-join regardless.
+      val moved = jumped.filter(col("_moved")).count()
+      f = jumped.drop("_moved")
+      if (round % 4 == 3) f = f.localCheckpoint(true)
+      round += 1
+      converged = moved == 0
+    }
+    // settled: jump target has no outgoing edge (terminal); cycle
+    // members still point at an alias source and are dropped
+    f.join(e.select(col("src").as("cur")).distinct(), Seq("cur"), "left_anti")
+      .select(col("src"), col("cur").as("root"))
+      .distinct()
+  }
 }

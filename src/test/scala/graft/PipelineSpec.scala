@@ -37,6 +37,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set(("a", "R"), ("b", "R"), ("c", "R"), ("d", "R")))
   }
 
+  test("pointer-doubling closure equals the per-hop loop; handles depth >> loop cap") {
+    // same chains/cycles as the loop test
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "R"), ("d", "R"),
+      ("x", "y"), ("y", "x"), ("z", "z")).toDF("src", "dst")
+    val loop = Redirects.transitiveClosure(edges).as[(String, String)].collect().toSet
+    val dbl = Redirects.transitiveClosureDoubling(edges).as[(String, String)].collect().toSet
+    assert(dbl == loop)
+    // a 100-deep chain resolves in <= 7 doubling rounds (2^7 = 128),
+    // far past the per-hop loop's default 16-level cap
+    val deep = (0 until 100).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    val got = Redirects.transitiveClosureDoubling(deep, maxRounds = 7)
+      .as[(String, String)].collect().toMap
+    assert(got.size == 100 && got.values.toSet == Set("n100"))
+  }
+
   test("closure strictly increases recall vs one-hop (SURVEY §2.10.2)") {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "R")).toDF("src", "dst")
     val rel = Seq(("m1", "a")).toDF("id", "target")
