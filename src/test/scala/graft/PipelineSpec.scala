@@ -302,6 +302,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("driver contract: every query has an oracle and vice versa") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      s"missing oracles: ${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}; " +
+        s"orphan oracles: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
