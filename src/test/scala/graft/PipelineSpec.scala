@@ -302,6 +302,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("connected components match union-find on random graphs (seeded)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val edges = Vector.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      // driver-side union-find truth
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = nodes.groupBy(find)
+      val want = nodes.map(v => v -> byRoot(find(v)).min).toMap
+      val got = TopicGraph.connectedComponents(edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("as-of join matches a naive per-probe scan on random events (seeded)") {
+    val rnd = new scala.util.Random(11)
+    // unique (key, ts) on the build side for deterministic ties
+    val build = rnd.shuffle((0L until 40L).toVector).take(25)
+      .map(t => (t % 4, t, s"v$t"))
+    val probes = Vector.fill(30)((rnd.nextInt(4).toLong, rnd.nextInt(45).toLong, rnd.nextInt(1000).toLong))
+    val want = probes.map { case (k, t, pid) =>
+      val m = build.filter(b => b._1 == k && b._2 <= t).sortBy(_._2).lastOption
+      (pid, m.map(_._2), m.map(_._3))
+    }.toSet
+    val got = Temporal.asofJoin(
+        probes.toDF("user_id", "ts", "pid"),
+        build.toDF("user_id", "ts", "v"))
+      .select("pid", "asof_ts", "asof_v")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    assert(got == want)
+  }
+
   test("driver contract: every query has an oracle and vice versa") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
       s"missing oracles: ${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}; " +
