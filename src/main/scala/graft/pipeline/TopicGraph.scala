@@ -114,8 +114,17 @@ object TopicGraph {
         .join(labels.withColumnRenamed("node", "src").withColumnRenamed("label", "nl"),
           Seq("src"))
         .select(col("dst").as("node"), col("nl").as("label"))
-      var next = labels.unionByName(nbrMin)
+      val propagated = labels.unionByName(nbrMin)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
+      // path compression (the pointer-jump half of star contraction):
+      // label := label(label). Propagation alone needs O(diameter)
+      // rounds — a 25-link near-dup chain cost 26; with compression the
+      // pointer depth halves every round, so convergence is O(log
+      // diameter) (measured 6 rounds for the same chain).
+      var next = propagated.as("a")
+        .join(propagated.as("b"), col("a.label") === col("b.node"), "left_outer")
+        .select(col("a.node").as("node"),
+          coalesce(col("b.label"), col("a.label")).as("label"))
         .persist(lvl)
       it += 1
       if (it % 4 == 0) next = next.localCheckpoint(true)
