@@ -682,6 +682,7 @@ object SparkEntry {
       // as edges, generic iterative min-label propagation for labels
       val sh = Tables.documents(s, d).select(col("doc_id"),
         graft.functions.GraftFunctions.simhash64(col("text")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = sh.select(col("doc_id").as("src"), col("sh").as("sh_a"))
       val b = sh.select(col("doc_id").as("dst"), col("sh").as("sh_b"))
       val edges = a.join(b, col("dst") === col("src") + 1)

@@ -100,40 +100,102 @@ object TopicGraph {
    * Per-round persist + single count, checkpoint every 4 rounds to
    * truncate the plan (same discipline as Redirects.transitiveClosure).
    */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30,
+      localThreshold: Long = 4000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sym = edges.select(col("src"), col("dst"))
+    var sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(lvl)
+    val nEdges = sym.count()
+    val sess = edges.sparkSession
+    // Adaptive: below the threshold the component graph is a DRIVER
+    // problem — the same judgment that broadcasts a small join side.
+    // The distributed loop pays seconds of scheduling per round for
+    // microseconds of actual union-find work (measured 16s for a
+    // 3,209-edge graph vs 0.1s collected); dedup-component graphs are
+    // tiny next to the corpus by construction. The distributed path
+    // below handles the genuinely large case (and is tested by forcing
+    // localThreshold = 0).
+    if (nEdges <= localThreshold) return ccLocal(sym)
+    val parts = math.max(1, math.min(
+      sess.sparkContext.defaultParallelism, (nEdges / 50000L).toInt))
+    sym = sym.repartition(parts, col("src")).persist(lvl)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).persist(lvl)
-    var it = 0
-    var changed = true
-    while (changed && it < maxIter) {
-      val nbrMin = sym
-        .join(labels.withColumnRenamed("node", "src").withColumnRenamed("label", "nl"),
-          Seq("src"))
-        .select(col("dst").as("node"), col("nl").as("label"))
-      val propagated = labels.unionByName(nbrMin)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-      // path compression (the pointer-jump half of star contraction):
-      // label := label(label). Propagation alone needs O(diameter)
-      // rounds — a 25-link near-dup chain cost 26; with compression the
-      // pointer depth halves every round, so convergence is O(log
-      // diameter) (measured 6 rounds for the same chain).
-      var next = propagated.as("a")
-        .join(propagated.as("b"), col("a.label") === col("b.node"), "left_outer")
-        .select(col("a.node").as("node"),
-          coalesce(col("b.label"), col("a.label")).as("label"))
-        .persist(lvl)
-      it += 1
-      if (it % 4 == 0) next = next.localCheckpoint(true)
-      val nChanged = next
-        .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
-      changed = nChanged > 0
+    // every round is shuffle-LATENCY-bound, not data-bound, at dedup
+    // graph sizes: run the loop's shuffles at the graph's own
+    // parallelism and restore the session setting after (every round
+    // materializes inside the try, so no lazy plan escapes it)
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      var it = 0
+      var changed = true
+      while (changed && it < maxIter) {
+        val nbrMin = sym
+          .join(labels.withColumnRenamed("node", "src").withColumnRenamed("label", "nl"),
+            Seq("src"))
+          .select(col("dst").as("node"), col("nl").as("label"))
+        val propagated = labels.unionByName(nbrMin)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+        // path compression (the pointer-jump half of star contraction):
+        // label := label(label). Propagation alone needs O(diameter)
+        // rounds — a 25-link near-dup chain cost 26; with compression
+        // the pointer depth halves every round, so convergence is
+        // O(log diameter) (measured 6 rounds for the same chain).
+        var next = propagated.as("a")
+          .join(propagated.as("b"), col("a.label") === col("b.node"), "left_outer")
+          .select(col("a.node").as("node"),
+            coalesce(col("b.label"), col("a.label")).as("label"))
+          .persist(lvl)
+        it += 1
+        if (it % 4 == 0) next = next.localCheckpoint(true)
+        // convergence check every 2nd round only (one join+count per
+        // check; at worst one extra cheap round past the fixpoint)
+        if (it % 2 == 0 || it >= maxIter) {
+          val nChanged = next
+            .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+            .filter(col("label") =!= col("prev")).count()
+          changed = nChanged > 0
+        } else next.count()
+        labels = next
+      }
+      labels
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Driver-side union-find (path compression + min-root labeling) over
+    * a collected small edge list; returns the same (node, label) schema
+    * as the distributed loop. */
+  private def ccLocal(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    val rows = sym.collect()
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
     }
-    labels
+    rows.foreach { r =>
+      val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+      if (ra != rb) parent(rb) = ra
+    }
+    @inline def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Any, Any]
+    val nodes = parent.keys.toVector
+    nodes.foreach { n =>
+      val r = find(n)
+      minOfRoot.get(r) match {
+        case Some(m) if !lt(n, m) => ()
+        case _ => minOfRoot(r) = n
+      }
+    }
+    val nodeType = sym.schema.fields(0).dataType
+    val out = nodes.map(n => org.apache.spark.sql.Row(n, minOfRoot(find(n))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("label", nodeType))))
   }
 }

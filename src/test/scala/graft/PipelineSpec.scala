@@ -258,10 +258,14 @@ class PipelineSpec extends AnyFunSuite {
     // component B: 5-6; component C: 8-9 (string labels work too: min is lexicographic)
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 2L), (3L, 7L),
       (6L, 5L), (8L, 9L)).toDF("src", "dst")
-    val got = TopicGraph.connectedComponents(edges)
-      .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 1L,
-      5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 1L,
+      5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L)
+    // both the driver union-find path (default threshold) and the
+    // distributed propagation loop (threshold 0)
+    assert(TopicGraph.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap == want)
+    assert(TopicGraph.connectedComponents(edges, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap == want)
   }
 
   test("range join matches a naive theta join on bucket boundaries") {
@@ -321,7 +325,9 @@ class PipelineSpec extends AnyFunSuite {
       val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
       val byRoot = nodes.groupBy(find)
       val want = nodes.map(v => v -> byRoot(find(v)).min).toMap
-      val got = TopicGraph.connectedComponents(edges.toDF("src", "dst"))
+      // alternate paths across trials: distributed loop and local UF
+      val got = TopicGraph.connectedComponents(edges.toDF("src", "dst"),
+          localThreshold = if (trial % 2 == 0) 0L else 4000000L)
         .as[(Long, Long)].collect().toMap
       assert(got == want, s"trial $trial")
     }
