@@ -197,7 +197,12 @@ object Bench {
       val cH = ceiling(cpus); val tH = timed(cpus); val pcH = lastCpu
       Pass(cL, tL, cH, tH, pcL, pcH)
     }
-    val best = passes.maxBy(_.normEff)
+    // headline = best pass by normalized efficiency, clamped at 1.0: a
+    // ratio above 1 only means the adjacent ceiling probe caught a worse
+    // host window than the pipeline run — physically "at the ceiling
+    // within noise", never evidence of super-linear scaling. Raw
+    // per-pass values stay unclamped in `passes`.
+    val best = passes.maxBy(p => math.min(p.normEff, 1.0))
     val thrLo = nFiles / best.tLo
     val thrHi = nFiles / best.tHi
     val passJson = passes.map(p =>
@@ -212,7 +217,7 @@ object Bench {
         f""""cpu_sec_lo":${best.cpuLo}%.1f,"cpu_sec_hi":${best.cpuHi}%.1f,""" +
         f""""scaling_efficiency":${best.eff}%.3f,""" +
         f""""machine_ceiling_efficiency":${best.ceilEff}%.3f,""" +
-        f""""normalized_scaling_efficiency":${best.normEff}%.3f,""" +
+        f""""normalized_scaling_efficiency":${math.min(best.normEff, 1.0)}%.3f,""" +
         f""""cpu_normalized_scaling_efficiency":${best.cpuNormEff}%.3f,""" +
         s""""passes":$passJson"""
     (json, nTriples)
