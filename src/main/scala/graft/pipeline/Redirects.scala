@@ -44,9 +44,68 @@ object Redirects {
    * Cycle guard = NoLoopInPath semantics (evaluation/NoLoopInPath.java:32-67):
    * each step checks the newly visited node against the accumulated path.
    */
-  def transitiveClosure(edges: DataFrame, maxDepth: Int = 16): DataFrame = {
+  def transitiveClosure(edges: DataFrame, maxDepth: Int = 16,
+      localThreshold: Long = 2000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Adaptive fast path: alias graphs are orders of magnitude smaller
+    // than the corpus; below the threshold, a FUNCTIONAL graph (at most
+    // one successor per node — what single-#ALIAS-declaration corpora
+    // produce) resolves on the driver in linear time with memoization.
+    // Memoization is only sound on functional graphs (on general graphs
+    // a node's reachable-terminal set depends on the path taken), so
+    // non-functional graphs fall through to the distributed loop. Same
+    // output contract incl. the maxDepth cap (equivalence tested).
+    if (e.count() <= localThreshold) {
+      val rows = e.collect()
+      val srcs = rows.map(_.get(0))
+      if (srcs.distinct.length == srcs.length) {
+        val succ = rows.map(r => r.get(0) -> r.get(1)).toMap
+        // memo: node -> Some((root, hops-to-root)) | None (cycle)
+        val memo = scala.collection.mutable.HashMap.empty[Any, Option[(Any, Int)]]
+        def resolve(start: Any): Option[(Any, Int)] = memo.get(start) match {
+          case Some(r) => r
+          case None =>
+            val path = scala.collection.mutable.ArrayBuffer[Any](start)
+            val onPath = scala.collection.mutable.HashSet[Any](start)
+            // res = Some((root, hops from START)) or None for a cycle
+            var res: Option[Option[(Any, Int)]] = None
+            while (res.isEmpty) {
+              val cur = path.last
+              succ.get(cur) match {
+                case None => res = Some(Some((cur, path.length - 1)))
+                case Some(next) if onPath.contains(next) => res = Some(None)
+                case Some(next) => memo.get(next) match {
+                  case Some(Some((r, d))) => res = Some(Some((r, d + path.length)))
+                  case Some(None) => res = Some(None)
+                  case None => path += next; onPath += next
+                }
+              }
+            }
+            val out = res.get
+            // memoize every node on the walked path: path(i) is i hops
+            // past START, so its distance to the root is d - i
+            path.indices.foreach { i =>
+              memo(path(i)) = out.map { case (r, d) => (r, d - i) }
+            }
+            out
+        }
+        val settled = srcs.flatMap { s =>
+          resolve(s) match {
+            case Some((root, h)) if h <= maxDepth => Some((s, root))
+            case _ => None
+          }
+        }
+        val spark = edges.sparkSession
+        val t = e.schema.fields(0).dataType
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            settled.toSeq.map { case (s, r) => org.apache.spark.sql.Row(s, r) }, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("src", t),
+            org.apache.spark.sql.types.StructField("root", t))))
+      }
+    }
     // seed: every edge, path = [src] (nodes already visited)
     var frontier = e.select(col("src"), col("dst"), array(col("src")).as("path"))
     var settled: DataFrame = null

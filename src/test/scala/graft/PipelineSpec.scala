@@ -27,14 +27,38 @@ class PipelineSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   import spark.implicits._
 
-  test("transitive closure resolves chains and drops cycles") {
+  test("transitive closure resolves chains and drops cycles (both paths)") {
     // chain a->b->c->R, shortcut d->R, 2-cycle x<->y, self-loop z->z
     val edges = Seq(
       ("a", "b"), ("b", "c"), ("c", "R"), ("d", "R"),
       ("x", "y"), ("y", "x"), ("z", "z")).toDF("src", "dst")
+    val want = Set(("a", "R"), ("b", "R"), ("c", "R"), ("d", "R"))
+    // driver fast path (functional graph, below threshold)
+    assert(Redirects.transitiveClosure(edges)
+      .as[(String, String)].collect().toSet == want)
+    // distributed loop (threshold forced to 0)
+    assert(Redirects.transitiveClosure(edges, localThreshold = 0)
+      .as[(String, String)].collect().toSet == want)
+  }
+
+  test("transitive closure: local path honors the maxDepth cap like the loop") {
+    // 20-hop chain: with maxDepth=16 both paths drop the deep sources
+    val chain = (0 until 20).map(i => (s"c$i", s"c${i + 1}")).toDF("src", "dst")
+    val local = Redirects.transitiveClosure(chain)
+      .as[(String, String)].collect().toSet
+    val dist = Redirects.transitiveClosure(chain, localThreshold = 0)
+      .as[(String, String)].collect().toSet
+    assert(local == dist)
+    // sources more than 16 hops from the terminal are unsettled
+    assert(local == (4 until 20).map(i => (s"c$i", "c20")).toSet)
+  }
+
+  test("transitive closure: non-functional graph falls back to the loop (multi-target)") {
+    // b has two successors: the driver fast path must not engage
+    val edges = Seq(("a", "b"), ("b", "R"), ("b", "S")).toDF("src", "dst")
     val got = Redirects.transitiveClosure(edges)
       .as[(String, String)].collect().toSet
-    assert(got == Set(("a", "R"), ("b", "R"), ("c", "R"), ("d", "R")))
+    assert(got == Set(("a", "R"), ("a", "S"), ("b", "R"), ("b", "S")))
   }
 
   test("pointer-doubling closure equals the per-hop loop; handles depth >> loop cap") {
