@@ -324,8 +324,11 @@ object SparkEntry {
     }),
 
     "q25_kg_closure" -> ((s, d) =>
-      // iterative self-join transitive closure with cycle guard (J6)
-      Redirects.transitiveClosure(aliasEdges(s, d))),
+      // iterative self-join transitive closure with cycle guard (J6) —
+      // localThreshold=0 pins the DISTRIBUTED loop under the oracle
+      // (the adaptive default would take the driver fast path at this
+      // graph size; production call sites use the default)
+      Redirects.transitiveClosure(aliasEdges(s, d), localThreshold = 0)),
 
     "q65_closure_doubling" -> ((s, d) =>
       // pointer-doubling closure (log-depth scale path; same output
