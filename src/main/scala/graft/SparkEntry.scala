@@ -330,6 +330,24 @@ object SparkEntry {
       // graph size; production call sites use the default)
       Redirects.transitiveClosure(aliasEdges(s, d), localThreshold = 0)),
 
+    "q66_heavy_hitters" -> ((s, d) => {
+      // hot-key detection for the salted-join path: one Misra-Gries
+      // sketch pass (k=64 counters; no false negatives above n/65),
+      // exact recount of only the tiny candidate set, threshold n/40.
+      // MG's guarantee covers the threshold, so the result is exactly
+      // the full groupBy's — without a corpus-wide shuffle of all keys.
+      import org.apache.spark.sql.functions.udaf
+      val tokens = Tables.documents(s, d).select(explode(toks).as("tok"))
+      val total = tokens.count()
+      val mg = udaf(new graft.functions.Aggregators.MisraGries(64))
+      val cands = tokens.agg(mg(col("tok")).as("c"))
+        .select(explode(col("c")).as("tok"))
+      tokens.join(broadcast(cands), Seq("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") >= total / 40.0)
+    }),
+
     "q65_closure_doubling" -> ((s, d) =>
       // pointer-doubling closure (log-depth scale path; same output
       // contract and oracle as q25's per-hop loop)
@@ -916,6 +934,14 @@ object SparkEntry {
          |  WHERE NOT list_contains(w.path, w.dst))
          |SELECT DISTINCT w.src, w.dst AS root FROM walk w
          |WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.dst)""".stripMargin,
+
+    "q66_heavy_hitters" ->
+      """WITH t AS (
+        | SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT count(*) AS c FROM t)
+        |SELECT tok, count(*) AS n_occ
+        |FROM t, n GROUP BY tok, n.c
+        |HAVING count(*) >= c / 40.0""".stripMargin,
 
     "q65_closure_doubling" ->
       s"""WITH RECURSIVE $aliasEdgesSql,

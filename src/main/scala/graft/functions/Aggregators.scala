@@ -47,9 +47,51 @@ object Aggregators {
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
+  /**
+   * Misra-Gries heavy-hitters sketch (mergeable summaries form,
+   * Agarwal et al., PODS'12): at most `k` counters; every key whose
+   * true frequency exceeds n/(k+1) is GUARANTEED to survive (counts are
+   * underestimates, never missing keys above the threshold — which is
+   * what makes it composable with an exact recount of the candidate
+   * set). `merge` is pointwise sum followed by the (k+1)-th-largest
+   * decrement, preserving the guarantee across partials — so this runs
+   * as a true map-side-combining aggregation. This is the hot-key
+   * DETECTOR that feeds Skew.saltedJoin: find the popular entities in
+   * one cheap pass, salt only those.
+   */
+  final class MisraGries(k: Int = 64)
+      extends Aggregator[String, Map[String, Long], Seq[String]] {
+    def zero: Map[String, Long] = Map.empty
+
+    private def shrink(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= k) m
+      else {
+        // subtract the (k+1)-th largest count from everything
+        val cut = m.values.toSeq.sortBy(-_)(Ordering.Long)(k)
+        m.flatMap { case (key, c) => if (c > cut) Some(key -> (c - cut)) else None }
+      }
+
+    def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+      if (a == null) b
+      else shrink(b.updated(a, b.getOrElse(a, 0L) + 1L))
+
+    def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] =
+      shrink(b2.foldLeft(b1) { case (m, (key, c)) =>
+        m.updated(key, m.getOrElse(key, 0L) + c)
+      })
+
+    def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
+    def bufferEncoder: Encoder[Map[String, Long]] = ExprEncoders.mapStringLong
+    def outputEncoder: Encoder[Seq[String]] = ExprEncoders.seqString
+  }
+
   object ExprEncoders {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     implicit val seqLongString: Encoder[Seq[(Long, String)]] =
       ExpressionEncoder[Seq[(Long, String)]]()
+    implicit val mapStringLong: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    implicit val seqString: Encoder[Seq[String]] =
+      ExpressionEncoder[Seq[String]]()
   }
 }

@@ -375,6 +375,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("Misra-Gries sketch: no false negatives above n/(k+1), under heavy eviction") {
+    import org.apache.spark.sql.functions.udaf
+    val rnd = new scala.util.Random(13)
+    // zipf-ish skewed stream over a vocabulary far larger than k:
+    // forces constant eviction; plus two planted heavy keys
+    val stream = Vector.fill(20000)(s"t${math.pow(rnd.nextDouble(), 3).*(5000).toInt}") ++
+      Vector.fill(3000)("HOT_A") ++ Vector.fill(1500)("HOT_B")
+    val n = stream.size
+    val k = 16
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val mustSurvive = exact.filter(_._2 > n.toLong / (k + 1)).keySet
+    assert(mustSurvive.contains("HOT_A") && mustSurvive.contains("HOT_B"))
+    val mg = udaf(new Aggregators.MisraGries(k))
+    // shuffled across 8 partitions: exercises reduce AND merge
+    val got = spark.createDataset(rnd.shuffle(stream)).repartition(8)
+      .agg(mg(col("value")).as("c"))
+      .as[Seq[String]].collect().head.toSet
+    assert(got.size <= k, s"sketch kept ${got.size} > $k keys")
+    assert(mustSurvive.subsetOf(got),
+      s"missing guaranteed keys: ${mustSurvive -- got}")
+  }
+
   test("driver contract: every query has an oracle and vice versa") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
       s"missing oracles: ${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}; " +
