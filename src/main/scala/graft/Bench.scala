@@ -73,7 +73,10 @@ object Bench {
     val genTag = graft.functions.TextFunctions.sha256Hex(
       (0L until 4L).map(i => CorpusGen.file(i, scale = scale).content).mkString(""))
       .take(8)
-    val corpusParts = 256 // 8 waves at 32 cores: straggler tail amortizes
+    // 16 waves at 32 cores: under host throttling per-core speed varies
+    // 2-3x between vCPUs minute-to-minute, and finer tasks shrink the
+    // last-wave straggler loss proportionally
+    val corpusParts = 512
     val corpusDir = s"/tmp/graft-bench-corpus-$nFiles-x$scale-p$corpusParts-$genTag"
     if (!new java.io.File(s"$corpusDir/_SUCCESS").exists()) {
       val s = newSession(cpus)
