@@ -95,6 +95,54 @@ object Multimodal {
       .toDF("vec_id", "embedding")
   }
 
+  /**
+   * STUB resize: deterministic payload transform to the target
+   * dimensions (a real implementation decodes, scales, re-encodes).
+   * The contract is the shape: payload-in/payload-out with recorded
+   * output dims, map-side, no shuffle.
+   */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](math.min(bytes.length, math.max(16, (w * h) / 64)))
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i % math.max(bytes.length, 1)); i += 1 }
+    out
+  }
+
+  /** media(media_id, payload) -> (media_id, payload, width, height)
+    * resized to fixed target dims — the thumbnail/training-resolution
+    * normalization stage. */
+  def resize(media: DataFrame, w: Int = 224, h: Int = 224): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, resizeStub(bytes, w, h), w, h) })
+      .toDF("media_id", "payload", "width", "height")
+  }
+
+  /**
+   * Frame sampling: one row per sampled frame (every `everyN`-th of the
+   * decoded frame count) — the video fan-out stage. STUB frame payload
+   * = deterministic slice of the container bytes; the real contract is
+   * the explode SHAPE: (media_id, frame_idx, frame_payload) rows whose
+   * payloads feed extractFeatures/ANN per frame.
+   */
+  def sampleFrames(media: DataFrame, everyN: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val meta = decodeStub(id, bytes)
+        (0 until meta.n_frames by everyN).map { f =>
+          val n = math.max(bytes.length, 1)
+          val start = (f * n / math.max(meta.n_frames, 1)) % n
+          (id, f, java.util.Arrays.copyOfRange(bytes, start, math.min(start + 64, bytes.length)))
+        }
+      })
+      .toDF("media_id", "frame_idx", "frame_payload")
+  }
+
   /** Documents table viewed as a binary media relation (UTF-8 payloads). */
   def documentsAsMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").as("media_id"),

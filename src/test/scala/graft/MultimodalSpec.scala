@@ -29,6 +29,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
   }
 
+  test("resize normalizes dims; frame sampling fans out per sampled frame") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.documentsAsMedia(docs)
+    val resized = Multimodal.resize(media, 224, 224)
+    assert(resized.count() == docs.count())
+    assert(resized.select("width", "height").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((224, 224)))
+
+    val frames = Multimodal.sampleFrames(media, everyN = 4)
+    // every media contributes ceil(n_frames/4) rows; cross-check counts
+    val meta = Multimodal.decodeMeta(media).collect()
+      .map(m => m.media_id -> ((m.n_frames + 3) / 4).toLong).toMap
+    val got = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == meta)
+    // per-frame payloads compose with the feature extractor (per-frame ANN)
+    val frameFeats = Multimodal.extractFeatures(
+      frames.select(
+        (col("media_id") * 1000 + col("frame_idx")).as("media_id"),
+        col("frame_payload").as("payload")))
+    assert(frameFeats.count() == frames.count())
+  }
+
   test("feature vectors feed the ANN operators directly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val feats = Multimodal.extractFeatures(Multimodal.documentsAsMedia(docs))
