@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
  *     --corpus <parquet dir | gen:N> --out <dir> [--stages s1,s2,...]
  *
  * Stages (each a Checkpoints snapshot; a killed run resumes from the
- * last committed one): mentions, aliases, closure, triples.
+ * last committed one): mentions, aliases, closure, ner, triples.
  */
 object Main {
 
@@ -86,6 +86,24 @@ object Main {
           if (aliases != null) aliases else spark.read.parquet(s"$outDir/stages/02_aliases"))
       }
       println(s"[graft] canonical aliases: ${canon.count()}")
+    }
+    if (stages("ner")) {
+      // full ner-corpus chain (reference 01->03) as an operational
+      // stage: entity-type side inputs derived from the corpus
+      // dictionary (in production these come from
+      // NerCorpus.readUriUriNt over real NT dumps)
+      import graft.functions.TextFunctions
+      val entityTypes = (for {
+        e <- dict.values.toSeq.distinct
+        lang <- CorpusGen.langs
+      } yield (TextFunctions.nameToUri(e, lang),
+        "http://graft.dev/ontology/Component")).toDF("subject", "object")
+      val typeNames = Seq(("http://graft.dev/ontology/Component", "component"))
+        .toDF("typeUri", "typeName")
+      val annotated = cp.runStage("05_ner_corpus") {
+        NerCorpus.run(typedFiles, dict, entityTypes, typeNames)
+      }
+      println(s"[graft] ner annotated sentences: ${annotated.count()}")
     }
     if (stages("triples")) {
       val m = if (mentions != null) mentions
