@@ -766,6 +766,11 @@ object SparkEntry {
           round(expr("percentile(n_chars, 0.99)"), 2).as("p99"),
           max(col("n_chars")).as("max_chars"))),
 
+    "q67_pack_shards" -> ((s, d) =>
+      // sequence packing into 256-token training shards via a
+      // distributed two-pass prefix sum (no global window)
+      Curation.packShards(Tables.documents(s, d), budgetTokens = 256L)),
+
     "q56_sample_split" -> ((s, d) =>
       // deterministic md5-bucket train/val/test split + 1.2% sample —
       // reproducible across engines/runs/cluster sizes (no RNG)
@@ -1371,6 +1376,13 @@ object SparkEntry {
         | round(quantile_cont(n_chars, 0.99), 2) AS p99,
         | max(n_chars) AS max_chars
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "q67_pack_shards" ->
+      """SELECT doc_id, n AS n_tokens,
+        | CAST(floor((cum - n) / 256.0) AS BIGINT) AS shard_id
+        |FROM (
+        | SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id) AS cum FROM (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents))""".stripMargin,
 
     "q56_sample_split" ->
       """WITH s AS (

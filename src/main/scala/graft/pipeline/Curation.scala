@@ -97,6 +97,42 @@ object Curation {
   }
 
   /**
+   * Sequence packing: assign documents (in a deterministic global
+   * order) to fixed-token-budget training shards — shard id =
+   * floor(running-token-sum-before-this-doc / budget). Computed as a
+   * SCALE-CORRECT distributed prefix sum: range-partition on the order
+   * key, per-partition token totals collect to the driver (one row per
+   * partition), cumulative base offsets broadcast back, and the
+   * within-partition running sum is a window partitioned by partition
+   * id — no global single-partition window ever materializes. The
+   * result is independent of the partitioning (offsets restore the
+   * global order), so it equals the naive one-window formulation that
+   * oracles it.
+   */
+  def packShards(docs: DataFrame, budgetTokens: Long = 256L,
+      orderCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val sized = docs
+      .select(col(orderCol), TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .repartitionByRange(parts, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = sized.groupBy(col("_pid")).agg(sum(col("n")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // base offset of partition p = sum of totals of partitions before it
+    val baseOf = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val baseUdf = udf((pid: Int) => baseOf.getOrElse(pid, 0L))
+    val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+    sized
+      .withColumn("_cum", baseUdf(col("_pid")) + sum(col("n")).over(w))
+      .select(col(orderCol), col("n").as("n_tokens"),
+        floor((col("_cum") - col("n")) / budgetTokens).cast("long").as("shard_id"))
+  }
+
+  /**
    * Contamination: for each corpus doc, the number of distinct n-gram
    * shingles it shares with the benchmark set. The benchmark shingle
    * set is small by definition → broadcast semi-side.

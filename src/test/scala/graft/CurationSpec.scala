@@ -68,6 +68,23 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Set((10L, 1L)))
   }
 
+  test("shard packing equals the naive global cumsum, independent of partitioning") {
+    val rnd = new scala.util.Random(5)
+    val d = (0L until 300L).map(i => (i, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    // naive driver truth
+    val lens = d.select("doc_id", "text").as[(Long, String)].collect()
+      .sortBy(_._1).map { case (id, t) => (id, t.split(" ").length.toLong) }
+    var cum = 0L
+    val want = lens.map { case (id, n) => cum += n; (id, (cum - n) / 64) }.toMap
+    val got = Curation.packShards(d, budgetTokens = 64L)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    val got7 = Curation.packShards(d.repartition(7), budgetTokens = 64L)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    assert(got7 == want)
+  }
+
   test("token chunking is a total segmentation (every token in one chunk)") {
     val d = docs((1L, (1 to 13).map(i => s"t$i").mkString(" ")))
     val chunks = d.select(explode(Curation.tokenChunks(col("text"), 5)).as("c"))
