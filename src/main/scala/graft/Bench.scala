@@ -200,14 +200,19 @@ object Bench {
       val cH = ceiling(cpus); val tH = timed(cpus); val pcH = lastCpu
       Pass(cL, tL, cH, tH, pcL, pcH)
     }
-    // headline = best pass by normalized efficiency, clamped at 1.0: a
-    // ratio above 1 only means the adjacent ceiling probe caught a worse
-    // host window than the pipeline run — physically "at the ceiling
-    // within noise", never evidence of super-linear scaling. Raw
-    // per-pass values stay unclamped in `passes`.
+    // Headlines are each best-observed: the efficiency fields come from
+    // the pass with the best normalized ratio (clamped at 1.0 — a ratio
+    // above 1 only means the adjacent ceiling probe caught a worse host
+    // window than the pipeline run, never super-linear scaling), while
+    // sec_lo/sec_hi/files_per_sec report the fastest individual runs
+    // (capability under identical input; a throttled window can make
+    // the best-RATIO pass the slowest in absolute terms). All raw pass
+    // values are in `passes`.
     val best = passes.maxBy(p => math.min(p.normEff, 1.0))
-    val thrLo = nFiles / best.tLo
-    val thrHi = nFiles / best.tHi
+    val tLoBest = passes.map(_.tLo).min
+    val tHiBest = passes.map(_.tHi).min
+    val thrLo = nFiles / tLoBest
+    val thrHi = nFiles / tHiBest
     val passJson = passes.map(p =>
       f"""{"sec_lo":${p.tLo}%.2f,"sec_hi":${p.tHi}%.2f,"eff":${p.eff}%.3f,""" +
         f""""ceil_eff":${p.ceilEff}%.3f,"norm_eff":${p.normEff}%.3f,""" +
@@ -215,8 +220,8 @@ object Bench {
         f""""cpu_norm_eff":${p.cpuNormEff}%.3f}""")
       .mkString("[", ",", "]")
     val json =
-      f""""cores_lo":$lo,"sec_lo":${best.tLo}%.3f,"files_per_sec_lo":$thrLo%.1f,""" +
-        f""""cores_hi":$cpus,"sec_hi":${best.tHi}%.3f,"files_per_sec_hi":$thrHi%.1f,""" +
+      f""""cores_lo":$lo,"sec_lo":$tLoBest%.3f,"files_per_sec_lo":$thrLo%.1f,""" +
+        f""""cores_hi":$cpus,"sec_hi":$tHiBest%.3f,"files_per_sec_hi":$thrHi%.1f,""" +
         f""""cpu_sec_lo":${best.cpuLo}%.1f,"cpu_sec_hi":${best.cpuHi}%.1f,""" +
         f""""scaling_efficiency":${best.eff}%.3f,""" +
         f""""machine_ceiling_efficiency":${best.ceilEff}%.3f,""" +
