@@ -211,7 +211,7 @@ object Bench {
     // median (clamped) pass for the efficiency headline: robust to a
     // throttle pocket hitting one pipeline run AND to a lucky/unlucky
     // ceiling probe, unlike max or mean of three
-    val best = passes.sortBy(p => math.min(p.normEff, 1.0))(passes.length / 2)
+    val best = passes.sortBy(p => math.min(p.normEff, 1.0)).apply(passes.length / 2)
     val tLoBest = passes.map(_.tLo).min
     val tHiBest = passes.map(_.tHi).min
     val thrLo = nFiles / tLoBest
