@@ -73,6 +73,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental triples: streaming mentions resolve against the static closure") {
+    // stream-static join — new files arrive as a stream, their mention
+    // targets resolve against the existing (static, broadcastable)
+    // alias closure, emitting resolved triples incrementally; output
+    // equals the batch pipeline on the bounded input
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-triples-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    def toFiles(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("source").as("repo"),
+      concat(lit("doc/"), col("doc_id")).as("path"),
+      md5(col("text")).as("commit"),
+      col("lang"),
+      col("text").as("content")).as[graft.core.CodeFile]
+    val dict = SparkEntry.dict.map { case (sf, e, _) => (sf, e) }.toMap
+    // static closure over a small synthetic alias graph on mention targets
+    val someTargets = graft.pipeline.Mentions
+      .extract(toFiles(spark.read.parquet(s"$sfDir/documents.parquet")), dict)
+      .select(col("target")).distinct().as[String].collect().sorted.take(2)
+    val canon = graft.pipeline.Redirects.transitiveClosure(
+      someTargets.map(t => (t, "http://graft.dev/canonical/Root")).toSeq.toDF("src", "dst"))
+
+    def resolve(mentions: org.apache.spark.sql.DataFrame) = mentions
+      .join(broadcast(canon.withColumnRenamed("src", "target")), Seq("target"), "left_outer")
+      .select(col("uri").as("subj"), coalesce(col("root"), col("target")).as("obj"))
+
+    val batch = resolve(graft.pipeline.Mentions
+        .extract(toFiles(spark.read.parquet(s"$sfDir/documents.parquet")), dict).toDF())
+      .distinct().collect().map(_.toString).sorted.toSeq
+    assert(batch.exists(_.contains("canonical/Root")), "closure must rewrite some targets")
+
+    val stream = resolve(graft.pipeline.Mentions
+      .extract(toFiles(spark.readStream.schema(schema).parquet(dir.toString)), dict).toDF())
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("triples_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("triples_stream").distinct()
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps one row per key (batch-distinct parity)") {
     val sfDir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._
