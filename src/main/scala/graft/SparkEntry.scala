@@ -450,6 +450,25 @@ object SparkEntry {
             s => annotate(s.getField("token"))), " ").as("annotated"))
     }),
 
+    "q68_kg_onetype_corpus" -> ((s, d) => {
+      // ner-corpus/03bis_filter_join_by_type_and_convert.pig:18 analog
+      // (`type == '$TYPE_URI'`): the SAME group+annotate chain as q35,
+      // but the broadcast type join is filtered to ONE type before the
+      // merge and only sentences actually mentioning that type survive
+      val surfaces = dict.filter(_._3 == "OPERATOR").map(_._1)
+      val isOne = (t: Column) => t.isin(surfaces.map(x => x: Any): _*)
+      val annotate = (t: Column) =>
+        when(isOne(t), concat(lit("<START:OPERATOR> "), t, lit(" <END>"))).otherwise(t)
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+        .groupBy(col("doc_id"), (col("pos") / 10).cast("int").as("sentence_order"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+            x => annotate(x.getField("token"))), " ").as("annotated"),
+          sum(isOne(col("token")).cast("int")).as("n_type_mentions"))
+        .filter(col("n_type_mentions") > 0)
+    }),
+
     "q36_kg_capped_abstracts" -> ((s, d) => {
       // AggregateTextBag analog (U3) as a real typed Aggregator with an
       // explicit sort key (doc_id) for determinism (SURVEY §2.10.4)
@@ -547,42 +566,37 @@ object SparkEntry {
     }),
 
     "q44_sim_lsh" -> ((s, d) => {
+      // multi-band sign-LSH ANN: 4 independent 8-bit hash tables
+      // (union of bucket joins); per-band bucket population is n/256
+      // and recall compounds across bands — the scale knobs (bits up,
+      // bands up) are documented at Similarity.signBandKeys
       val emb = Tables.embeddings(s, d)
       val probes = emb.filter(col("vec_id") % 50 === 0)
-      Similarity.lshTopK(probes, emb, 5, bits = 8)
+      Similarity.lshTopK(probes, emb, 5, bits = 8, bands = 4)
         .select(col("probe_id"), col("cand_id"), round(col("cos"), 4).as("cos"),
           col("rank"))
     }),
 
-    "q53_emb_neardup" -> ((s, d) => {
-      // embedding-cosine near-duplicate pairs: LSH sign-bucket join +
-      // threshold (the embedding analog of minhash near-dup); the
-      // synthetic embeddings are random, so the demo threshold is low
-      // norms precomputed per side, not per pair
-      val b = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-        Similarity.norm(col("embedding")).as("nrm"),
-        Similarity.signBucket(col("embedding"), 8).as("bucket"))
-      val a1 = b.select(col("bucket"), col("vec_id").as("id_a"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      val a2 = b.select(col("bucket"), col("vec_id").as("id_b"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
-      a1.join(a2, Seq("bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          when(col("na") * col("nb") === 0, lit(0.0))
-            .otherwise(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-            .as("cos"))
+    "q53_emb_neardup" -> ((s, d) =>
+      // embedding-cosine near-duplicate pairs: multi-band sign-LSH
+      // candidate join + exact-cosine threshold (the embedding analog
+      // of minhash near-dup); the synthetic embeddings are near-random,
+      // so the demo threshold is low
+      Similarity.signLshPairs(Tables.embeddings(s, d), bits = 8, bands = 4)
         .filter(col("cos") >= 0.25)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
-    }),
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))),
 
     "q52_sim_ivf" -> ((s, d) => {
-      // IVF-style ANN: coarse cells = nearest of a fixed centroid set
-      // (deterministic seeds), probes search only their own cell — the
-      // scale path that replaces the brute-force cross join with a
-      // cell-partitioned join
+      // IVF-style ANN: coarse cells = nearest of a FIXED-k centroid set
+      // (k=16 deterministic seed vectors — crucially, k does NOT grow
+      // with the corpus: assignment is O(n*k) against a broadcast of k
+      // rows, where a corpus-proportional centroid set would be
+      // O(n^2/c)); probes search only their own cell — the scale path
+      // that replaces the brute-force cross join with a cell-
+      // partitioned join. On a real deployment the seeds come from a
+      // k-means sample; the plan shape is identical.
       val emb = Tables.embeddings(s, d)
-      val cents = emb.filter(col("vec_id") % 97 === 0)
+      val cents = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
       val l2 = (a: Column, b: Column) =>
         sqrt(aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double"))
@@ -648,17 +662,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .filter(col("n_docs") > 1)),
 
-    "q50_dedup_simhash_pairs" -> ((s, d) => {
-      // SimHash near-dup candidates: codegen simhash64 expression +
-      // hamming distance via bit_count(xor) on adjacent-id pairs
-      val sh = Tables.documents(s, d).select(col("doc_id"),
-        graft.functions.GraftFunctions.simhash64(col("text")).as("sh"))
-      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.join(b, col("id_b") === col("id_a") + 1)
-        .select(col("id_a"), col("id_b"),
-          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
-    }),
+    "q50_dedup_simhash_pairs" -> ((s, d) =>
+      // SimHash near-dup SEARCH: 4x15-bit Hamming-ball banding over the
+      // codegen simhash64 expression — candidates share a 15-bit chunk,
+      // verified by bit_count(xor) <= 20. No adjacent-id or all-pairs
+      // step anywhere; duplicates are found wherever they sit in the
+      // corpus (Dedup.simhashCandidates).
+      Dedup.simhashCandidates(Tables.documents(s, d), maxHamming = 20)),
 
     "q51_dedup_simhash" -> ((s, d) =>
       // per-doc 60-bit SimHash (custom Catalyst expression)
@@ -699,16 +709,12 @@ object SparkEntry {
     }),
 
     "q64_connected_components" -> ((s, d) => {
-      // near-dup components: simhash-adjacent pairs within hamming 20
-      // as edges, generic iterative min-label propagation for labels
-      val sh = Tables.documents(s, d).select(col("doc_id"),
-        graft.functions.GraftFunctions.simhash64(col("text")).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val a = sh.select(col("doc_id").as("src"), col("sh").as("sh_a"))
-      val b = sh.select(col("doc_id").as("dst"), col("sh").as("sh_b"))
-      val edges = a.join(b, col("dst") === col("src") + 1)
-        .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 20)
-        .select(col("src"), col("dst"))
+      // near-dup components: banded simhash search (hamming <= 8 —
+      // tight, so components are real duplicate clusters rather than
+      // one giant blob on this template-similar corpus) feeding the
+      // adaptive min-label/union-find component labeler
+      val edges = Dedup.simhashCandidates(Tables.documents(s, d), maxHamming = 8)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
       TopicGraph.connectedComponents(edges)
     }),
 
@@ -1041,6 +1047,19 @@ object SparkEntry {
          |FROM tok GROUP BY 1, 2""".stripMargin
     },
 
+    "q68_kg_onetype_corpus" -> {
+      val inList = dict.filter(_._3 == "OPERATOR").map(s => s"'${s._1}'").mkString(", ")
+      s"""WITH $tokenPosSql
+         |SELECT doc_id, CAST((i - 1) // 10 AS INT) AS sentence_order,
+         | string_agg(CASE WHEN surface IN ($inList)
+         |   THEN '<START:OPERATOR> ' || surface || ' <END>'
+         |   ELSE surface END, ' ' ORDER BY i) AS annotated,
+         | CAST(sum(CASE WHEN surface IN ($inList) THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_type_mentions
+         |FROM tok GROUP BY 1, 2
+         |HAVING sum(CASE WHEN surface IN ($inList) THEN 1 ELSE 0 END) > 0""".stripMargin
+    },
+
     "q36_kg_capped_abstracts" ->
       """WITH sized AS (
         |  SELECT lang, doc_id, text,
@@ -1188,35 +1207,45 @@ object SparkEntry {
         | WHERE p.vec_id % 50 = 0) WHERE rank <= 5""".stripMargin,
 
     "q44_sim_lsh" ->
-      """WITH b AS (
+      """WITH bk AS (
         | SELECT vec_id, embedding,
-        |  array_to_string(list_transform(embedding[1:8],
+        |  b || '|' || array_to_string(list_transform(embedding[b*8+1:(b+1)*8],
         |    v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '') AS bucket
-        | FROM embeddings)
+        | FROM embeddings, range(0, 4) r(b)),
+        |cand AS (
+        | SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+        | FROM bk p JOIN bk c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+        | WHERE p.vec_id % 50 = 0)
         |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank FROM (
-        | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        | SELECT cand.probe_id, cand.cand_id,
         |  list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
-        |  row_number() OVER (PARTITION BY p.vec_id
+        |  row_number() OVER (PARTITION BY cand.probe_id
         |    ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-        |             c.vec_id ASC) AS rank
-        | FROM b p JOIN b c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
-        | WHERE p.vec_id % 50 = 0) WHERE rank <= 5""".stripMargin,
+        |             cand.cand_id ASC) AS rank
+        | FROM cand
+        | JOIN embeddings p ON cand.probe_id = p.vec_id
+        | JOIN embeddings c ON cand.cand_id = c.vec_id) WHERE rank <= 5""".stripMargin,
 
     "q53_emb_neardup" ->
-      """WITH b AS (
+      """WITH bk AS (
         | SELECT vec_id, embedding,
-        |  array_to_string(list_transform(embedding[1:8],
+        |  b || '|' || array_to_string(list_transform(embedding[b*8+1:(b+1)*8],
         |    v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '') AS bucket
-        | FROM embeddings)
-        |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+        | FROM embeddings, range(0, 4) r(b)),
+        |cand AS (
+        | SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        | FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+        |SELECT cand.id_a, cand.id_b,
         | round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos
-        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |FROM cand
+        |JOIN embeddings a ON cand.id_a = a.vec_id
+        |JOIN embeddings c ON cand.id_b = c.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.25""".stripMargin,
 
     "q52_sim_ivf" ->
       """WITH cents AS (
         | SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
-        | FROM embeddings WHERE vec_id % 97 = 0),
+        | FROM embeddings WHERE vec_id < 16),
         |assign AS (
         | SELECT vec_id, embedding, cell FROM (
         |  SELECT e.vec_id, e.embedding, c.cent_id AS cell,
@@ -1300,9 +1329,14 @@ object SparkEntry {
         | SELECT doc_id,
         |  CAST(sum(CASE WHEN 2*cnt > total THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
         | FROM bits GROUP BY doc_id)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         | CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | AND ((a.sh & 32767) = (b.sh & 32767)
+        |   OR ((a.sh >> 15) & 32767) = ((b.sh >> 15) & 32767)
+        |   OR ((a.sh >> 30) & 32767) = ((b.sh >> 30) & 32767)
+        |   OR ((a.sh >> 45) & 32767) = ((b.sh >> 45) & 32767))
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 20""".stripMargin,
 
     "q62_asof_join" ->
       """WITH clicks AS (
@@ -1315,10 +1349,9 @@ object SparkEntry {
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
     "q64_connected_components" ->
-      // components of the (i, i+1) near-dup chain graph via
-      // gaps-and-islands: a node starts a new component iff no edge
-      // arrives from its predecessor
-      """WITH h AS (
+      // components of the banded-simhash near-dup graph via a recursive
+      // min-label reachability closure (set semantics terminate it)
+      """WITH RECURSIVE h AS (
         | SELECT doc_id, ('0x' || substring(md5(w.word), 1, 15))::BIGINT AS h
         | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) w
         | WHERE w.word <> ''),
@@ -1330,15 +1363,19 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN 2*cnt > total THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
         | FROM bits GROUP BY doc_id),
         |e AS (
-        | SELECT a.doc_id AS src, b.doc_id AS dst
-        | FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
-        | WHERE bit_count(xor(a.sh, b.sh)) <= 20),
-        |nodes AS (SELECT DISTINCT n FROM (SELECT src AS n FROM e UNION SELECT dst FROM e)),
-        |grp AS (
-        | SELECT n, sum(CASE WHEN EXISTS (SELECT 1 FROM e WHERE e.dst = n)
-        |                    THEN 0 ELSE 1 END) OVER (ORDER BY n) AS g
-        | FROM nodes)
-        |SELECT n AS node, min(n) OVER (PARTITION BY g) AS label FROM grp""".stripMargin,
+        | SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  AND ((a.sh & 32767) = (b.sh & 32767)
+        |    OR ((a.sh >> 15) & 32767) = ((b.sh >> 15) & 32767)
+        |    OR ((a.sh >> 30) & 32767) = ((b.sh >> 30) & 32767)
+        |    OR ((a.sh >> 45) & 32767) = ((b.sh >> 45) & 32767))
+        | WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+        |sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+        |reach(n, m) AS (
+        | SELECT src, src FROM sym
+        | UNION
+        | SELECT s.dst, r.m FROM reach r JOIN sym s ON s.src = r.n)
+        |SELECT n AS node, min(m) AS label FROM reach GROUP BY n""".stripMargin,
 
     "q63_range_join" ->
       """WITH s AS (
@@ -1393,7 +1430,7 @@ object SparkEntry {
         |  CASE WHEN substring(md5('s:' || doc_id::VARCHAR), 1, 2) < '03'
         |       THEN 1 ELSE 0 END AS samp
         | FROM documents)
-        |SELECT split, lang, count(*) AS n_docs, sum(samp) AS n_sampled
+        |SELECT split, lang, count(*) AS n_docs, CAST(sum(samp) AS BIGINT) AS n_sampled
         |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q57_redact" ->
@@ -1411,9 +1448,9 @@ object SparkEntry {
         |  FROM documents)),
         |freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
         |SELECT ch.doc_id, count(*) AS n_chunks,
-        | sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
-        | round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
-        |   AS dup_ratio
+        | CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        | round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   / CAST(count(*) AS DOUBLE), 4) AS dup_ratio
         |FROM ch JOIN freq USING (h) GROUP BY ch.doc_id""".stripMargin,
 
     "q59_contamination" ->

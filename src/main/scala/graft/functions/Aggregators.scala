@@ -18,16 +18,61 @@ object Aggregators {
   /**
    * Size-capped concat (AggregateTextBag.java:53-109 semantics via
    * TextFunctions.cappedConcat). Buffer keeps (sortKey, item) pairs;
-   * items are pre-truncated to sizeLimit so a pathological row can never
-   * blow the buffer past O(sizeLimit) per pending item.
+   * items are pre-truncated to sizeLimit, and the buffer itself is
+   * BOUNDED at O(sizeLimit) total characters: a hot group (one entity
+   * mentioned in millions of sentences) can never materialize whole in
+   * a partial.
+   *
+   * Bounding rule (prefix-monotone, so partials may apply it
+   * independently and merge stays associative): sort by key, keep items
+   * while the running sum of min(len, 199) is below sizeLimit.
+   * Soundness: cappedConcat's per-item budget is >= 200, and a cut at a
+   * word boundary never shrinks an item below budget-1 chars, so every
+   * item contributes >= min(len, 199) chars to the output's running
+   * total — an item whose PRIOR items already sum past sizeLimit by
+   * that lower bound can never be emitted. Count-consistency: per-item
+   * budget = max(sizeLimit/n, 200) depends on the group count n, but
+   * whenever the rule drops anything, the kept prefix alone has
+   * n_kept >= sizeLimit/199 items, which forces the budget to its 200
+   * floor for both the true n and the kept n — identical output.
    */
   final class CappedConcat(sizeLimit: Int = 100000)
       extends Aggregator[(Long, String), Seq[(Long, String)], String] {
+    // re-sort + re-trim amortized: only when the buffer grows past this
+    private val slack = 256
+    private def bound(b: Seq[(Long, String)]): Seq[(Long, String)] = {
+      val sorted = b.sortBy(_._1)
+      var acc = 0L
+      val out = Seq.newBuilder[(Long, String)]
+      val it = sorted.iterator
+      var stop = false
+      while (it.hasNext && !stop) {
+        val kv = it.next()
+        if (acc >= sizeLimit) stop = true
+        else { out += kv; acc += math.min(kv._2.length, 199).toLong }
+      }
+      out.result()
+    }
+    private def maybeBound(b: Seq[(Long, String)]): Seq[(Long, String)] = {
+      // cheap char-sum test; only pay the sort when something can drop
+      if (b.length <= slack) b
+      else {
+        var chars = 0L
+        b.foreach(kv => chars += math.min(kv._2.length, 199).toLong)
+        if (chars < sizeLimit) b else bound(b)
+      }
+    }
     def zero: Seq[(Long, String)] = Seq.empty
     def reduce(b: Seq[(Long, String)], a: (Long, String)): Seq[(Long, String)] =
       if (a._2 == null) b
-      else b :+ (a._1, if (a._2.length > sizeLimit) a._2.substring(0, sizeLimit) else a._2)
-    def merge(b1: Seq[(Long, String)], b2: Seq[(Long, String)]): Seq[(Long, String)] = b1 ++ b2
+      else {
+        val nb =
+          b :+ (a._1, if (a._2.length > sizeLimit) a._2.substring(0, sizeLimit) else a._2)
+        // amortized: the O(n) check runs once per `slack` appends
+        if (nb.length % slack == 0) maybeBound(nb) else nb
+      }
+    def merge(b1: Seq[(Long, String)], b2: Seq[(Long, String)]): Seq[(Long, String)] =
+      maybeBound(b1 ++ b2)
     def finish(b: Seq[(Long, String)]): String =
       TextFunctions.cappedConcat(b.sortBy(_._1).map(_._2), sizeLimit)
     def bufferEncoder: Encoder[Seq[(Long, String)]] = ExprEncoders.seqLongString

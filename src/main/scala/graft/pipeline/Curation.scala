@@ -114,20 +114,27 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     val parts = spark.sparkContext.defaultParallelism
+    // eager localCheckpoint, not persist: same reuse (totals pass +
+    // final pass read the materialized blocks, partition ids stay
+    // frozen), but the blocks are ContextCleaner-collected when the
+    // result is dropped instead of leaking into a shared session
     val sized = docs
       .select(col(orderCol), TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
       .repartitionByRange(parts, col(orderCol))
       .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val totals = sized.groupBy(col("_pid")).agg(sum(col("n")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     // base offset of partition p = sum of totals of partitions before it
     val baseOf = totals.map(_._1)
       .zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap
-    val baseUdf = udf((pid: Int) => baseOf.getOrElse(pid, 0L))
+    // map-literal lookup (typedLit + element_at) stays inside codegen —
+    // a Scala UDF here would fence the projection out of WholeStageCodegen
+    val baseLit = typedLit(baseOf)
     val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
     sized
-      .withColumn("_cum", baseUdf(col("_pid")) + sum(col("n")).over(w))
+      .withColumn("_cum",
+        coalesce(element_at(baseLit, col("_pid")), lit(0L)) + sum(col("n")).over(w))
       .select(col(orderCol), col("n").as("n_tokens"),
         floor((col("_cum") - col("n")) / budgetTokens).cast("long").as("shard_id"))
   }

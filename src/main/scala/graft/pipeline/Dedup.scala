@@ -119,12 +119,20 @@ object Dedup {
       explode(lshBandKeys(col("sig"), bands, rows)).as("bucket"))
     val a = keyed.select(col("bucket"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = keyed.select(col("bucket"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("bucket"))
+    // the pair list is ids+estimate only (tiny next to the corpus):
+    // eagerly checkpoint it so the signature cache can be RELEASED here
+    // — otherwise every call leaks one cached relation into a shared
+    // session for its lifetime (checkpoint blocks are ContextCleaner-
+    // collected once the caller drops the result)
+    val out = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           (b: Column) => b)) / lit(numHashes.toDouble)).as("est_jaccard"))
       .distinct()
+      .localCheckpoint(true)
+    sigs.unpersist(false)
+    out
   }
 
   /** Exact n-gram Jaccard similarity between two shingle-array columns. */
@@ -175,6 +183,60 @@ object Dedup {
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /**
+   * Band keys of a simhash: `bands` contiguous chunks of `bits/bands`
+   * bits each, tagged with the band index. Two simhashes within small
+   * Hamming distance agree exactly on at least one chunk with high
+   * probability (guaranteed when distance < bands, by pigeonhole) — the
+   * Hamming-ball analog of MinHash LSH banding (the multi-table
+   * fingerprint-chunk scheme of Manku et al., "Detecting Near-Duplicates
+   * for Web Crawling", WWW'07 §3).
+   */
+  def simhashBandKeys(sh: Column, bands: Int = 4, bits: Int = SimhashBits): Column = {
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    array((0 until bands).map { b =>
+      concat_ws("|", lit(b.toString),
+        shiftright(sh, b * w).bitwiseAND(lit(mask)).cast("string"))
+    }: _*)
+  }
+
+  /**
+   * SimHash near-duplicate candidate pairs: codegen simhash per doc
+   * (map-side), explode the band keys, bucket-join on (band, chunk),
+   * verify with `bit_count(xor) <= maxHamming`. Returns
+   * (id_a, id_b, hamming), id_a < id_b, distinct.
+   *
+   * Scale shape: NO all-pairs or adjacent-id step anywhere — candidates
+   * come only from shared 15-bit buckets (32k buckets per band at the
+   * default 4x15), so in-bucket population is ~n/2^15 per band and the
+   * verify filter is a two-instruction codegen XOR+POPCNT. For corpora
+   * where n/2^15 is still too hot, raise `bands` on a wider fingerprint
+   * (the standard 64-bit/4x16 table layout) — same plan shape.
+   */
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 20,
+      bands: Int = 4): DataFrame = {
+    // lazy persist shared by both join sides: the first side's scan
+    // populates the cache within the action, the second reads it, so
+    // the text scan + simhash run once (same discipline as minhash)
+    val sh = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.simhash64(col("text")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = sh.select(col("doc_id"), col("sh"),
+      explode(simhashBandKeys(col("sh"), bands)).as("bucket"))
+    val a = keyed.select(col("bucket"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = keyed.select(col("bucket"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val out = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .localCheckpoint(true) // ids+distance only; frees the sh cache
+    sh.unpersist(false)
+    out
+  }
 
   /**
    * Rolling (Rabin-Karp) window fingerprints: polynomial hash base 257

@@ -60,6 +60,7 @@ object Redirects {
       val rows = e.collect()
       val srcs = rows.map(_.get(0))
       if (srcs.distinct.length == srcs.length) {
+        e.unpersist(false) // collected; the local result reads no cache
         val succ = rows.map(r => r.get(0) -> r.get(1)).toMap
         // memo: node -> Some((root, hops-to-root)) | None (cycle)
         val memo = scala.collection.mutable.HashMap.empty[Any, Option[(Any, Int)]]
@@ -108,6 +109,7 @@ object Redirects {
     }
     // seed: every edge, path = [src] (nodes already visited)
     var frontier = e.select(col("src"), col("dst"), array(col("src")).as("path"))
+    var prevFrontier: DataFrame = null
     var settled: DataFrame = null
     var depth = 0
     var done = false
@@ -119,12 +121,18 @@ object Redirects {
           col("f.dst").as("cur"),
           col("n.dst").as("next"),
           col("f.path").as("path"))
-      // settled: cur is not an alias source -> cur is the root
+      // settled: cur is not an alias source -> cur is the root.
+      // Eagerly checkpointed (tiny: only rows reaching a terminal this
+      // level) so the accumulated result never references a superseded
+      // frontier's cache — which is what lets the loop UNPERSIST each
+      // frontier as soon as the next one is materialized, instead of
+      // leaking every level's cache for the app lifetime.
       val newSettled = step.filter(col("next").isNull)
         .select(col("src"), col("cur").as("root"))
+        .localCheckpoint(true)
       settled = if (settled == null) newSettled else settled.unionByName(newSettled)
       // continue: visit cur, drop cycles (cur already on the path)
-      frontier = step.filter(col("next").isNotNull)
+      val cached = step.filter(col("next").isNotNull)
         .filter(!array_contains(col("path"), col("cur")))
         .select(
           col("src"),
@@ -135,9 +143,15 @@ object Redirects {
       // persist stops recomputation but the logical plan still nests one
       // level per iteration; truncate it with a real checkpoint every
       // 4 levels so a deep closure can't grow an unplannable tree
-      if (depth % 4 == 0) frontier = frontier.localCheckpoint(true)
+      // (checkpoint blocks are auto-freed by the ContextCleaner once
+      // unreferenced; explicit unpersist below handles the persists)
+      frontier = if (depth % 4 == 0) cached.localCheckpoint(true) else cached
       done = frontier.count() == 0
+      if (prevFrontier != null) prevFrontier.unpersist(false)
+      prevFrontier = cached
     }
+    if (prevFrontier != null) prevFrontier.unpersist(false)
+    e.unpersist(false)
     settled.distinct()
   }
 
@@ -155,6 +169,7 @@ object Redirects {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col("src"), col("dst")).distinct().persist(lvl)
     var f = e.select(col("src"), col("dst").as("cur")).persist(lvl)
+    var prev: DataFrame = f
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -169,15 +184,27 @@ object Redirects {
       // is one |V|-row self-join (cheap at alias-graph sizes); their
       // rows are dropped by the final anti-join regardless.
       val moved = jumped.filter(col("_moved")).count()
+      // the previous level's cache is superseded the moment `jumped` is
+      // materialized — unpersist it so a long-running session doesn't
+      // accumulate one cached RDD per round
+      if (prev ne null) prev.unpersist(false)
+      prev = jumped
       f = jumped.drop("_moved")
       if (round % 4 == 3) f = f.localCheckpoint(true)
       round += 1
       converged = moved == 0
     }
     // settled: jump target has no outgoing edge (terminal); cycle
-    // members still point at an alias source and are dropped
-    f.join(e.select(col("src").as("cur")).distinct(), Seq("cur"), "left_anti")
+    // members still point at an alias source and are dropped. The
+    // result is eagerly checkpointed (it is alias-graph-sized, orders
+    // of magnitude under the corpus) so every loop cache can be freed
+    // here instead of leaking until the caller drops the result.
+    val out = f.join(e.select(col("src").as("cur")).distinct(), Seq("cur"), "left_anti")
       .select(col("src"), col("cur").as("root"))
       .distinct()
+      .localCheckpoint(true)
+    if (prev ne null) prev.unpersist(false)
+    e.unpersist(false)
+    out
   }
 }

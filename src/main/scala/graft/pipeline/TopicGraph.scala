@@ -116,9 +116,14 @@ object TopicGraph {
     // tiny next to the corpus by construction. The distributed path
     // below handles the genuinely large case (and is tested by forcing
     // localThreshold = 0).
-    if (nEdges <= localThreshold) return ccLocal(sym)
+    if (nEdges <= localThreshold) {
+      val out = ccLocal(sym)
+      sym.unpersist(false) // collected inside ccLocal; result is local
+      return out
+    }
     val parts = math.max(1, math.min(
       sess.sparkContext.defaultParallelism, (nEdges / 50000L).toInt))
+    val symWide = sym
     sym = sym.repartition(parts, col("src")).persist(lvl)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).persist(lvl)
@@ -143,13 +148,13 @@ object TopicGraph {
         // rounds — a 25-link near-dup chain cost 26; with compression
         // the pointer depth halves every round, so convergence is
         // O(log diameter) (measured 6 rounds for the same chain).
-        var next = propagated.as("a")
+        val cached = propagated.as("a")
           .join(propagated.as("b"), col("a.label") === col("b.node"), "left_outer")
           .select(col("a.node").as("node"),
             coalesce(col("b.label"), col("a.label")).as("label"))
           .persist(lvl)
         it += 1
-        if (it % 4 == 0) next = next.localCheckpoint(true)
+        val next = if (it % 4 == 0) cached.localCheckpoint(true) else cached
         // convergence check every 2nd round only (one join+count per
         // check; at worst one extra cheap round past the fixpoint)
         if (it % 2 == 0 || it >= maxIter) {
@@ -158,9 +163,17 @@ object TopicGraph {
             .filter(col("label") =!= col("prev")).count()
           changed = nChanged > 0
         } else next.count()
-        labels = next
+        // superseded label cache: unpersist once the next level exists
+        labels.unpersist(false)
+        labels = if (next ne cached) { cached.unpersist(false); next } else next
       }
-      labels
+      // labels is |V(component graph)|-sized — orders under the corpus —
+      // so eagerly checkpoint the result and free every loop cache
+      val out = labels.localCheckpoint(true)
+      labels.unpersist(false)
+      sym.unpersist(false)
+      symWide.unpersist(false)
+      out
     } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
@@ -171,9 +184,16 @@ object TopicGraph {
     val spark = sym.sparkSession
     val rows = sym.collect()
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    // iterative find (walk to root, second pass compresses): the
+    // recursive form builds O(chain) stack frames — a consecutive-id
+    // near-dup chain graph overflows the stack around ~10-50k depth
     def find(x: Any): Any = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var r = x
+      var p = parent.getOrElseUpdate(r, r)
+      while (p != r) { r = p; p = parent.getOrElseUpdate(r, r) }
+      var c = x
+      while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
     }
     rows.foreach { r =>
       val (ra, rb) = (find(r.get(0)), find(r.get(1)))

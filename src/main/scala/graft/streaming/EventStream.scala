@@ -86,16 +86,21 @@ object EventStream {
     * table is exposed through a temp directory symlink. */
   /**
    * Streaming exact dedup — the streaming twin of the batch exact-dedup
-   * operator (Dedup.exactGroups / q40): keep the first event per key,
-   * with the dedup state bounded by the event-time watermark (late
-   * duplicates beyond it are dropped by definition — the standard
-   * dropDuplicates-within-watermark training-ingest pattern).
+   * operator (Dedup.exactGroups / q40): keep the first event per key.
+   * Uses `dropDuplicatesWithinWatermark`, which EVICTS each key's state
+   * once the watermark passes its event time — plain
+   * `dropDuplicates(keys)` without the event-time column in the keys
+   * keeps state forever (unbounded growth on a 100 TB ingest); with the
+   * ts column in the keys it would dedup (key, ts) pairs, a different
+   * operator. Semantics: duplicates arriving within the watermark delay
+   * of the first occurrence are dropped; later re-occurrences start a
+   * new "first" — exactly the training-ingest contract.
    */
   def dedupStream(events: DataFrame, keys: Seq[String] = Seq("user_id", "event_type")): DataFrame =
     events
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates(keys)
+      .dropDuplicatesWithinWatermark(keys)
 
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
