@@ -121,6 +121,12 @@ object Bench {
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
       "region", "events", "documents", "embeddings")
       .foreach(t => graft.core.Tables.t(spark, sfDir, t).count())
+    // warm the parse/segment/annotate class chain too (C2 JIT): the
+    // q37 family's first run otherwise absorbs several seconds of
+    // compilation that no steady-state pipeline would pay — measured
+    // 5.4s cold vs 1.7s warm for the identical query at sf0.1
+    try SparkEntry.queries("q37_kg_ner_corpus")(spark, "/root/testdata/sf0.001").count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -181,9 +187,9 @@ object Bench {
     // job), then THREE measured passes, each a tight (ceiling_lo, lo,
     // ceiling_hi, hi) interleave. Burst-credit throttling degrades
     // consecutive runs monotonically (measured 10.4s -> 14.7s -> 21.5s
-    // for the identical 32-thread job), so the best pass approximates
-    // the unthrottled machine and is the reported headline; every pass
-    // is emitted for transparency, with its own cpu-second telemetry
+    // for the identical 32-thread job); the MEDIAN pass supplies every
+    // headline field (see the selection comment below), every pass is
+    // emitted for transparency, with its own cpu-second telemetry
     // (cpu_ratio = cpu_hi/cpu_lo > 1 is the host giving each of 32
     // threads fewer cycles/sec than each of 8 — an engine-independent
     // ceiling; eff * cpu_ratio is a second, probe-free normalization).
@@ -200,22 +206,18 @@ object Bench {
       val cH = ceiling(cpus); val tH = timed(cpus); val pcH = lastCpu
       Pass(cL, tL, cH, tH, pcL, pcH)
     }
-    // Headlines are each best-observed: the efficiency fields come from
-    // the pass with the best normalized ratio (clamped at 1.0 — a ratio
-    // above 1 only means the adjacent ceiling probe caught a worse host
-    // window than the pipeline run, never super-linear scaling), while
-    // sec_lo/sec_hi/files_per_sec report the fastest individual runs
-    // (capability under identical input; a throttled window can make
-    // the best-RATIO pass the slowest in absolute terms). All raw pass
-    // values are in `passes`.
-    // median (clamped) pass for the efficiency headline: robust to a
-    // throttle pocket hitting one pipeline run AND to a lucky/unlucky
-    // ceiling probe, unlike max or mean of three
-    val best = passes.sortBy(p => math.min(p.normEff, 1.0)).apply(passes.length / 2)
-    val tLoBest = passes.map(_.tLo).min
-    val tHiBest = passes.map(_.tHi).min
-    val thrLo = nFiles / tLoBest
-    val thrHi = nFiles / tHiBest
+    // ONE pass supplies every headline field — the MEDIAN pass by
+    // clamped normalized efficiency (clamped at 1.0: a ratio above 1
+    // only means the adjacent ceiling probe caught a worse host window
+    // than the pipeline run, never super-linear scaling; the median is
+    // robust to a throttle pocket hitting one run AND to a lucky or
+    // unlucky ceiling probe). The RAW N->4N efficiency of that pass is
+    // the lead number; the ceiling-normalized and cpu-normalized forms
+    // are the documented defense, not the headline. Best-observed
+    // throughput across passes is reported separately under best_*
+    // (capability under identical input) — never mixed into the
+    // headline pass's fields. All raw pass values are in `passes`.
+    val med = passes.sortBy(p => math.min(p.normEff, 1.0)).apply(passes.length / 2)
     val passJson = passes.map(p =>
       f"""{"sec_lo":${p.tLo}%.2f,"sec_hi":${p.tHi}%.2f,"eff":${p.eff}%.3f,""" +
         f""""ceil_eff":${p.ceilEff}%.3f,"norm_eff":${p.normEff}%.3f,""" +
@@ -223,13 +225,16 @@ object Bench {
         f""""cpu_norm_eff":${p.cpuNormEff}%.3f}""")
       .mkString("[", ",", "]")
     val json =
-      f""""cores_lo":$lo,"sec_lo":$tLoBest%.3f,"files_per_sec_lo":$thrLo%.1f,""" +
-        f""""cores_hi":$cpus,"sec_hi":$tHiBest%.3f,"files_per_sec_hi":$thrHi%.1f,""" +
-        f""""cpu_sec_lo":${best.cpuLo}%.1f,"cpu_sec_hi":${best.cpuHi}%.1f,""" +
-        f""""scaling_efficiency":${best.eff}%.3f,""" +
-        f""""machine_ceiling_efficiency":${best.ceilEff}%.3f,""" +
-        f""""normalized_scaling_efficiency":${math.min(best.normEff, 1.0)}%.3f,""" +
-        f""""cpu_normalized_scaling_efficiency":${best.cpuNormEff}%.3f,""" +
+      f""""cores_lo":$lo,"sec_lo":${med.tLo}%.3f,"files_per_sec_lo":${nFiles / med.tLo}%.1f,""" +
+        f""""cores_hi":$cpus,"sec_hi":${med.tHi}%.3f,"files_per_sec_hi":${nFiles / med.tHi}%.1f,""" +
+        f""""scaling_efficiency":${med.eff}%.3f,""" +
+        f""""cpu_sec_lo":${med.cpuLo}%.1f,"cpu_sec_hi":${med.cpuHi}%.1f,""" +
+        f""""machine_ceiling_efficiency":${med.ceilEff}%.3f,""" +
+        f""""normalized_scaling_efficiency":${math.min(med.normEff, 1.0)}%.3f,""" +
+        f""""cpu_normalized_scaling_efficiency":${med.cpuNormEff}%.3f,""" +
+        f""""best_sec_lo":${passes.map(_.tLo).min}%.3f,""" +
+        f""""best_sec_hi":${passes.map(_.tHi).min}%.3f,""" +
+        f""""best_files_per_sec_hi":${nFiles / passes.map(_.tHi).min}%.1f,""" +
         s""""passes":$passJson"""
     (json, nTriples)
   }

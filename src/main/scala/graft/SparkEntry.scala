@@ -350,8 +350,9 @@ object SparkEntry {
 
     "q65_closure_doubling" -> ((s, d) =>
       // pointer-doubling closure (log-depth scale path; same output
-      // contract and oracle as q25's per-hop loop)
-      Redirects.transitiveClosureDoubling(aliasEdges(s, d))),
+      // contract and oracle as q25's per-hop loop) — localThreshold=0
+      // pins the DISTRIBUTED doubling loop under the oracle, like q25
+      Redirects.transitiveClosureDoubling(aliasEdges(s, d), localThreshold = 0)),
 
     "q26_kg_degrees" -> ((s, d) => TopicGraph.degrees(entityEdges(s, d))),
 

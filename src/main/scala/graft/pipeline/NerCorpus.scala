@@ -51,7 +51,10 @@ object NerCorpus {
    */
   def typedEntities(entityTypes: DataFrame, aliasEdges: DataFrame,
       genericType: String = "http://www.w3.org/2002/07/owl#Thing"): DataFrame = {
-    val canon = Redirects.transitiveClosure(aliasEdges)
+    // pointer-doubling closure: log-depth joins at scale (the per-hop
+    // loop is O(depth) rounds); small graphs take the same adaptive
+    // driver fast path either way
+    val canon = Redirects.transitiveClosureDoubling(aliasEdges)
     entityTypes
       .filter(col("object") =!= genericType)
       .join(canon.withColumnRenamed("src", "subject"), Seq("subject"), "left_outer")

@@ -57,59 +57,16 @@ object Redirects {
     // non-functional graphs fall through to the distributed loop. Same
     // output contract incl. the maxDepth cap (equivalence tested).
     if (e.count() <= localThreshold) {
-      val rows = e.collect()
-      val srcs = rows.map(_.get(0))
-      if (srcs.distinct.length == srcs.length) {
-        e.unpersist(false) // collected; the local result reads no cache
-        val succ = rows.map(r => r.get(0) -> r.get(1)).toMap
-        // memo: node -> Some((root, hops-to-root)) | None (cycle)
-        val memo = scala.collection.mutable.HashMap.empty[Any, Option[(Any, Int)]]
-        def resolve(start: Any): Option[(Any, Int)] = memo.get(start) match {
-          case Some(r) => r
-          case None =>
-            val path = scala.collection.mutable.ArrayBuffer[Any](start)
-            val onPath = scala.collection.mutable.HashSet[Any](start)
-            // res = Some((root, hops from START)) or None for a cycle
-            var res: Option[Option[(Any, Int)]] = None
-            while (res.isEmpty) {
-              val cur = path.last
-              succ.get(cur) match {
-                case None => res = Some(Some((cur, path.length - 1)))
-                case Some(next) if onPath.contains(next) => res = Some(None)
-                case Some(next) => memo.get(next) match {
-                  case Some(Some((r, d))) => res = Some(Some((r, d + path.length)))
-                  case Some(None) => res = Some(None)
-                  case None => path += next; onPath += next
-                }
-              }
-            }
-            val out = res.get
-            // memoize every node on the walked path: path(i) is i hops
-            // past START, so its distance to the root is d - i
-            path.indices.foreach { i =>
-              memo(path(i)) = out.map { case (r, d) => (r, d - i) }
-            }
-            out
-        }
-        val settled = srcs.flatMap { s =>
-          resolve(s) match {
-            case Some((root, h)) if h <= maxDepth => Some((s, root))
-            case _ => None
-          }
-        }
-        val spark = edges.sparkSession
-        val t = e.schema.fields(0).dataType
-        return spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            settled.toSeq.map { case (s, r) => org.apache.spark.sql.Row(s, r) }, 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("src", t),
-            org.apache.spark.sql.types.StructField("root", t))))
+      resolveLocalFunctional(e, maxDepth.toLong) match {
+        case Some(out) =>
+          e.unpersist(false) // collected; the local result reads no cache
+          return out
+        case None => () // non-functional: fall through to the loop
       }
     }
     // seed: every edge, path = [src] (nodes already visited)
     var frontier = e.select(col("src"), col("dst"), array(col("src")).as("path"))
-    var prevFrontier: DataFrame = null
+    val cachedLevels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var settled: DataFrame = null
     var depth = 0
     var done = false
@@ -121,15 +78,9 @@ object Redirects {
           col("f.dst").as("cur"),
           col("n.dst").as("next"),
           col("f.path").as("path"))
-      // settled: cur is not an alias source -> cur is the root.
-      // Eagerly checkpointed (tiny: only rows reaching a terminal this
-      // level) so the accumulated result never references a superseded
-      // frontier's cache — which is what lets the loop UNPERSIST each
-      // frontier as soon as the next one is materialized, instead of
-      // leaking every level's cache for the app lifetime.
+      // settled: cur is not an alias source -> cur is the root
       val newSettled = step.filter(col("next").isNull)
         .select(col("src"), col("cur").as("root"))
-        .localCheckpoint(true)
       settled = if (settled == null) newSettled else settled.unionByName(newSettled)
       // continue: visit cur, drop cycles (cur already on the path)
       val cached = step.filter(col("next").isNotNull)
@@ -139,20 +90,86 @@ object Redirects {
           col("next").as("dst"),
           concat(col("path"), array(col("cur"))).as("path"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cachedLevels += cached
       depth += 1
       // persist stops recomputation but the logical plan still nests one
       // level per iteration; truncate it with a real checkpoint every
       // 4 levels so a deep closure can't grow an unplannable tree
       // (checkpoint blocks are auto-freed by the ContextCleaner once
-      // unreferenced; explicit unpersist below handles the persists)
+      // unreferenced)
       frontier = if (depth % 4 == 0) cached.localCheckpoint(true) else cached
       done = frontier.count() == 0
-      if (prevFrontier != null) prevFrontier.unpersist(false)
-      prevFrontier = cached
     }
-    if (prevFrontier != null) prevFrontier.unpersist(false)
+    // the settled plan reads every level's cache, so materialize the
+    // (alias-graph-sized) result ONCE, then release all loop caches —
+    // previously each level's persist leaked into the session for the
+    // app lifetime. Post-call persisted delta: one checkpointed result,
+    // independent of depth.
+    val out = settled.distinct().localCheckpoint(true)
+    cachedLevels.foreach(_.unpersist(false))
     e.unpersist(false)
-    settled.distinct()
+    out
+  }
+
+  /**
+   * Driver-side resolver for a small FUNCTIONAL alias graph (at most
+   * one successor per node — what single-#ALIAS-declaration corpora
+   * produce): linear time with memoization, cycles dropped, sources
+   * more than `maxHops` from their terminal unsettled. Memoization is
+   * only sound on functional graphs (on general graphs a node's
+   * reachable-terminal set depends on the path taken), so
+   * non-functional graphs return None and the caller runs its
+   * distributed loop. Shared by [[transitiveClosure]] (hop cap =
+   * maxDepth) and [[transitiveClosureDoubling]] (hop cap = 2^maxRounds).
+   */
+  private def resolveLocalFunctional(e: DataFrame, maxHops: Long): Option[DataFrame] = {
+    val rows = e.collect()
+    val srcs = rows.map(_.get(0))
+    if (srcs.distinct.length != srcs.length) return None
+    val succ = rows.map(r => r.get(0) -> r.get(1)).toMap
+    // memo: node -> Some((root, hops-to-root)) | None (cycle)
+    val memo = scala.collection.mutable.HashMap.empty[Any, Option[(Any, Long)]]
+    def resolve(start: Any): Option[(Any, Long)] = memo.get(start) match {
+      case Some(r) => r
+      case None =>
+        val path = scala.collection.mutable.ArrayBuffer[Any](start)
+        val onPath = scala.collection.mutable.HashSet[Any](start)
+        // res = Some((root, hops from START)) or None for a cycle
+        var res: Option[Option[(Any, Long)]] = None
+        while (res.isEmpty) {
+          val cur = path.last
+          succ.get(cur) match {
+            case None => res = Some(Some((cur, path.length - 1L)))
+            case Some(next) if onPath.contains(next) => res = Some(None)
+            case Some(next) => memo.get(next) match {
+              case Some(Some((r, d))) => res = Some(Some((r, d + path.length)))
+              case Some(None) => res = Some(None)
+              case None => path += next; onPath += next
+            }
+          }
+        }
+        val out = res.get
+        // memoize every node on the walked path: path(i) is i hops
+        // past START, so its distance to the root is d - i
+        path.indices.foreach { i =>
+          memo(path(i)) = out.map { case (r, d) => (r, d - i) }
+        }
+        out
+    }
+    val settled = srcs.flatMap { s =>
+      resolve(s) match {
+        case Some((root, h)) if h <= maxHops => Some((s, root))
+        case _ => None
+      }
+    }
+    val spark = e.sparkSession
+    val t = e.schema.fields(0).dataType
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        settled.toSeq.map { case (s, r) => org.apache.spark.sql.Row(s, r) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src", t),
+        org.apache.spark.sql.types.StructField("root", t)))))
   }
 
   /**
@@ -165,9 +182,19 @@ object Redirects {
    * reach a terminal and are dropped by the final anti-join — the same
    * output contract as [[transitiveClosure]] (equivalence tested).
    */
-  def transitiveClosureDoubling(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
+  def transitiveClosureDoubling(edges: DataFrame, maxRounds: Int = 16,
+      localThreshold: Long = 2000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col("src"), col("dst")).distinct().persist(lvl)
+    // same adaptive driver fast path as transitiveClosure (alias graphs
+    // are orders of magnitude under the corpus); hop cap = 2^maxRounds,
+    // matching what `maxRounds` doubling rounds can resolve
+    if (e.count() <= localThreshold) {
+      resolveLocalFunctional(e, 1L << math.min(maxRounds, 62)) match {
+        case Some(out) => e.unpersist(false); return out
+        case None => ()
+      }
+    }
     var f = e.select(col("src"), col("dst").as("cur")).persist(lvl)
     var prev: DataFrame = f
     var round = 0

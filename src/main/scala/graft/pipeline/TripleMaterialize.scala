@@ -49,4 +49,21 @@ object TripleMaterialize {
       .write.mode("overwrite")
       .partitionBy("lang", "repo_prefix")
       .parquet(outDir)
+
+  /**
+   * NT-line text sink with suffix-inferred compression — the
+   * AbstractNTriplesStorer.java:54-61 contract: an output path ending
+   * `.gz`/`.bz2` selects the codec; an explicit `codec` argument (the
+   * conf-flag codec-class path of :44-52) overrides the inference.
+   * bzip2 output stays SPLITTABLE on read — the reference leaned on
+   * that for its own bz2 inputs, and so does a 100 TB rescan here.
+   */
+  def writeNtLines(lines: DataFrame, path: String, codec: String = ""): Unit = {
+    val inferred =
+      if (codec.nonEmpty) codec
+      else if (path.endsWith(".bz2")) "bzip2"
+      else if (path.endsWith(".gz")) "gzip"
+      else "none"
+    lines.write.mode("overwrite").option("compression", inferred).text(path)
+  }
 }

@@ -153,6 +153,29 @@ class CorpusPipelinesSpec extends AnyFunSuite {
       "<http://s/C> <http://p> <http://o/caf\\u00E9> ."))
   }
 
+  test("NT sink infers codec from path suffix (.bz2/.gz), explicit codec overrides") {
+    val base = Files.createTempDirectory("graft-nt-suffix").toString
+    val df = Seq(("A", "B")).toDF("subj", "obj")
+    val lines = graft.pipeline.TripleMaterialize.uriUriLines(df, "http://p", "", "")
+    // .bz2 suffix -> splittable bzip2 files
+    graft.pipeline.TripleMaterialize.writeNtLines(lines, s"$base/out.nt.bz2")
+    val bz = new java.io.File(s"$base/out.nt.bz2").listFiles().map(_.getName)
+    assert(bz.exists(_.endsWith(".txt.bz2")), bz.mkString(","))
+    assert(spark.read.text(s"$base/out.nt.bz2").as[String].collect().toSet ==
+      Set("<A> <http://p> <B> ."))
+    // .gz suffix -> gzip
+    graft.pipeline.TripleMaterialize.writeNtLines(lines, s"$base/out.nt.gz")
+    assert(new java.io.File(s"$base/out.nt.gz").listFiles()
+      .exists(_.getName.endsWith(".txt.gz")))
+    // explicit codec wins over the suffix (the conf-flag path)
+    graft.pipeline.TripleMaterialize.writeNtLines(lines, s"$base/plain.nt.gz", codec = "none")
+    assert(new java.io.File(s"$base/plain.nt.gz").listFiles()
+      .exists(f => f.getName.endsWith(".txt")))
+    // no suffix -> uncompressed
+    graft.pipeline.TripleMaterialize.writeNtLines(lines, s"$base/plain.nt")
+    assert(spark.read.text(s"$base/plain.nt").count() == 1)
+  }
+
   test("capped abstracts respect the HAVING-style min filter") {
     val grounding = Seq(("t1", "e1"), ("t2", "e9missing")).toDF("topic", "entity")
     val abstracts = Seq(("e1", "some text", "en")).toDF("subject", "object", "lang")

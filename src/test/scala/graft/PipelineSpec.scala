@@ -67,14 +67,29 @@ class PipelineSpec extends AnyFunSuite {
       ("a", "b"), ("b", "c"), ("c", "R"), ("d", "R"),
       ("x", "y"), ("y", "x"), ("z", "z")).toDF("src", "dst")
     val loop = Redirects.transitiveClosure(edges).as[(String, String)].collect().toSet
-    val dbl = Redirects.transitiveClosureDoubling(edges).as[(String, String)].collect().toSet
-    assert(dbl == loop)
+    // both the adaptive driver fast path and the forced distributed loop
+    val dblLocal = Redirects.transitiveClosureDoubling(edges)
+      .as[(String, String)].collect().toSet
+    val dblDist = Redirects.transitiveClosureDoubling(edges, localThreshold = 0)
+      .as[(String, String)].collect().toSet
+    assert(dblLocal == loop && dblDist == loop)
     // a 100-deep chain resolves in <= 7 doubling rounds (2^7 = 128),
-    // far past the per-hop loop's default 16-level cap
+    // far past the per-hop loop's default 16-level cap — in both paths
     val deep = (0 until 100).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
-    val got = Redirects.transitiveClosureDoubling(deep, maxRounds = 7)
+    val got = Redirects.transitiveClosureDoubling(deep, maxRounds = 7, localThreshold = 0)
       .as[(String, String)].collect().toMap
     assert(got.size == 100 && got.values.toSet == Set("n100"))
+    val gotLocal = Redirects.transitiveClosureDoubling(deep, maxRounds = 7)
+      .as[(String, String)].collect().toMap
+    assert(gotLocal == got)
+    // the local hop cap matches the doubling reach (2^rounds): a chain
+    // deeper than 2^rounds leaves far sources unsettled in both paths
+    val over = (0 until 10).map(i => (s"o$i", s"o${i + 1}")).toDF("src", "dst")
+    val capLocal = Redirects.transitiveClosureDoubling(over, maxRounds = 3)
+      .as[(String, String)].collect().toMap
+    val capDist = Redirects.transitiveClosureDoubling(over, maxRounds = 3, localThreshold = 0)
+      .as[(String, String)].collect().toMap
+    assert(capLocal == capDist, s"local $capLocal != dist $capDist")
   }
 
   test("closure strictly increases recall vs one-hop (SURVEY §2.10.2)") {
@@ -165,6 +180,106 @@ class PipelineSpec extends AnyFunSuite {
     assert(pair.isDefined, s"near-dup pair not found in ${cands.mkString(",")}")
     assert(pair.get._3 > 0.5)
     assert(!cands.exists(c => c._2 == 2L || c._1 == 2L))
+  }
+
+  test("banded simhash search finds a planted NON-adjacent duplicate pair") {
+    // the duplicate ids are far apart (3 and 4700) with unrelated noise
+    // between — an adjacent-id scheme can never pair them; the banded
+    // bucket join must (near-identical text => hamming ~0 => all four
+    // 15-bit chunks match)
+    val base = (1 to 60).map(i => s"alpha$i beta$i").mkString(" ")
+    val nearDup = base.replace("alpha30", "ALPHA30")
+    val noise = (0 until 200).map(j =>
+      (100L + j, (1 to 60).map(i => s"n${j}x$i").mkString(" ")))
+    val docs = (noise :+ (3L, base) :+ (4700L, nearDup)).toDF("doc_id", "text")
+    val got = Dedup.simhashCandidates(docs, maxHamming = 10)
+      .as[(Long, Long, Int)].collect()
+    assert(got.exists(p => p._1 == 3L && p._2 == 4700L),
+      s"planted non-adjacent pair missing in ${got.take(20).mkString(",")}")
+    // noise docs must not flood the candidate set
+    assert(got.length < 50, s"candidate set too large: ${got.length}")
+  }
+
+  test("multi-band sign-LSH recall >= 0.9 on planted near-dup clusters (16 bits x 4 bands)") {
+    // 20 clusters of 3 near-identical 64-dim vectors (cos >= ~0.99)
+    // + 240 independent noise vectors. The SCALE config (16-bit buckets
+    // — n/65k in-bucket at corpus scale — recall bought back by 4
+    // bands) must recover almost all intra-cluster pairs.
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val clusters = (0 until 20).flatMap { c =>
+      val base = unit()
+      (0 until 3).map { m =>
+        val v = base.zip(Array.fill(64)(rnd.nextGaussian().toFloat * 0.01f))
+          .map { case (a, b) => a + b }
+        ((c * 3 + m).toLong, v)
+      }
+    }
+    val noise = (0 until 240).map(j => (1000L + j, unit()))
+    val vecs = (clusters ++ noise).toDF("vec_id", "embedding")
+    val wanted = (0 until 20).flatMap { c =>
+      val ids = (0 until 3).map(m => (c * 3 + m).toLong)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    val got = Similarity.signLshPairs(vecs, bits = 16, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = wanted.count(got.contains).toDouble / wanted.size
+    assert(recall >= 0.9, f"recall $recall%.3f < 0.9 (found ${got.size} pairs)")
+    // and the demo config (8 bits x 4 bands) catches them too
+    val got8 = Similarity.signLshPairs(vecs, bits = 8, bands = 4)
+      .filter(col("cos") >= 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(wanted.count(got8.contains).toDouble / wanted.size >= 0.9)
+  }
+
+  test("CappedConcat buffer stays O(sizeLimit) on a 100k-row hot group, output unchanged") {
+    val limit = 10000
+    val agg = new Aggregators.CappedConcat(limit)
+    val items = (0 until 100000).map(i => (i.toLong, f"item$i%06d text"))
+    // stress the reduce path with out-of-order arrival + a merge of halves
+    val (h1, h2) = new scala.util.Random(7).shuffle(items).splitAt(50000)
+    val b1 = h1.foldLeft(agg.zero)(agg.reduce)
+    val b2 = h2.foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(b1, b2)
+    // bounded: the kept prefix saturates at sizeLimit lower-bound chars
+    // (+ the between-check slack), never the 100k-item group
+    val chars = merged.map(_._2.length).sum
+    assert(merged.length < 2500, s"buffer kept ${merged.length} items")
+    assert(chars < limit + 199 * 300, s"buffer kept $chars chars")
+    // semantics identical to the unbounded reference on the sorted bag
+    val want = graft.functions.TextFunctions.cappedConcat(items.map(_._2), limit)
+    assert(agg.finish(merged) == want)
+  }
+
+  test("iterative ops release their caches (persisted-RDD count does not grow per level)") {
+    val sc = spark.sparkContext
+    def settle(): Unit = { System.gc(); Thread.sleep(300) } // let ContextCleaner drain
+    settle()
+    val pre = sc.getPersistentRDDs.size
+    // 20-level chain, distributed loop forced: pre-fix this leaked one
+    // persisted frontier per level (>=16); now only the checkpointed
+    // result (+ <=depth/4 lineage-cut checkpoints pending GC) remain
+    val chain = (0 until 20).map(i => (s"c$i", s"c${i + 1}")).toDF("src", "dst")
+    val closure = Redirects.transitiveClosure(chain, localThreshold = 0)
+    closure.count()
+    val afterClosure = sc.getPersistentRDDs.size
+    assert(afterClosure - pre <= 8,
+      s"closure leaked ${afterClosure - pre} persisted RDDs")
+    val edges = (0 until 30).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val cc = TopicGraph.connectedComponents(edges, localThreshold = 0)
+    cc.count()
+    val afterCc = sc.getPersistentRDDs.size
+    assert(afterCc - afterClosure <= 8,
+      s"connectedComponents leaked ${afterCc - afterClosure} persisted RDDs")
+    val doubled = Redirects.transitiveClosureDoubling(chain, localThreshold = 0)
+    doubled.count()
+    val afterDbl = sc.getPersistentRDDs.size
+    assert(afterDbl - afterCc <= 8,
+      s"transitiveClosureDoubling leaked ${afterDbl - afterCc} persisted RDDs")
   }
 
   test("simhash: near-identical texts have small hamming distance") {

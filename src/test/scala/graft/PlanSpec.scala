@@ -115,6 +115,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q67 pack_shards plan has no Scala UDF (base-offset lookup stays in codegen)") {
+    val df = SparkEntry.queries("q67_pack_shards")(spark, sfDir)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("UDF"), s"ScalaUDF fences codegen:\n$p")
+  }
+
+  test("q52 IVF assignment joins against a broadcast of fixed k, not a corpus-sized set") {
+    val df = SparkEntry.queries("q52_sim_ivf")(spark, sfDir)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // centroid set is a broadcast nested-loop (k rows, no join key);
+    // nothing in the plan may fall back to a real cartesian product
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("brute-force ANN computes norms per side, not per pair") {
     val df = SparkEntry.queries("q43_sim_topk")(spark, sfDir)
     // norms appear in the per-side projections below the join, so the
