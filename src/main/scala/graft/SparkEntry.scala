@@ -588,44 +588,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))),
 
     "q52_sim_ivf" -> ((s, d) => {
-      // IVF-style ANN: coarse cells = nearest of a FIXED-k centroid set
-      // (k=16 deterministic seed vectors — crucially, k does NOT grow
-      // with the corpus: assignment is O(n*k) against a broadcast of k
-      // rows, where a corpus-proportional centroid set would be
-      // O(n^2/c)); probes search only their own cell — the scale path
-      // that replaces the brute-force cross join with a cell-
-      // partitioned join. On a real deployment the seeds come from a
-      // k-means sample; the plan shape is identical.
+      // IVF-style ANN (Similarity.ivfTopK): coarse cells = nearest of a
+      // FIXED-k centroid set (k=16 seed vectors — crucially, k does NOT
+      // grow with the corpus: assignment is O(n*k) against a broadcast
+      // of k rows, where a corpus-proportional centroid set would be
+      // O(n^2/c)); probes search their own cell (nprobe=1 here; the
+      // recall knob is tested in PipelineSpec)
       val emb = Tables.embeddings(s, d)
-      val cents = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-      val l2 = (a: Column, b: Column) =>
-        sqrt(aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double"))
-          * (x.cast("double") - y.cast("double"))), lit(0.0), (acc, v) => acc + v))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist").asc, col("cent_id").asc)
-      val assign = emb.join(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-          l2(col("embedding"), col("cv")).as("dist"))
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-      val probes = assign.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
-          Similarity.norm(col("embedding")).as("pn"), col("cell"))
-      val cands = assign
-        .select(col("vec_id").as("cand_id"), col("embedding").as("cvv"),
-          Similarity.norm(col("embedding")).as("cn"), col("cell"))
-      val wTop = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos").desc, col("cand_id").asc)
-      probes.join(cands, Seq("cell"))
-        .filter(col("probe_id") =!= col("cand_id"))
-        .select(col("probe_id"), col("cand_id"),
-          when(col("pn") * col("cn") === 0, lit(0.0))
-            .otherwise(Similarity.dot(col("pv"), col("cvv")) / (col("pn") * col("cn")))
-            .as("cos"))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= 5)
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.ivfTopK(probes, emb, 5, kCentroids = 16, nprobe = 1)
         .select(col("probe_id"), col("cand_id"), round(col("cos"), 4).as("cos"), col("rank"))
     }),
 
@@ -738,11 +709,13 @@ object SparkEntry {
 
     "q61_tfidf_topterms" -> ((s, d) => {
       // per-doc top-3 TF-IDF terms: explode -> per-(doc,term) tf ->
-      // per-term document frequency (one groupBy, broadcastable result)
-      // -> join back -> windowed top-k with deterministic tie-break.
-      // At corpus scale the df relation is |vocab| rows — tiny next to
-      // the postings — so the join back is a broadcast, and the window
-      // partitions by doc_id (no global sort).
+      // per-term document frequency (one groupBy) -> join back ->
+      // windowed top-k with deterministic tie-break. The df relation is
+      // |vocab| rows — small next to the postings but NOT guaranteed
+      // broadcastable at 100 TB (open-vocabulary corpora), so the join
+      // strategy is left to AQE: it broadcasts when the runtime size
+      // fits and falls back to shuffle when it doesn't, instead of a
+      // forced-broadcast OOM.
       val docs = Tables.documents(s, d)
       val nDocs = docs.count()
       val postings = docs
@@ -753,7 +726,7 @@ object SparkEntry {
         .agg(countDistinct(col("doc_id")).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term").asc)
-      postings.join(broadcast(df), Seq("term"))
+      postings.join(df, Seq("term"))
         .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)

@@ -214,6 +214,12 @@ object Dedup {
    * verify filter is a two-instruction codegen XOR+POPCNT. For corpora
    * where n/2^15 is still too hot, raise `bands` on a wider fingerprint
    * (the standard 64-bit/4x16 table layout) — same plan shape.
+   *
+   * Pipeline ordering at scale: run EXACT dedup first ([[exactGroups]])
+   * and feed only canonical docs here — a template-heavy corpus puts
+   * whole exact-duplicate families into one bucket, and the pair list
+   * among k identical docs is k²/2 rows that exact dedup would have
+   * collapsed to one representative for free.
    */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 20,
       bands: Int = 4): DataFrame = {

@@ -113,6 +113,51 @@ object Similarity {
   }
 
   /**
+   * IVF-style ANN: assign every vector to its nearest of `kCentroids`
+   * FIXED seed centroids (k independent of corpus size — assignment is
+   * an O(n*k) broadcast pass, never O(n²/c)); each probe searches the
+   * `nprobe` cells nearest to IT (nprobe > 1 buys recall at cell-count
+   * cost, the standard IVF knob), exact cosine + top-k inside.
+   * Centroids here are the first k corpus vectors (deterministic,
+   * engine-agnostic); a real deployment seeds them from a k-means
+   * sample — identical plan shape.
+   */
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+      kCentroids: Int = 16, nprobe: Int = 1): DataFrame = {
+    val cents = broadcast(corpus.filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv")))
+    val l2 = (a: Column, b: Column) =>
+      sqrt(aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))), lit(0.0), (acc, v) => acc + v))
+    def cells(vecs: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist").asc, col("cent_id").asc)
+      vecs.join(cents)
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          l2(col("embedding"), col("cv")).as("dist"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= n)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    }
+    val cands = cells(corpus, 1)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        norm(col("embedding")).as("cn"), col("cell"))
+    val p = cells(probes, nprobe)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        norm(col("embedding")).as("pn"), col("cell"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    p.join(cands, Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .dropDuplicates("probe_id", "cand_id") // nprobe cells can overlap on ties
+      .select(col("probe_id"), col("cand_id"),
+        when(col("pn") * col("cn") === 0, lit(0.0))
+          .otherwise(dot(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /**
    * Bucketed ANN: join probes to candidates sharing ANY of the `bands`
    * sign buckets, dedup, then exact cosine + per-probe top-k. Recall < 1
    * by design; every join shuffles on small band keys instead of

@@ -47,7 +47,10 @@ object TopicCorpus {
         coalesce(col("goodAbstract"), lit(false)).cast("int").as("hasGoodAbstract"))
   }
 
-  /** 02 SPLIT: one pass, two disjoint outputs (grounded / orphaned). */
+  /** 02 SPLIT: one pass, two disjoint outputs (grounded / orphaned).
+    * The shared persist is CALLER-OWNED (Pig's multi-query pattern made
+    * explicit): unpersist the returned frames' common source after both
+    * branches are consumed. */
   def splitGrounded(grounded: DataFrame, minEntities: Long = 1): (DataFrame, DataFrame) = {
     val shared = grounded.persist()
     (shared.filter(col("entityCount") >= minEntities),
@@ -103,10 +106,12 @@ object TopicCorpus {
         lit("en").as("lang")),
       pred = "http://graft.dev/ontology#corpus")
       .write.mode("overwrite").text(s"$outDir/topics_nt")
-    Map(
+    val counters = Map(
       "topics" -> topics.count(),
       "grounded" -> grounded.count(),
       "ancestry" -> ancestry.count(),
       "corpus" -> corpus.count())
+    corpus.unpersist(false) // both sinks written; don't leak into the session
+    counters
   }
 }

@@ -236,6 +236,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(wanted.count(got8.contains).toDouble / wanted.size >= 0.9)
   }
 
+  test("IVF top-k: nprobe=2 recall >= nprobe=1, both subsets of brute force") {
+    // clustered vectors so cells are meaningful: 4 tight clusters of 30
+    // around orthogonal-ish seeds + the k=8 seed region
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 120).map { i =>
+      val c = i % 4
+      val base = Array.tabulate(64)(j => if (j % 4 == c) 1.0f else 0.0f)
+      (i.toLong, base.map(_ + rnd.nextGaussian().toFloat * 0.15f))
+    }.toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") % 17 === 0)
+    val bf = Similarity.bruteForceTopK(probes, vecs, 3)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    def recall(np: Int): Double = {
+      val got = Similarity.ivfTopK(probes, vecs, 3, kCentroids = 8, nprobe = np)
+        .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+      bf.count(got.contains).toDouble / bf.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 $r1")
+    assert(r2 >= 0.7, s"nprobe=2 recall too low: $r2")
+  }
+
   test("CappedConcat buffer stays O(sizeLimit) on a 100k-row hot group, output unchanged") {
     val limit = 10000
     val agg = new Aggregators.CappedConcat(limit)
