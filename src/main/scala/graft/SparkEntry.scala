@@ -558,6 +558,15 @@ object SparkEntry {
       Dedup.minhashCandidates(Tables.documents(s, d))
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))),
 
+    "q69_dedup_minhash_fast" -> ((s, d) =>
+      // xxhash64 fast-signature variant of q42 — the production
+      // throughput path (codegen hash, ~10x less digest work than md5).
+      // xxhash64 is Spark-specific, so this is a rows-only query (no
+      // DuckDB oracle; see rowsOnlyQueries) — cross-engine parity is
+      // q42's job, self-consistency is tested in PipelineSpec
+      Dedup.minhashCandidatesFast(Tables.documents(s, d))
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))),
+
     "q43_sim_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val probes = emb.filter(col("vec_id") % 50 === 0)
@@ -770,6 +779,10 @@ object SparkEntry {
       Curation.contamination(
         docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
     }))
+
+  /** Queries with no DuckDB oracle (engine-specific hash functions) —
+    * the driver records a rows-only check for these by contract. */
+  val rowsOnlyQueries: Set[String] = Set("q69_dedup_minhash_fast")
 
   // =================================================================
   // DuckDB oracles (driver runs these on the same parquet tables)

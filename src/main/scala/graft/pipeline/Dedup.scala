@@ -99,22 +99,38 @@ object Dedup {
     }: _*)
 
   /**
-   * MinHash/LSH near-duplicate candidate pairs with estimated Jaccard
-   * (fraction of matching signature positions). `docs` must have
-   * (doc_id, text). Returns (id_a, id_b, est_jaccard), id_a < id_b.
+   * Engine-agnostic FAST signatures: 16 hash functions from Spark's
+   * codegen xxhash64 (seeded by position), one explode pass + 16
+   * map-side partial mins — for pipelines that don't need cross-engine
+   * reproducibility. ~10x less digest work than the md5 form above
+   * (md5 is the dominant signature cost at corpus scale); the trade is
+   * that xxhash64 is Spark-specific, so there is no DuckDB oracle —
+   * only self-consistency (same planted near-dups found, tested).
    */
-  def minhashCandidates(docs: DataFrame, shingleWords: Int = 3,
-      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+  def minhashSignaturesFast(docs: DataFrame, shingleWords: Int = 3,
+      numHashes: Int = MinhashFunctions): DataFrame =
+    docs.select(col("doc_id"),
+        explode(wordShingles(col("text"), shingleWords)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(min(xxhash64(lit(0), col("s"))).as("m0"),
+        (1 until numHashes).map(i =>
+          min(xxhash64(lit(i), col("s"))).as(s"m$i")): _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i").cast("string")): _*).as("sig"))
+
+  /** Shared LSH banding + bucket join + match-fraction estimate over a
+    * (doc_id, sig: array<string>) relation. */
+  private def lshCandidatesFromSigs(sigsIn: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     val rows = numHashes / bands
     // Lazily persisted (NOT eagerly checkpointed: an eager
     // localCheckpoint costs ~2.2s at sf0.1 to materialize while the
     // whole signature stage costs ~0.6s): the first join side populates
     // the cache within the same action and the second side reads it,
-    // so the shingle+md5 lineage runs once, not twice. On a cluster at
-    // corpus scale, write signatures to a snapshot table instead
+    // so the shingle+digest lineage runs once, not twice. On a cluster
+    // at corpus scale, write signatures to a snapshot table instead
     // (Checkpoints.runStage) and join from that.
-    val sigs = minhashSignatures(docs, shingleWords, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = sigs.select(col("doc_id"), col("sig"),
       explode(lshBandKeys(col("sig"), bands, rows)).as("bucket"))
     val a = keyed.select(col("bucket"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
@@ -134,6 +150,23 @@ object Dedup {
     sigs.unpersist(false)
     out
   }
+
+  /**
+   * MinHash/LSH near-duplicate candidate pairs with estimated Jaccard
+   * (fraction of matching signature positions). `docs` must have
+   * (doc_id, text). Returns (id_a, id_b, est_jaccard), id_a < id_b.
+   */
+  def minhashCandidates(docs: DataFrame, shingleWords: Int = 3,
+      numHashes: Int = 16, bands: Int = 4): DataFrame =
+    lshCandidatesFromSigs(
+      minhashSignatures(docs, shingleWords, numHashes), numHashes, bands)
+
+  /** [[minhashCandidates]] on the xxhash64 fast signatures — the
+    * throughput path when cross-engine reproducibility isn't needed. */
+  def minhashCandidatesFast(docs: DataFrame, shingleWords: Int = 3,
+      numHashes: Int = 16, bands: Int = 4): DataFrame =
+    lshCandidatesFromSigs(
+      minhashSignaturesFast(docs, shingleWords, numHashes), numHashes, bands)
 
   /** Exact n-gram Jaccard similarity between two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -222,15 +255,31 @@ object Dedup {
    * collapsed to one representative for free.
    */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 20,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, maxBucketSize: Long = 0L): DataFrame = {
     // lazy persist shared by both join sides: the first side's scan
     // populates the cache within the action, the second reads it, so
     // the text scan + simhash run once (same discipline as minhash)
     val sh = docs.select(col("doc_id"),
       graft.functions.GraftFunctions.simhash64(col("text")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keyed = sh.select(col("doc_id"), col("sh"),
+    val allKeyed = sh.select(col("doc_id"), col("sh"),
       explode(simhashBandKeys(col("sh"), bands)).as("bucket"))
+    // optional hot-bucket cap (maxBucketSize > 0): a bucket shared by k
+    // docs costs k²/2 join rows; buckets past the cap are dropped as
+    // non-discriminative — the stop-shingle analog for Hamming banding
+    // (boilerplate-heavy corpora put whole template families into one
+    // chunk value). Costs one extra aggregation on the band keys;
+    // recall for pairs in RARE buckets is untouched. Off by default —
+    // with the cap on, the result is a deliberate subset.
+    val keyed =
+      if (maxBucketSize <= 0L) allKeyed
+      else {
+        val ok = allKeyed.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBucketSize)
+          .select(col("bucket"))
+        allKeyed.join(ok, Seq("bucket"))
+      }
     val a = keyed.select(col("bucket"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = keyed.select(col("bucket"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
     val out = a.join(b, Seq("bucket"))

@@ -182,6 +182,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(!cands.exists(c => c._2 == 2L || c._1 == 2L))
   }
 
+  test("fast (xxhash64) minhash finds the same planted near-duplicates as the md5 path") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, other)).toDF("doc_id", "text")
+    val fast = Dedup.minhashCandidatesFast(docs).as[(Long, Long, Double)].collect()
+    val pair = fast.find(c => c._1 == 0L && c._2 == 1L)
+    assert(pair.isDefined && pair.get._3 > 0.5, fast.mkString(","))
+    assert(!fast.exists(c => c._2 == 2L || c._1 == 2L))
+  }
+
+  test("simhash hot-bucket cap drops flooded buckets, keeps rare-bucket pairs") {
+    // 40 identical template docs flood every band bucket they share;
+    // one rare near-dup pair (ids 500/501) sits in its own buckets
+    val template = (1 to 60).map(i => s"tpl$i").mkString(" ")
+    val rareA = (1 to 60).map(i => s"rare$i").mkString(" ")
+    val rareB = rareA.replace("rare30", "RARE30")
+    val docs = ((0 until 40).map(i => (i.toLong, template)) :+
+      (500L, rareA) :+ (501L, rareB)).toDF("doc_id", "text")
+    val uncapped = Dedup.simhashCandidates(docs, maxHamming = 10)
+      .as[(Long, Long, Int)].collect()
+    assert(uncapped.count(p => p._1 < 40 && p._2 < 40) == 40 * 39 / 2) // k²/2 blowup
+    val capped = Dedup.simhashCandidates(docs, maxHamming = 10, maxBucketSize = 8)
+      .as[(Long, Long, Int)].collect()
+    assert(!capped.exists(p => p._1 < 40 && p._2 < 40), "flooded bucket not dropped")
+    assert(capped.exists(p => p._1 == 500L && p._2 == 501L), "rare pair lost")
+  }
+
   test("banded simhash search finds a planted NON-adjacent duplicate pair") {
     // the duplicate ids are far apart (3 and 4700) with unrelated noise
     // between — an adjacent-id scheme can never pair them; the banded
@@ -535,10 +563,13 @@ class PipelineSpec extends AnyFunSuite {
       s"missing guaranteed keys: ${mustSurvive -- got}")
   }
 
-  test("driver contract: every query has an oracle and vice versa") {
-    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
-      s"missing oracles: ${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}; " +
+  test("driver contract: every query has an oracle (or is declared rows-only), no orphans") {
+    assert(SparkEntry.queries.keySet ==
+      SparkEntry.oracleSql.keySet ++ SparkEntry.rowsOnlyQueries,
+      s"missing oracles: ${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
+        SparkEntry.rowsOnlyQueries}; " +
         s"orphan oracles: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
+    assert(SparkEntry.rowsOnlyQueries.intersect(SparkEntry.oracleSql.keySet).isEmpty)
   }
 
   test("flagship entry returns rows") {
