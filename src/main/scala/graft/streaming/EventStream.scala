@@ -102,6 +102,25 @@ object EventStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(keys)
 
+  /**
+   * Streaming NEAR-duplicate dedup for a document ingest: key the
+   * within-watermark dedup by the 60-bit simhash (codegen expression)
+   * instead of the raw text — near-identical documents (template
+   * re-crawls, boilerplate mirrors) collapse to the same fingerprint
+   * and only the first survives; state is one 8-byte key per distinct
+   * fingerprint in the watermark window. Exact-simhash match is the
+   * streaming-feasible contract (per-event Hamming-ball search needs a
+   * stateful join — that's the batch job `Dedup.simhashCandidates` on
+   * the landed table); identical and trivially-edited docs hash equal,
+   * which is the bulk of ingest duplication.
+   */
+  def nearDedupStream(docs: DataFrame, tsCol: String = "ts"): DataFrame =
+    docs
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withColumn("sh", graft.functions.GraftFunctions.simhash64(col("text")))
+      .withWatermark(tsCol, "10 minutes")
+      .dropDuplicatesWithinWatermark("sh")
+
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
     val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")

@@ -74,6 +74,44 @@ object TextProperties extends Properties("graft.text") {
       Dedup.simhash64(ta) == Dedup.simhash64(ta) &&
         Dedup.hamming(Dedup.simhash64(ta), Dedup.simhash64(tb)) <= Dedup.SimhashBits
     }
+
+  // pigeonhole guarantee of the Hamming-ball banding: fewer flipped
+  // bits than bands ==> at least one 15-bit chunk is untouched, so the
+  // banded bucket join ALWAYS finds such pairs (JVM-level restatement
+  // of Dedup.simhashBandKeys' contract)
+  private val bitFlips: Gen[List[Int]] =
+    Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, Gen.choose(0, 59)))
+  property("simhash band match guaranteed when hamming < bands (pigeonhole)") =
+    forAll(words, bitFlips) { (a, flips) =>
+      val sa = Dedup.simhash64(a.mkString(" "))
+      val sb = flips.foldLeft(sa)((h, b) => h ^ (1L << b))
+      val bandMatch = (0 until 4).exists { k =>
+        ((sa >>> (k * 15)) & 0x7fff) == ((sb >>> (k * 15)) & 0x7fff)
+      }
+      Dedup.hamming(sa, sb) >= 4 || bandMatch
+    }
+
+  // the bounded CappedConcat buffer is arrival-order and merge-split
+  // invariant: any shuffle of the rows through any reduce/merge split
+  // finishes to the same string as the unbounded sorted reference
+  private val keyedItems: Gen[List[(Long, String)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0L, 1000000L),
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)))
+  property("CappedConcat(bounded buffer) == unbounded reference, any order/split") =
+    forAll(keyedItems, Gen.choose(0, 100), Gen.choose(200, 3000)) { (items0, seed, limit) =>
+      // unique keys (ties are nondeterministic by documented contract)
+      val items = items0.zipWithIndex.map { case ((k, v), i) => (k * 2048 + i, v) }
+      val agg = new graft.functions.Aggregators.CappedConcat(limit)
+      val shuffled = new scala.util.Random(seed).shuffle(items)
+      val cut = if (shuffled.isEmpty) 0 else seed % (shuffled.length + 1)
+      val (h1, h2) = shuffled.splitAt(cut)
+      val merged = agg.merge(
+        h1.foldLeft(agg.zero)(agg.reduce),
+        h2.foldLeft(agg.zero)(agg.reduce))
+      agg.finish(merged) ==
+        graft.functions.TextFunctions.cappedConcat(
+          items.sortBy(_._1).map(_._2), limit)
+    }
 }
 
 /** Parser offset invariants over randomized corpus content. */

@@ -144,6 +144,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dedup collapses near-identical docs by simhash, keeps distinct ones") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val mirror = base // exact re-crawl
+    val other = (1 to 80).map(i => s"z$i").mkString(" ")
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
+    in.addData((0L, base, ts(0)), (1L, mirror, ts(10)), (2L, other, ts(20)))
+    val q = EventStream.nearDedupStream(
+        in.toDF.toDF("doc_id", "text", "ts"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("neardedup_out").select("doc_id")
+        .as[Long].collect().toSet
+      assert(got == Set(0L, 2L), s"got $got") // mirror dropped, distinct kept
+    } finally q.stop()
+  }
+
   test("streaming windowed counts equal batch result") {
     val sfDir = "/root/testdata/sf0.001"
     val batch = EventStream.windowedCounts(
