@@ -699,6 +699,47 @@ object SparkEntry {
       TopicGraph.connectedComponents(edges)
     }),
 
+    "q70_dedup_keep_list" -> ((s, d) => {
+      // the dedup DECISION stage: banded near-dup candidates -> connected
+      // components -> canonical election (min doc_id per cluster) ->
+      // per-doc keep/drop verdict. This is the row-level output a
+      // training pipeline actually consumes (candidates and components
+      // are its intermediates, q50/q64)
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.simhashCandidates(docs, maxHamming = 8)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val labels = TopicGraph.connectedComponents(edges)
+      docs.select(col("doc_id"))
+        .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster"),
+          (col("label").isNull || col("label") === col("doc_id")).cast("int").as("keep"))
+    }),
+
+    "q71_curated_corpus" -> ((s, d) => {
+      // end-to-end curation composition: quality gate (>= 30 tokens,
+      // distinct ratio >= 0.3) -> exact-dedup canonical only -> secret
+      // redaction -> curated manifest row. One corpus scan feeds the
+      // gate+redact (map-side); dedup adds the single hash shuffle.
+      val docs = Tables.documents(s, d)
+      val toksArr = split(col("text"), " ")
+      val gated = docs
+        .withColumn("n_tokens", size(toksArr).cast("long"))
+        .withColumn("distinct_ratio",
+          round(size(array_distinct(toksArr)).cast("double") / size(toksArr), 4))
+        .filter(col("n_tokens") >= 30 && col("distinct_ratio") >= 0.3)
+      val canon = gated
+        .withColumn("content_hash", md5(col("text")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+        .filter(col("rk") === 1)
+      canon.select(col("doc_id"), col("lang"), col("n_tokens"), col("distinct_ratio"),
+        size(regexp_extract_all(col("text"), lit(Curation.SecretPattern), lit(0)))
+          .cast("long").as("n_secrets"),
+        md5(regexp_replace(col("text"), Curation.SecretPattern, "[REDACTED]"))
+          .as("redacted_hash"))
+    }),
+
     "q63_range_join" -> ((s, d) => {
       // interval-containment join: clicks falling inside a 30-minute
       // window after a signup of the same user (bucketed equi-join,
@@ -1363,6 +1404,56 @@ object SparkEntry {
         | UNION
         | SELECT s.dst, r.m FROM reach r JOIN sym s ON s.src = r.n)
         |SELECT n AS node, min(m) AS label FROM reach GROUP BY n""".stripMargin,
+
+    "q70_dedup_keep_list" ->
+      """WITH RECURSIVE h AS (
+        | SELECT doc_id, ('0x' || substring(md5(w.word), 1, 15))::BIGINT AS h
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) w
+        | WHERE w.word <> ''),
+        |bits AS (
+        | SELECT doc_id, b, sum(((h >> b) & 1)::INT) AS cnt, count(*) AS total
+        | FROM h, range(0, 60) r(b) GROUP BY 1, 2),
+        |sh AS (
+        | SELECT doc_id,
+        |  CAST(sum(CASE WHEN 2*cnt > total THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
+        | FROM bits GROUP BY doc_id),
+        |e AS (
+        | SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  AND ((a.sh & 32767) = (b.sh & 32767)
+        |    OR ((a.sh >> 15) & 32767) = ((b.sh >> 15) & 32767)
+        |    OR ((a.sh >> 30) & 32767) = ((b.sh >> 30) & 32767)
+        |    OR ((a.sh >> 45) & 32767) = ((b.sh >> 45) & 32767))
+        | WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+        |sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+        |reach(n, m) AS (
+        | SELECT src, src FROM sym
+        | UNION
+        | SELECT s.dst, r.m FROM reach r JOIN sym s ON s.src = r.n),
+        |lab AS (SELECT n AS node, min(m) AS label FROM reach GROUP BY n)
+        |SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS cluster,
+        | CAST(lab.label IS NULL OR lab.label = d.doc_id AS INT) AS keep
+        |FROM documents d LEFT JOIN lab ON d.doc_id = lab.node""".stripMargin,
+
+    "q71_curated_corpus" ->
+      """WITH gated AS (
+        | SELECT doc_id, lang, text,
+        |  CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / length(string_split(text, ' ')), 4) AS distinct_ratio
+        | FROM documents
+        | WHERE length(string_split(text, ' ')) >= 30
+        |   AND round(CAST(length(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |     / length(string_split(text, ' ')), 4) >= 0.3),
+        |canon AS (
+        | SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        | FROM gated)
+        |SELECT doc_id, lang, n_tokens, distinct_ratio,
+        | CAST(length(regexp_extract_all(text, '\b(key|hash|customer)\b')) AS BIGINT)
+        |   AS n_secrets,
+        | md5(regexp_replace(text, '\b(key|hash|customer)\b', '[REDACTED]', 'g'))
+        |   AS redacted_hash
+        |FROM canon WHERE rk = 1""".stripMargin,
 
     "q63_range_join" ->
       """WITH s AS (
