@@ -103,13 +103,17 @@ object Similarity {
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = keyed.select(col("bucket"), col("vec_id").as("id_b"),
       col("embedding").as("eb"), col("nrm").as("nb"))
+    // cosine computed BEFORE the dedup: a pair matching in k bands costs
+    // k cheap vector ops map-side, and the dedup shuffle then carries
+    // only (id, id, cos) — deduping first would drag the embedding
+    // arrays themselves through the exchange
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ea"), col("na"), col("eb"), col("nb"))
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         when(col("na") * col("nb") === 0, lit(0.0))
           .otherwise(dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cos")).as("cos")) // identical across band matches
   }
 
   /**
@@ -147,9 +151,11 @@ object Similarity {
         norm(col("embedding")).as("pn"), col("cell"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
+    // no dedup needed: each candidate is assigned to exactly ONE cell,
+    // so (probe, cand) appears once even at nprobe > 1 — a defensive
+    // dropDuplicates here would add a whole shuffle for a no-op
     p.join(cands, Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
-      .dropDuplicates("probe_id", "cand_id") // nprobe cells can overlap on ties
       .select(col("probe_id"), col("cand_id"),
         when(col("pn") * col("cn") === 0, lit(0.0))
           .otherwise(dot(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("cos"))
@@ -171,13 +177,15 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
       norm(col("embedding")).as("cn"),
       explode(signBandKeys(col("embedding"), bits, bands)).as("bucket"))
+    // cosine before dedup (see signLshPairs): the exchange carries
+    // (probe_id, cand_id, cos), never the embedding arrays
     val scored = p.join(c, Seq("bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
-      .select(col("probe_id"), col("cand_id"), col("pv"), col("pn"), col("cv"), col("cn"))
-      .dropDuplicates("probe_id", "cand_id")
       .select(col("probe_id"), col("cand_id"),
         when(col("pn") * col("cn") === 0, lit(0.0))
           .otherwise(dot(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("cos"))
+      .groupBy(col("probe_id"), col("cand_id"))
+      .agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))
