@@ -115,6 +115,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q11 global top-k runs as TakeOrderedAndProject, not a single-partition sort") {
+    // Catalyst's window-group-limit rewrite turns rank<=k over a global
+    // order into a distributed top-k; this guard keeps the query in the
+    // shape that triggers it (a naive global Window would move the
+    // whole table to one partition at 100 TB)
+    val df = SparkEntry.queries("q11_orderby_topk")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q67 pack_shards plan has no Scala UDF (base-offset lookup stays in codegen)") {
     val df = SparkEntry.queries("q67_pack_shards")(spark, sfDir)
     val p = df.queryExecution.optimizedPlan.toString
