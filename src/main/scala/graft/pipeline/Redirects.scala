@@ -104,7 +104,10 @@ object Redirects {
     // (alias-graph-sized) result ONCE, then release all loop caches —
     // previously each level's persist leaked into the session for the
     // app lifetime. Post-call persisted delta: one checkpointed result,
-    // independent of depth.
+    // independent of depth. (localCheckpoint blocks are executor-local,
+    // not fault-tolerant: a multi-hour cluster run should write the
+    // closure through a reliable stage snapshot instead —
+    // Checkpoints.runStage — and resume from it.)
     val out = settled.distinct().localCheckpoint(true)
     cachedLevels.foreach(_.unpersist(false))
     e.unpersist(false)

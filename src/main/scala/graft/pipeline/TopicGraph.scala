@@ -169,6 +169,8 @@ object TopicGraph {
       }
       // labels is |V(component graph)|-sized — orders under the corpus —
       // so eagerly checkpoint the result and free every loop cache
+      // (cluster caveat as in Redirects: localCheckpoint is executor-
+      // local; long cluster runs snapshot via Checkpoints.runStage)
       val out = labels.localCheckpoint(true)
       labels.unpersist(false)
       sym.unpersist(false)
