@@ -559,11 +559,12 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))),
 
     "q69_dedup_minhash_fast" -> ((s, d) =>
-      // xxhash64 fast-signature variant of q42 — the production
-      // throughput path (codegen hash, ~10x less digest work than md5).
-      // xxhash64 is Spark-specific, so this is a rows-only query (no
-      // DuckDB oracle; see rowsOnlyQueries) — cross-engine parity is
-      // q42's job, self-consistency is tested in PipelineSpec
+      // xxhash64-family variant of q42 (alternative hash family built
+      // from Spark's codegen hash; q42 itself runs the one-pass md5
+      // MinhashSigExpr, which is both oracle-parity and the fastest
+      // path). xxhash64 is Spark-specific, so this is a rows-only
+      // query (no DuckDB oracle; see rowsOnlyQueries) — self-
+      // consistency is tested in PipelineSpec
       Dedup.minhashCandidatesFast(Tables.documents(s, d))
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))),
 

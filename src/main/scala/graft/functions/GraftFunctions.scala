@@ -22,12 +22,26 @@ object GraftFunctions {
   /** Codegen 60-bit SimHash (see SimHash64Expr). */
   def simhash64(c: Column): Column = col(SimHash64Expr(expr(c)))
 
+  /** Codegen one-pass MinHash signature (see MinhashSigExpr). */
+  def minhash_sig(c: Column, shingleWords: Int = 3, numHashes: Int = 16): Column =
+    col(MinhashSigExpr(expr(c), shingleWords, numHashes))
+
+  /** Static helper the generated code (and nullSafeEval) calls: the
+    * one-pass signature packed as Catalyst ArrayData. */
+  def minhashSigData(text: String, shingleWords: Int,
+      numHashes: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.pipeline.Dedup.minhashSigArray(text, shingleWords, numHashes)
+        .map(s => org.apache.spark.unsafe.types.UTF8String.fromString(s): Any))
+
   /** Register the functions for SQL use on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nt_escape", es => NtEscapeExpr(es.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", es => SimHash64Expr(es.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", es => MinhashSigExpr(es.head), "scala_udf")
   }
 }
 
@@ -44,5 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[SimHash64Expr].getName, "simhash64"),
         (es: Seq[Expression]) => SimHash64Expr(es.head)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[MinhashSigExpr].getName, "minhash_sig"),
+        (es: Seq[Expression]) => MinhashSigExpr(es.head)))
   }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -28,6 +28,25 @@ case class NtEscapeExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): NtEscapeExpr =
     copy(child = newChild)
   override def prettyName: String = "nt_escape"
+}
+
+/** Whole MinHash signature in one codegen'd pass per document
+  * (graft.pipeline.Dedup.minhashSigArray): the signature stage becomes
+  * a pure map-side projection — no shingle row explosion, no shuffle —
+  * while emitting byte-exact the same array<string> as the relational
+  * explode + partial-min form (equality tested in ExpressionsSpec). */
+case class MinhashSigExpr(child: Expression, shingleWords: Int = 3,
+    numHashes: Int = 16) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GraftFunctions.minhashSigData(v.toString, shingleWords, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftFunctions.minhashSigData(" +
+        s"$c.toString(), $shingleWords, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
 }
 
 /** 60-bit SimHash of a space-tokenized text (majority vote over

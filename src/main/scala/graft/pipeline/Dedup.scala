@@ -99,6 +99,74 @@ object Dedup {
     }: _*)
 
   /**
+   * ONE-PASS JVM minhash signature — byte-exact the same result as
+   * [[minhashSignatures]] (same shingles, same md5-chunk hash family,
+   * same lexicographic hex minima) computed in a single per-document
+   * loop: no shingle row explosion (the relational form multiplies
+   * rows by ~token count before its partial-min aggregation) and NO
+   * shuffle at all — the signature stage becomes a pure map-side
+   * projection via the codegen expression
+   * graft.functions.MinhashSigExpr. Minima are tracked as unsigned
+   * 32-bit values read straight from the digest bytes (fixed-width
+   * lowercase hex compares identically to the unsigned numeric order),
+   * so the inner loop allocates nothing per chunk.
+   */
+  def minhashSigArray(text: String, shingleWords: Int = 3,
+      numHashes: Int = MinhashFunctions): Array[String] = {
+    require(numHashes <= seedsPerDoc * 4, s"numHashes $numHashes > ${seedsPerDoc * 4}")
+    val toks = text.split(" ", -1)
+    val m = toks.length
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def feed(sh: String): Unit = {
+      val shB = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var j = 0
+      while (j * 4 < numHashes) {
+        md.reset()
+        md.update(('0' + j).toByte)
+        md.update(':'.toByte)
+        md.update(shB)
+        val d = md.digest()
+        val lim = math.min(4, numHashes - j * 4)
+        var c = 0
+        while (c < lim) {
+          val v = ((d(c * 4) & 0xffL) << 24) | ((d(c * 4 + 1) & 0xffL) << 16) |
+            ((d(c * 4 + 2) & 0xffL) << 8) | (d(c * 4 + 3) & 0xffL)
+          val i = j * 4 + c
+          if (v < mins(i)) mins(i) = v
+          c += 1
+        }
+        j += 1
+      }
+    }
+    if (m < shingleWords) feed(toks.mkString(" "))
+    else {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= m - shingleWords) {
+        sb.setLength(0)
+        var k = 0
+        while (k < shingleWords) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks(i + k))
+          k += 1
+        }
+        feed(sb.toString)
+        i += 1
+      }
+    }
+    mins.map(v => f"$v%08x")
+  }
+
+  /** (doc_id, sig) via the one-pass codegen expression: zero-shuffle
+    * signatures, identical output to [[minhashSignatures]] (tested). */
+  def minhashSignaturesOnePass(docs: DataFrame, shingleWords: Int = 3,
+      numHashes: Int = MinhashFunctions): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions
+        .minhash_sig(col("text"), shingleWords, numHashes).as("sig"))
+
+  /**
    * Engine-agnostic FAST signatures: 16 hash functions from Spark's
    * codegen xxhash64 (seeded by position), one explode pass + 16
    * map-side partial mins — for pipelines that don't need cross-engine
@@ -158,8 +226,12 @@ object Dedup {
    */
   def minhashCandidates(docs: DataFrame, shingleWords: Int = 3,
       numHashes: Int = 16, bands: Int = 4): DataFrame =
+    // one-pass codegen signatures (byte-exact equal to the relational
+    // form, which remains as the cross-checked reference): the entire
+    // signature stage is map-side, so the only shuffle left in the
+    // candidate search is the band-bucket join itself
     lshCandidatesFromSigs(
-      minhashSignatures(docs, shingleWords, numHashes), numHashes, bands)
+      minhashSignaturesOnePass(docs, shingleWords, numHashes), numHashes, bands)
 
   /** [[minhashCandidates]] on the xxhash64 fast signatures — the
     * throughput path when cross-engine reproducibility isn't needed. */

@@ -1,4 +1,4 @@
-// Scratch: md5 vs xxhash64 minhash candidate timing at sf0.1.
+// Scratch: relational-md5 vs one-pass-expr vs xxhash64 minhash timing at sf0.1.
 package graft.tools
 import org.apache.spark.sql.SparkSession
 object MinhashFastProbe {
@@ -11,11 +11,14 @@ object MinhashFastProbe {
     docs.count()
     def t(tag: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
-      println(f"PROBE $tag ${(System.nanoTime() - t0) / 1e9}%.2f s ($n pairs)")
+      println(f"PROBE $tag ${(System.nanoTime() - t0) / 1e9}%.2f s ($n)")
     }
+    import graft.pipeline.Dedup
     for (_ <- 1 to 2) {
-      t("md5")(graft.pipeline.Dedup.minhashCandidates(docs).count())
-      t("xxh")(graft.pipeline.Dedup.minhashCandidatesFast(docs).count())
+      t("sig-relational")(Dedup.minhashSignatures(docs).count())
+      t("sig-onepass   ")(Dedup.minhashSignaturesOnePass(docs).count())
+      t("cand-onepass  ")(Dedup.minhashCandidates(docs).count())
+      t("cand-xxh      ")(Dedup.minhashCandidatesFast(docs).count())
     }
     s.stop()
   }

@@ -30,6 +30,24 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got == samples.map(Dedup.simhash64))
   }
 
+  test("minhash_sig expression equals the relational explode+partial-min signatures") {
+    val docs = Seq(
+      (0L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (1L, "short"),
+      (2L, "two words"),
+      (3L, ""),
+      (4L, "a  b   c d"), // empty tokens from runs of spaces
+      (5L, (1 to 7).map(i => s"café中$i").mkString(" "))) // non-ASCII utf-8
+      .toDF("doc_id", "text")
+    val relational = Dedup.minhashSignatures(docs)
+      .as[(Long, Seq[String])].collect().toMap
+    val onePass = Dedup.minhashSignaturesOnePass(docs)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(onePass == relational)
+    // and the pure JVM function agrees row-by-row
+    assert(Dedup.minhashSigArray("two words").toSeq == relational(2L))
+  }
+
   test("expressions run inside WholeStageCodegen (no fallback)") {
     // use range (a codegen source) — a local Seq gets constant-folded
     // into LocalTableScan before planning
