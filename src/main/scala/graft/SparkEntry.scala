@@ -611,16 +611,23 @@ object SparkEntry {
     }),
 
     "q45_langid" -> ((s, d) => {
-      // long-form marker scores + argmax rank (deterministic tiebreak)
+      // long-form marker scores + argmax rank (deterministic tiebreak).
+      // ONE corpus scan: all language scores are computed as a struct
+      // array in a single projection and exploded — the union-of-
+      // branches form re-scans the corpus once per language (5 scans
+      // of a 100 TB table for 5 candidate languages)
       val docs = Tables.documents(s, d)
-      val scored = TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
-        docs.select(col("doc_id"), lit(lang).as("cand_lang"),
-          size(filter(split(col("text"), " "),
-            t => t.isin(words.map(w => w: Any): _*))).cast("long").as("hits"))
-      }.reduce(_ unionByName _)
+      val toksOnce = split(col("text"), " ")
+      val scores = TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+        struct(lit(lang).as("cand_lang"),
+          size(filter(toksOnce, t => t.isin(words.map(w => w: Any): _*)))
+            .cast("long").as("hits"))
+      }
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("hits").desc, col("cand_lang").asc)
-      scored.withColumn("rank", row_number().over(w))
+      docs.select(col("doc_id"), explode(array(scores: _*)).as("x"))
+        .select(col("doc_id"), col("x.cand_lang").as("cand_lang"), col("x.hits").as("hits"))
+        .withColumn("rank", row_number().over(w))
     }),
 
     "q46_quality" -> ((s, d) =>
