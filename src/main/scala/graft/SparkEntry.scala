@@ -332,17 +332,20 @@ object SparkEntry {
 
     "q66_heavy_hitters" -> ((s, d) => {
       // hot-key detection for the salted-join path: one Misra-Gries
-      // sketch pass (k=64 counters; no false negatives above n/65),
-      // exact recount of only the tiny candidate set, threshold n/40.
-      // MG's guarantee covers the threshold, so the result is exactly
-      // the full groupBy's — without a corpus-wide shuffle of all keys.
+      // sketch pass (k=64 counters; no false negatives above n/65)
+      // that ALSO carries the total count, then an exact recount of
+      // only the tiny candidate set, threshold n/40. MG's guarantee
+      // covers the threshold, so the result is exactly the full
+      // groupBy's — in TWO corpus passes total, the second behind a
+      // pushed-down In(candidates) filter (<= 64 strings), with no
+      // corpus-wide shuffle of all keys anywhere.
       import org.apache.spark.sql.functions.udaf
       val tokens = Tables.documents(s, d).select(explode(toks).as("tok"))
-      val total = tokens.count()
       val mg = udaf(new graft.functions.Aggregators.MisraGries(64))
-      val cands = tokens.agg(mg(col("tok")).as("c"))
-        .select(explode(col("c")).as("tok"))
-      tokens.join(broadcast(cands), Seq("tok"))
+      val first = tokens.agg(mg(col("tok")).as("c"), count(lit(1)).as("total")).head()
+      val cands = first.getSeq[String](0)
+      val total = first.getLong(1)
+      tokens.filter(col("tok").isin(cands.map(x => x: Any): _*))
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("n_occ"))
         .filter(col("n_occ") >= total / 40.0)
@@ -519,19 +522,23 @@ object SparkEntry {
     "q39_kg_entity_contexts" -> ((s, d) => {
       // ne-disambiguation-corpus analog: one size-capped context
       // document per entity surface, merged from every sentence window
-      // that mentions it, deterministically ordered by (doc, window)
+      // that mentions it, deterministically ordered by (doc, window).
+      // ONE corpus scan: the per-window aggregation builds the sentence
+      // AND its distinct mention surfaces together (collect_set skips
+      // the nulls the when() leaves for non-mentions), then a single
+      // explode fans out per (window, surface) — the sent⋈hits
+      // self-join form scanned and exploded the corpus twice.
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
         .withColumn("w", (col("pos") / 10).cast("int"))
-      val sent = tok.groupBy(col("doc_id"), col("w"))
+      val win = tok.groupBy(col("doc_id"), col("w"))
         .agg(array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("token")))),
-            x => x.getField("token")), " ").as("sentence"))
-      val hits = tok.filter(isDictSurface(col("token")))
-        .select(col("doc_id"), col("w"), col("token").as("surface"))
-        .distinct()
+            x => x.getField("token")), " ").as("sentence"),
+          collect_set(when(isDictSurface(col("token")), col("token"))).as("surfaces"))
       val capped = udaf(new graft.functions.Aggregators.CappedConcat(100000))
-      hits.join(sent, Seq("doc_id", "w"))
+      win.select(col("doc_id"), col("w"), col("sentence"),
+          explode(col("surfaces")).as("surface"))
         .groupBy(col("surface"))
         .agg(count(lit(1)).as("n_occurrences"),
           capped(col("doc_id") * 100000 + col("w"), col("sentence")).as("context"))
