@@ -37,6 +37,28 @@ object Skew {
   }
 
   /**
+   * SELECTIVE salting: only rows whose key is in `hotKeys` (from the
+   * Misra-Gries detector, Aggregators.MisraGries / q66) get salted —
+   * the cold majority joins plainly, so the small side is replicated
+   * xS only for the handful of hot keys instead of for every key.
+   * This is the composition the 10^12-file pipeline runs: one cheap
+   * sketch pass finds the ubiquitous surface forms, and exactly those
+   * spread over S tasks. Results identical to the unsalted join
+   * (tested).
+   */
+  def saltedJoinHotKeys(big: DataFrame, small: DataFrame, key: String,
+      hotKeys: Seq[String], salts: Int, saltSource: Column,
+      joinType: String = "inner"): DataFrame = {
+    if (hotKeys.isEmpty) return big.join(small, Seq(key), joinType)
+    val isHot = col(key).isin(hotKeys.map(k => k: Any): _*)
+    val cold = big.filter(!isHot).join(small.filter(!isHot), Seq(key), joinType)
+    val hot = saltedJoin(big.filter(isHot), small.filter(isHot), key, salts,
+      saltSource, joinType)
+    // align column order (join key position differs per branch input)
+    cold.unionByName(hot)
+  }
+
+  /**
    * Skew-safe two-phase count: pre-aggregate on (key, salt) so no single
    * reduce task owns a hot key's full count, then sum partials. Result
    * is identical to `groupBy(key).count()`; the extra phase matters once

@@ -28,6 +28,23 @@ class ResilienceSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("selective hot-key salting (MG-detector composition) equals the plain join") {
+    val big = (1 to 2000).map(i =>
+      (i.toLong, if (i % 2 == 0) "hot" else s"k${i % 23}")).toDF("id", "key")
+    val small = Seq(("hot", "H"), ("k1", "A"), ("k7", "B")).toDF("key", "v")
+    val plain = big.join(small, Seq("key")).select("id", "key", "v")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Skew.saltedJoinHotKeys(big, small, "key",
+        hotKeys = Seq("hot"), salts = 8, saltSource = col("id"))
+      .select("id", "key", "v").collect().map(_.toString).sorted.toSeq
+    assert(salted == plain && plain.nonEmpty)
+    // empty detector degrades to the plain join
+    val none = Skew.saltedJoinHotKeys(big, small, "key",
+        hotKeys = Seq.empty, salts = 8, saltSource = col("id"))
+      .select("id", "key", "v").collect().map(_.toString).sorted.toSeq
+    assert(none == plain)
+  }
+
   test("salted two-phase count equals plain groupBy count") {
     val df = (1 to 5000).map(i => (i.toLong, if (i % 2 == 0) "hot" else s"k${i % 7}"))
       .toDF("id", "key")
