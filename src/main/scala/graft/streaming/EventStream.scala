@@ -121,6 +121,35 @@ object EventStream {
       .withWatermark(tsCol, "10 minutes")
       .dropDuplicatesWithinWatermark("sh")
 
+  /**
+   * Stream-stream interval join — the streaming twin of the batch
+   * range join (Temporal.rangeJoin / q63): clicks landing within 30
+   * minutes after a signup of the same user, both sides watermarked so
+   * the join STATE is bounded (each side's buffered rows are evicted
+   * once the watermark passes the interval bound — without the time
+   * condition + watermarks, stream-stream join state grows forever).
+   */
+  def clickAttribution(clicks: DataFrame, signups: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val c = clicks
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val su = signups
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "10 minutes")
+    c.join(su,
+      col("c_user") === col("s_user") &&
+        col("click_ts") >= col("signup_ts") &&
+        col("click_ts") <= col("signup_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("click_id"), col("signup_id"), col("c_user").as("user_id"),
+        (unix_timestamp(col("click_ts")) - unix_timestamp(col("signup_ts")))
+          .as("delta_sec"))
+  }
+
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
     val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")

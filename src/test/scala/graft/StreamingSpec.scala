@@ -168,6 +168,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch range join (q63)") {
+    val sfDir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val batch = SparkEntry.queries("q63_range_join")(spark, sfDir)
+      .select("click_id", "signup_id", "user_id", "delta_sec")
+      .collect().map(_.toString).sorted.toSeq
+    val ev1 = EventStream.readEventStream(spark, sfDir)
+    val ev2 = EventStream.readEventStream(spark, sfDir)
+    val q = EventStream.clickAttribution(
+        ev1.filter(col("event_type") === "click"),
+        ev2.filter(col("event_type") === "signup"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attribution_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attribution_out")
+        .select("click_id", "signup_id", "user_id", "delta_sec")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming windowed counts equal batch result") {
     val sfDir = "/root/testdata/sf0.001"
     val batch = EventStream.windowedCounts(
