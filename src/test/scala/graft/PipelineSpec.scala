@@ -210,6 +210,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped.exists(p => p._1 == 500L && p._2 == 501L), "rare pair lost")
   }
 
+  test("banded simhash candidates EXACTLY equal a JVM brute-force banded reference") {
+    // 40 docs: 3 near-dup families + noise; the distributed banded
+    // search must produce precisely the pairs that (share a 15-bit
+    // chunk) AND (hamming <= t) — enumerated all-pairs on the driver
+    val texts: Seq[(Long, String)] =
+      (0 until 8).map(i => (i.toLong,
+        (1 to 50).map(k => if (k == i + 5) s"edit$i" else s"fam0tok$k").mkString(" "))) ++
+      (0 until 6).map(i => (100L + i,
+        (1 to 50).map(k => if (k == i + 9) s"chg$i" else s"fam1word$k").mkString(" "))) ++
+      (0 until 20).map(j => (500L + j, (1 to 50).map(k => s"n${j}x$k").mkString(" ")))
+    val docs = texts.toDF("doc_id", "text")
+    val t = 30
+    val got = Dedup.simhashCandidates(docs, maxHamming = t)
+      .as[(Long, Long, Int)].collect().toSet
+    val sh = texts.map { case (id, txt) => id -> Dedup.simhash64(txt) }
+    val want = (for {
+      (a, ha) <- sh; (b, hb) <- sh
+      if a < b
+      if (0 until 4).exists(k => ((ha >>> (k * 15)) & 0x7fffL) == ((hb >>> (k * 15)) & 0x7fffL))
+      if Dedup.hamming(ha, hb) <= t
+    } yield (a, b, Dedup.hamming(ha, hb))).toSet
+    assert(got == want, s"got ${got.size} vs want ${want.size}")
+    assert(want.nonEmpty) // the families must actually produce pairs
+  }
+
+  test("sign-LSH pairs EXACTLY equal a JVM brute-force banded reference") {
+    val rnd = new scala.util.Random(5)
+    val vecs: Seq[(Long, Array[Float])] = (0 until 60).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val bits = 4
+    val bands = 3
+    val got = Similarity.signLshPairs(vecs.toDF("vec_id", "embedding"), bits, bands)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def key(v: Array[Float], b: Int) =
+      (b * bits until (b + 1) * bits).map(d => if (v(d) >= 0) '1' else '0').mkString
+    val want = (for {
+      (a, va) <- vecs; (b, vb) <- vecs
+      if a < b
+      if (0 until bands).exists(k => key(va, k) == key(vb, k))
+    } yield (a, b)).toSet
+    assert(got == want, s"got ${got.size} vs want ${want.size}")
+    assert(want.nonEmpty)
+  }
+
   test("banded simhash search finds a planted NON-adjacent duplicate pair") {
     // the duplicate ids are far apart (3 and 4700) with unrelated noise
     // between — an adjacent-id scheme can never pair them; the banded
