@@ -821,6 +821,13 @@ object SparkEntry {
       // reproducible across engines/runs/cluster sizes (no RNG)
       Curation.splitSummary(Tables.documents(s, d))),
 
+    "q72_stratified_sample" -> ((s, d) =>
+      // balanced-mix sampling: up to 40 docs per language, picked by
+      // seeded-hash rank — deterministic across engines/runs/cluster
+      // sizes, never a global sort (Curation.stratifiedSample)
+      Curation.stratifiedSample(Tables.documents(s, d), "lang", 40)
+        .select(col("doc_id"), col("lang"))),
+
     "q57_redact" -> ((s, d) =>
       // secret/PII scrubbing: match count + redacted-content hash
       Curation.redact(Tables.documents(s, d))),
@@ -1525,6 +1532,13 @@ object SparkEntry {
         | FROM documents)
         |SELECT split, lang, count(*) AS n_docs, CAST(sum(samp) AS BIGINT) AS n_sampled
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q72_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5('strat:' || doc_id::VARCHAR) ASC, doc_id ASC) AS rk
+        | FROM documents) WHERE rk <= 40""".stripMargin,
 
     "q57_redact" ->
       """SELECT doc_id,

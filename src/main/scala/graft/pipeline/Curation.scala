@@ -56,6 +56,27 @@ object Curation {
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("sampled")).as("n_sampled"))
 
+  /**
+   * Deterministic STRATIFIED sample: up to `perStratum` docs per
+   * stratum (e.g. per language — the balanced-mix step of a training
+   * recipe), selected by rank over a seeded hash so the pick is
+   * engine/run/cluster-size independent and stable under corpus
+   * APPENDS of new strata. One shuffle on the stratum key; the window
+   * ranks within strata only (never a global sort). Top-rank-by-hash
+   * is a uniform random sample conditional on the hash being a PRF —
+   * the same argument as hash-bucket splitting.
+   */
+  def stratifiedSample(docs: DataFrame, stratumCol: String, perStratum: Int,
+      keyCol: String = "doc_id", seed: String = "strat:"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(concat(lit(seed), col(keyCol).cast("string"))).asc,
+        col(keyCol).asc)
+    docs.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= perStratum)
+      .drop("_rk")
+  }
+
   /** Default stand-in secret patterns (word-boundary token classes; in
     * a real code corpus these are key/token/credential formats). */
   val SecretPattern = "\\b(key|hash|customer)\\b"
