@@ -85,6 +85,23 @@ class CurationSpec extends AnyFunSuite {
     assert(got7 == want)
   }
 
+  test("stratified sample: exactly k per stratum, key-deterministic, partitioning-independent") {
+    val d = spark.range(997).toDF("doc_id")
+      .withColumn("lang", (col("doc_id") % 3).cast("string"))
+      .withColumn("text", lit("x"))
+    def pick(df: org.apache.spark.sql.DataFrame) =
+      Curation.stratifiedSample(df, "lang", 25)
+        .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    val a = pick(d.repartition(1))
+    val b = pick(d.repartition(7, col("doc_id")))
+    assert(a == b, "sample depends on partitioning")
+    val perLang = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perLang.values.toSet == Set(25), perLang.toString)
+    // under-full stratum keeps everything
+    val tiny = Seq((1L, "zz", "x"), (2L, "zz", "x")).toDF("doc_id", "lang", "text")
+    assert(Curation.stratifiedSample(tiny, "lang", 25).count() == 2)
+  }
+
   test("token chunking is a total segmentation (every token in one chunk)") {
     val d = docs((1L, (1 to 13).map(i => s"t$i").mkString(" ")))
     val chunks = d.select(explode(Curation.tokenChunks(col("text"), 5)).as("c"))
