@@ -82,7 +82,9 @@ object Main {
     var canon: DataFrame = null
     if (stages("closure")) {
       canon = cp.runStage("03_closure") {
-        Redirects.transitiveClosure(
+        // log-depth doubling (the scale default, as in NerCorpus);
+        // small alias graphs take the same adaptive driver fast path
+        Redirects.transitiveClosureDoubling(
           if (aliases != null) aliases else spark.read.parquet(s"$outDir/stages/02_aliases"))
       }
       println(s"[graft] canonical aliases: ${canon.count()}")

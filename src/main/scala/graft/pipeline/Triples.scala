@@ -27,7 +27,9 @@ object Triples {
       .map(f => graft.parse.CodeParser.parse(f, dictB.value))
       .flatMap(p => p.aliasTarget.map(t => (p.uri, t)))
       .toDF("src", "dst")
-    val canon = Redirects.transitiveClosure(edges)
+    // log-depth doubling closure (scale default; small alias graphs
+    // take the adaptive driver fast path, identical output)
+    val canon = Redirects.transitiveClosureDoubling(edges)
 
     // Mention emission: one fused persist-free stage —
     // scan → parse → segment → project(uri, target) → partial distinct —
