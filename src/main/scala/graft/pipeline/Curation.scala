@@ -62,9 +62,13 @@ object Curation {
    * recipe), selected by rank over a seeded hash so the pick is
    * engine/run/cluster-size independent and stable under corpus
    * APPENDS of new strata. One shuffle on the stratum key; the window
-   * ranks within strata only (never a global sort). Top-rank-by-hash
-   * is a uniform random sample conditional on the hash being a PRF —
-   * the same argument as hash-bucket splitting.
+   * ranks within strata only (never a global sort), and Catalyst's
+   * WindowGroupLimit rewrite runs it as a map-side partial top-k per
+   * stratum before the exchange (plan-asserted), so a billion-row
+   * stratum ships at most k rows per map task — no single-reducer
+   * stratum sort. Top-rank-by-hash is a uniform random sample
+   * conditional on the hash being a PRF — the same argument as
+   * hash-bucket splitting.
    */
   def stratifiedSample(docs: DataFrame, stratumCol: String, perStratum: Int,
       keyCol: String = "doc_id", seed: String = "strat:"): DataFrame = {

@@ -126,6 +126,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q72 stratified sample runs as map-side partial top-k (WindowGroupLimit)") {
+    val df = SparkEntry.queries("q72_stratified_sample")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // Partial mode = each map task keeps <= k rows per stratum BEFORE
+    // the exchange; without it a hot stratum sorts on one reducer
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+  }
+
   test("q67 pack_shards plan has no Scala UDF (base-offset lookup stays in codegen)") {
     val df = SparkEntry.queries("q67_pack_shards")(spark, sfDir)
     val p = df.queryExecution.optimizedPlan.toString
