@@ -53,7 +53,8 @@ class ExpressionsSpec extends AnyFunSuite {
     // into LocalTableScan before planning
     val df = spark.range(3).select(
       GraftFunctions.nt_escape(col("id").cast("string")),
-      GraftFunctions.simhash64(col("id").cast("string")))
+      GraftFunctions.simhash64(col("id").cast("string")),
+      GraftFunctions.minhash_sig(col("id").cast("string")))
     // "*(1)" marks operators inside WholeStageCodegen stage 1
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), plan)
@@ -62,9 +63,12 @@ class ExpressionsSpec extends AnyFunSuite {
 
   test("SQL registration on an existing session") {
     GraftFunctions.register(spark)
-    val r = spark.sql("SELECT nt_escape('café') AS e, simhash64('a b') AS h").collect().head
+    val r = spark.sql(
+      "SELECT nt_escape('café') AS e, simhash64('a b') AS h, minhash_sig('a b c d') AS m")
+      .collect().head
     assert(r.getString(0) == "caf\\u00E9")
     assert(r.getLong(1) == Dedup.simhash64("a b"))
+    assert(r.getSeq[String](2) == Dedup.minhashSigArray("a b c d").toSeq)
   }
 
   test("GraftExtensions injects functions at session build") {
