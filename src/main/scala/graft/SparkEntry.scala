@@ -85,6 +85,30 @@ object SparkEntry {
        |  WHERE z[1] IN ($dictInList) AND z[2] IN ($dictInList) AND z[1] <> z[2]
        |)""".stripMargin
 
+  /** DuckDB CTE chain replicating Dedup.minhashCandidates: 3-word
+    * shingles -> 16 md5-chunk minima -> 4-band buckets -> distinct
+    * candidate pairs (sh and pairs CTEs are reused by q42 and q73). */
+  private val minhashPairsCte: String = {
+    val sigExprs = (0 until 16).map(i =>
+      s"list_aggregate(list_transform(hx, h -> substring(h, ${i * 8 + 1}, 8)), 'min')")
+      .mkString(", ")
+    val hexExpr = (0 until 4).map(j => s"md5('$j:' || s)").mkString(" || ")
+    val bucketExprs = (0 until 4).map(b =>
+      s"'$b|' || md5(array_to_string(sig[${b * 4 + 1}:${b * 4 + 4}], ','))").mkString(", ")
+    s"""sh AS (
+       | SELECT doc_id,
+       |  list_transform(range(1, greatest(length(toks) - 1, 2)),
+       |    i -> array_to_string(toks[i:i+2], ' ')) AS sh
+       | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       |hexes AS (SELECT doc_id, list_transform(sh, s -> $hexExpr) AS hx FROM sh),
+       |sig AS (SELECT doc_id, [$sigExprs] AS sig FROM hexes),
+       |bk AS (SELECT doc_id, sig, unnest([$bucketExprs]) AS bucket FROM sig),
+       |pairs AS (
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  a.sig AS sig_a, b.sig AS sig_b
+       | FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** DuckDB CTE: (doc_id, surface, i) per token, 1-based position. */
   private val tokenPosSql =
     """tok AS (
@@ -564,6 +588,22 @@ object SparkEntry {
     "q42_dedup_minhash" -> ((s, d) =>
       Dedup.minhashCandidates(Tables.documents(s, d))
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))),
+
+    "q73_dedup_verified" -> ((s, d) => {
+      // the VERIFY stage of the dedup chain: LSH candidates re-joined
+      // to their shingle sets for the exact n-gram Jaccard, thresholded
+      // — the candidate relation is tiny next to the corpus, so both
+      // text joins broadcast the candidate side under AQE
+      val docs = Tables.documents(s, d)
+      val cands = Dedup.minhashCandidates(docs).select(col("id_a"), col("id_b"))
+      val sh = docs.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+      cands
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.7)
+    }),
 
     "q69_dedup_minhash_fast" -> ((s, d) =>
       // xxhash64-family variant of q42 (alternative hash family built
@@ -1221,30 +1261,25 @@ object SparkEntry {
         |    / length(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
 
-    "q42_dedup_minhash" -> {
-      val sigExprs = (0 until 16).map(i =>
-        s"list_aggregate(list_transform(hx, h -> substring(h, ${i * 8 + 1}, 8)), 'min')")
-        .mkString(", ")
-      val hexExpr = (0 until 4).map(j => s"md5('$j:' || s)").mkString(" || ")
-      val bucketExprs = (0 until 4).map(b =>
-        s"'$b|' || md5(array_to_string(sig[${b * 4 + 1}:${b * 4 + 4}], ','))").mkString(", ")
-      s"""WITH sh AS (
-         | SELECT doc_id,
-         |  list_transform(range(1, greatest(length(toks) - 1, 2)),
-         |    i -> array_to_string(toks[i:i+2], ' ')) AS sh
-         | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-         |hexes AS (SELECT doc_id, list_transform(sh, s -> $hexExpr) AS hx FROM sh),
-         |sig AS (SELECT doc_id, [$sigExprs] AS sig FROM hexes),
-         |bk AS (SELECT doc_id, sig, unnest([$bucketExprs]) AS bucket FROM sig),
-         |pairs AS (
-         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  a.sig AS sig_a, b.sig AS sig_b
-         | FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    "q42_dedup_minhash" ->
+      s"""WITH $minhashPairsCte
          |SELECT id_a, id_b,
          | round(length(list_filter(list_zip(sig_a, sig_b), z -> z[1] = z[2])) / 16.0, 4)
          |   AS est_jaccard
-         |FROM pairs""".stripMargin
-    },
+         |FROM pairs""".stripMargin,
+
+    "q73_dedup_verified" ->
+      s"""WITH $minhashPairsCte
+         |SELECT p.id_a, p.id_b,
+         | round(CASE WHEN length(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |  ELSE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / length(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
+         |FROM pairs p
+         |JOIN sh a ON p.id_a = a.doc_id
+         |JOIN sh b ON p.id_b = b.doc_id
+         |WHERE round(CASE WHEN length(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |  ELSE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / length(list_distinct(list_concat(a.sh, b.sh))) END, 4) >= 0.7""".stripMargin,
 
     "q43_sim_topk" ->
       """SELECT probe_id, cand_id, round(cos, 4) AS cos, rank FROM (
