@@ -692,6 +692,25 @@ object SparkEntry {
           size(regexp_extract_all(col("text"),
             lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_bpe"))),
 
+    "q74_repetition_signals" -> ((s, d) =>
+      // Gopher/MassiveText repetition filters (adapted to the 10-token
+      // window convention): duplicate-window fraction is pure column
+      // math computed in the SAME single scan that explodes the
+      // bigrams; top-bigram char coverage via per-doc argmax (struct
+      // max — deterministic tie-break)
+      Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("len"),
+          TextAnalysis.dupWindowRatio(col("text")).as("dwr"),
+          explode(Dedup.wordShingles(col("text"), 2)).as("g"))
+        .groupBy(col("doc_id"), col("len"), col("dwr"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("dwr"))
+        .agg(max(struct(col("c"), col("g"), col("len"))).as("top"))
+        .select(col("doc_id"), col("dwr").as("dup_window_ratio"),
+          col("top.g").as("top_bigram"),
+          round(least(lit(1.0), col("top.c") * (length(col("top.g")) + 1)
+            / col("top.len").cast("double")), 4).as("top_bigram_fraction"))),
+
     "q48_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1375,6 +1394,30 @@ object SparkEntry {
         |   t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
         | CAST(length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
+
+    "q74_repetition_signals" ->
+      """WITH bg AS (
+        | SELECT doc_id, length(text) AS len,
+        |  unnest(list_transform(range(1, greatest(length(toks), 2)),
+        |    i -> array_to_string(toks[i:i+1], ' '))) AS g
+        | FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)),
+        |cnt AS (SELECT doc_id, len, g, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+        |top AS (
+        | SELECT doc_id, len, g, c,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rk
+        | FROM cnt),
+        |dwr AS (
+        | SELECT doc_id,
+        |  round(1.0 - CAST(length(list_distinct(w)) AS DOUBLE) / length(w), 4)
+        |    AS dup_window_ratio
+        | FROM (SELECT doc_id,
+        |        list_transform(range(0, CAST(ceil(length(toks) / 10.0) AS INT)),
+        |          i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) AS w
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))
+        |SELECT t.doc_id, d.dup_window_ratio, t.g AS top_bigram,
+        | round(least(1.0, t.c * (length(t.g) + 1) / CAST(t.len AS DOUBLE)), 4)
+        |   AS top_bigram_fraction
+        |FROM top t JOIN dwr d USING (doc_id) WHERE rk = 1""".stripMargin,
 
     "q48_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,

@@ -37,6 +37,43 @@ object TextAnalysis {
     element_at(array_sort(array(scored: _*)), -1)
   }
 
+  /**
+   * Repetition signals (the Gopher/MassiveText repetition filters,
+   * Rae et al. 2021 §A1.1, adapted to this corpus's 10-token sentence
+   * windows): per document,
+   *  - `dup_window_ratio`: fraction of 10-token windows whose text
+   *    occurs more than once in the document (the duplicate-line
+   *    fraction analog for newline-free text) — pure column math, one
+   *    map-side pass, no explode;
+   *  - `top_bigram_fraction` (see [[topBigramFraction]]): fraction of
+   *    characters covered by occurrences of the document's most
+   *    frequent word 2-gram — explode + per-doc argmax.
+   */
+  def dupWindowRatio(text: Column, windowTokens: Int = 10): Column = {
+    val toks = split(text, " ")
+    val nWin = ceil(size(toks) / lit(windowTokens.toDouble)).cast("int")
+    val wins = transform(sequence(lit(0), nWin - 1),
+      i => array_join(slice(toks, i * windowTokens + 1, lit(windowTokens)), " "))
+    round(lit(1.0) - size(array_distinct(wins)) / size(wins).cast("double"), 4)
+  }
+
+  /** (docs with doc_id, text) -> (doc_id, top_bigram, top_bigram_fraction):
+    * chars covered by the most frequent word 2-gram (count * (len+1)
+    * separators included, capped at 1.0) over the doc's char length.
+    * Ties broken by the lexicographically LARGEST bigram (struct max —
+    * deterministic, engine-reproducible). */
+  def topBigramFraction(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), length(col("text")).as("len"),
+        explode(Dedup.wordShingles(col("text"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("len"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("c"), col("g"), col("len"))).as("top"))
+      .select(col("doc_id"), col("top.g").as("top_bigram"),
+        round(least(lit(1.0),
+          col("top.c") * (length(col("top.g")) + 1) / col("top.len").cast("double")), 4)
+          .as("top_bigram_fraction"))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(text, " "))
 

@@ -102,6 +102,30 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.stratifiedSample(tiny, "lang", 25).count() == 2)
   }
 
+  test("repetition signals: duplicate windows and top-bigram coverage on crafted docs") {
+    import graft.pipeline.TextAnalysis
+    // doc 1: windows [w1..w10] repeated 3x -> 3 windows, 1 distinct
+    val rep = ((1 to 10).map(i => s"w$i") ++ (1 to 10).map(i => s"w$i") ++
+      (1 to 10).map(i => s"w$i")).mkString(" ")
+    // doc 2: 30 distinct tokens -> no duplicate windows
+    val uniq = (1 to 30).map(i => s"u$i").mkString(" ")
+    val d = Seq((1L, rep), (2L, uniq)).toDF("doc_id", "text")
+    val dwr = d.select(col("doc_id"),
+        TextAnalysis.dupWindowRatio(col("text")).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(dwr(1L) == 0.6667, dwr.toString) // 1 - 1/3
+    assert(dwr(2L) == 0.0)
+    val t1 = TextAnalysis.topBigramFraction(d).filter(col("doc_id") === 1)
+      .select("top_bigram", "top_bigram_fraction").as[(String, Double)].collect().head
+    // "w10 w1" occurs twice (at the two window seams)... every other
+    // bigram once except ties; the doc-1 winner must occur >= 2 times
+    assert(t1._2 > 0.0 && t1._2 <= 1.0)
+    val t2 = TextAnalysis.topBigramFraction(d).filter(col("doc_id") === 2)
+      .select("top_bigram", "top_bigram_fraction").as[(String, Double)].collect().head
+    // all bigrams distinct -> tie broken by LARGEST bigram string
+    assert(t2._1 == "u9 u10", t2.toString)
+  }
+
   test("token chunking is a total segmentation (every token in one chunk)") {
     val d = docs((1L, (1 to 13).map(i => s"t$i").mkString(" ")))
     val chunks = d.select(explode(Curation.tokenChunks(col("text"), 5)).as("c"))
