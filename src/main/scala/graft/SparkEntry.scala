@@ -62,6 +62,38 @@ object SparkEntry {
       |  FROM documents WHERE doc_id % 10 = 0
       |)""".stripMargin
 
+  /** DuckDB oracle for q75: PageRank's fixed 5 iterations unrolled as
+    * CTEs r1..r5 (a recursive CTE can't carry re-aggregated rank state
+    * under UNION set semantics) — same teleport + dangling-mass math as
+    * TopicGraph.pageRank, all literals forced DOUBLE so DuckDB's
+    * DECIMAL literal arithmetic never diverges from Spark's IEEE. */
+  private val pageRankOracleSql: String = {
+    val d = "0.85::DOUBLE"
+    val iters = 5
+    val head =
+      s"""WITH $aliasEdgesSql,
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges)),
+         |outdeg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT nd.node, (1 - $d)/(SELECT n FROM nn) + $d * (coalesce(s.in_sum, 0.0)
+         |    + (SELECT coalesce(sum(p.rank), 0.0) FROM $p p
+         |       LEFT JOIN outdeg o ON p.node = o.node WHERE o.node IS NULL)
+         |      /(SELECT n FROM nn)) AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.rank / o.deg) AS in_sum
+         |    FROM edges e JOIN $p p ON e.src = p.node
+         |    JOIN outdeg o ON o.node = e.src
+         |    GROUP BY 1) s ON nd.node = s.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, round(rank, 8) AS rank_r8 FROM r$iters"
+  }
+
   /** Entity co-occurrence edges: adjacent token pairs, both dictionary
     * surfaces, self-loops removed, distinct (topic-graph analog). */
   private def entityEdges(spark: SparkSession, sfDir: String): DataFrame = {
@@ -710,6 +742,37 @@ object SparkEntry {
           col("top.g").as("top_bigram"),
           round(least(lit(1.0), col("top.c") * (length(col("top.g")) + 1)
             / col("top.len").cast("double")), 4).as("top_bigram_fraction"))),
+
+    "q75_pagerank" -> ((s, d) =>
+      // entity-importance prior for the skewed popular-entity linking
+      // stage (north rule): PageRank power iteration, dangling mass
+      // redistributed, fixed 5 iterations. Adaptive driver fast path
+      // at this graph size; PipelineSpec pins the distributed loop
+      // (localThreshold = 0) value-equal to it
+      TopicGraph.pageRank(aliasEdges(s, d), iters = 5, damping = 0.85)
+        .select(col("node"), round(col("rank"), 8).as("rank_r8"))),
+
+    "q76_cooccur_pmi" -> ((s, d) => {
+      // entity co-occurrence PMI — the relation-extraction signal
+      // derived right after mention detection; doc-level pair fan-out
+      // is bounded by the broadcast dictionary (TextAnalysis scaladoc)
+      val docs = Tables.documents(s, d)
+      TextAnalysis.cooccurrencePmi(docs, dictSurfaces, docs.count())
+        .select(col("sa"), col("sb"), col("n_ab"),
+          round(col("pmi"), 6).as("pmi_r6"))
+    }),
+
+    "q77_semdedup" -> ((s, d) =>
+      // SemDeDup: exact pairwise cosine ONLY within embedding-space
+      // cells (sign-bucket stand-in for k-means cells), greedy
+      // keep-min-id — the embedding-level analog of the q70 keep list.
+      // Demo threshold matches q53 (near-random synthetic embeddings)
+      Similarity.semDedup(Tables.embeddings(s, d), tau = 0.25, bits = 4)),
+
+    "q78_source_prior" -> ((s, d) =>
+      // per-source curation prior (CCNet/RefinedWeb domain table):
+      // doc/token rollup + exact-duplicate rate per source
+      Curation.sourceStats(Tables.documents(s, d))),
 
     "q48_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1418,6 +1481,49 @@ object SparkEntry {
         | round(least(1.0, t.c * (length(t.g) + 1) / CAST(t.len AS DOUBLE)), 4)
         |   AS top_bigram_fraction
         |FROM top t JOIN dwr d USING (doc_id) WHERE rk = 1""".stripMargin,
+
+    "q75_pagerank" -> pageRankOracleSql,
+
+    "q76_cooccur_pmi" ->
+      s"""WITH ds AS (
+         | SELECT DISTINCT doc_id, tok AS surface
+         | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         | WHERE tok IN ($dictInList)),
+         |m AS (SELECT surface, count(*) AS n FROM ds GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+         |SELECT a.surface AS sa, b.surface AS sb, count(*) AS n_ab,
+         | round(ln(count(*) * (SELECT n FROM nd) / (ma.n * mb.n)), 6) AS pmi_r6
+         |FROM ds a JOIN ds b ON a.doc_id = b.doc_id AND a.surface < b.surface
+         |JOIN m ma ON ma.surface = a.surface
+         |JOIN m mb ON mb.surface = b.surface
+         |GROUP BY a.surface, b.surface, ma.n, mb.n""".stripMargin,
+
+    "q77_semdedup" ->
+      """WITH c AS (
+        | SELECT vec_id, embedding,
+        |  array_to_string(list_transform(embedding[1:4],
+        |    v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '') AS cell
+        | FROM embeddings),
+        |drops AS (
+        | SELECT DISTINCT b.vec_id
+        | FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        | WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25)
+        |SELECT c.vec_id, c.cell, CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+        |FROM c LEFT JOIN drops d ON c.vec_id = d.vec_id""".stripMargin,
+
+    "q78_source_prior" ->
+      """WITH base AS (
+        | SELECT source, md5(text) AS h,
+        |  CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |freq AS (SELECT h, count(*) AS n_copies FROM base GROUP BY 1)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        | round(avg(n_tok), 4) AS mean_tokens,
+        | CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        | round(CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+        |FROM base JOIN freq USING (h)
+        |GROUP BY source""".stripMargin,
 
     "q48_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,

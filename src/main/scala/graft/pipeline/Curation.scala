@@ -180,4 +180,33 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("s")).as("n_shared_shingles"))
   }
+
+  /**
+   * Per-source quality prior — the domain-level filter table of
+   * CCNet/RefinedWeb-style pipelines: web-scale curation decides
+   * keep/downsample per SOURCE (domain) before touching individual
+   * documents. Emits, per source: doc count, token totals/mean, and
+   * the exact-duplicate rate (fraction of this source's docs whose
+   * content hash appears more than once corpus-wide — a high rate
+   * marks mirror/boilerplate domains).
+   *
+   * Scale shape: one corpus scan computes (source, content-hash,
+   * token count); the only big shuffle is the hash-frequency groupBy
+   * on a 16-byte key (identical to `Dedup.exactGroups` — on a shared
+   * pipeline the two stages reuse one hash-frequency relation); the
+   * per-source rollup output is |sources|-sized, orders below the
+   * corpus.
+   */
+  def sourceStats(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("source"), md5(col("text")).as("h"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val freq = base.groupBy(col("h")).agg(count(lit(1)).as("n_copies"))
+    base.join(freq, Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        round(avg(col("n_tok")), 4).as("mean_tokens"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_rate", round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
+  }
 }

@@ -169,6 +169,50 @@ object Similarity {
    * by design; every join shuffles on small band keys instead of
    * cross-joining.
    */
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540): partition the embedding space into cells, run
+   * exact pairwise cosine ONLY within each cell, and drop every vector
+   * that has a lower-id cell-mate above the similarity threshold —
+   * the cells are what keep the quadratic pairwise step tractable
+   * (O(Σ |cell|²) ≪ O(n²)).
+   *
+   * Cell key here is the deterministic sign bucket (`signBucket`, the
+   * engine-agnostic stand-in this repo uses everywhere an arbitrary
+   * seeded partitioner would appear); a real deployment uses k-means
+   * cluster ids with k ≈ √n — identical plan shape (cell equi-join),
+   * and `bits` is the cell-granularity knob (cells shrink 2× per bit,
+   * recall across cell boundaries is the price, exactly as k trades
+   * in SemDeDup).
+   *
+   * Keep rule is greedy-by-min-id ("kept iff no LOWER-id cell-mate
+   * within τ"), the same deterministic convention as the minhash
+   * keep-list (q70); like SemDeDup's per-cluster keep-one it
+   * approximates maximal-independent-set one pass, no iteration.
+   *
+   * Output: (vec_id, cell, kept 0/1) — one row per input vector.
+   */
+  def semDedup(vecs: DataFrame, tau: Double, bits: Int = 4): DataFrame = {
+    val c = vecs.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      signBucket(col("embedding"), bits).as("cell"))
+    // cosine computed inside the join projection: the exchange after
+    // it carries (id, id) not the embedding arrays (cf. signLshPairs)
+    val drops = c.as("a")
+      .join(c.as("b"), col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
+        when(col("a.nrm") * col("b.nrm") === 0, lit(0.0))
+          .otherwise(dot(col("a.embedding"), col("b.embedding"))
+            / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("vec_id")).distinct()
+    c.select(col("vec_id"), col("cell"))
+      .join(drops.withColumn("drop", lit(1)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        when(col("drop").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+  }
+
   def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8,
       bands: Int = 4): DataFrame = {
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),

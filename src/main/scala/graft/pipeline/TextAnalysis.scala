@@ -109,4 +109,41 @@ object TextAnalysis {
    */
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(split(text, " "))), " "))
+
+  /**
+   * Entity co-occurrence PMI — the classic relation-extraction signal
+   * a KG pipeline derives right after mention detection (which entity
+   * pairs co-occur in documents more than chance): for each unordered
+   * pair of dictionary surfaces appearing in the same document,
+   * pmi = ln( P(a,b) / (P(a)·P(b)) ) over document frequencies.
+   *
+   * Scale shape: the per-doc surface set is gated by the (broadcast)
+   * dictionary, so the in-document pair fan-out is bounded by |dict|²
+   * — the doc-level self-join never explodes on long documents (for an
+   * open vocabulary, cap the per-doc distinct-mention list first, same
+   * bound). Marginals are |vocab|-sized → broadcast joins; the only
+   * big shuffle is the distinct (doc, surface) projection, which
+   * aggregates map-side.
+   *
+   * `nDocs` is the corpus size (denominator); pass `docs.count()` —
+   * metadata-only on parquet, no scan.
+   */
+  def cooccurrencePmi(docs: DataFrame, surfaces: Seq[String], nDocs: Long): DataFrame = {
+    val toks = split(col("text"), " ")
+    val docSurf = docs
+      .select(col("doc_id"),
+        explode(array_distinct(
+          filter(toks, t => t.isin(surfaces.map(s => s: Any): _*)))).as("surface"))
+    val marg = docSurf.groupBy(col("surface")).agg(count(lit(1)).as("n"))
+    val pairs = docSurf.as("a")
+      .join(docSurf.as("b"), col("a.doc_id") === col("b.doc_id") &&
+        col("a.surface") < col("b.surface"))
+      .groupBy(col("a.surface").as("sa"), col("b.surface").as("sb"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marg.select(col("surface").as("sa"), col("n").as("na"))), Seq("sa"))
+      .join(broadcast(marg.select(col("surface").as("sb"), col("n").as("nb"))), Seq("sb"))
+      .select(col("sa"), col("sb"), col("n_ab"),
+        log((col("n_ab") * nDocs).cast("double") / (col("na") * col("nb"))).as("pmi"))
+  }
 }

@@ -220,4 +220,136 @@ object TopicGraph {
         org.apache.spark.sql.types.StructField("node", nodeType),
         org.apache.spark.sql.types.StructField("label", nodeType))))
   }
+
+  /**
+   * PageRank by power iteration over the entity/topic graph — the
+   * importance prior behind the north rule's "skewed popular-entity
+   * linking": the rank ordering IS the hot-key list that feeds
+   * `Skew.saltedJoin`, and the per-entity prior a disambiguator uses
+   * when one surface form maps to several candidate entities
+   * (ne-disambiguation's popularity signal, cf. reference
+   * examples/ne-disambiguation counting mention frequencies).
+   *
+   * Fixed iteration count (deterministic, oracle-friendly); standard
+   * teleport + dangling-mass redistribution so rank mass is conserved
+   * at 1.0 every iteration (asserted in PipelineSpec).
+   *
+   * Scale shape (100 TB corpus, billions of edges):
+   *  - `edgesDeg` (edges ⋈ out-degree) is computed ONCE and persisted;
+   *    every iteration reuses it, so the loop costs exactly one
+   *    rank-side shuffle per iteration (the dst aggregation).
+   *  - the dangling-rank total folds in via a BROADCAST 1-row
+   *    aggregate (crossJoin(broadcast(...))) — no driver collect
+   *    inside the loop.
+   *  - per-iteration persist + unpersist-previous; `localCheckpoint`
+   *    every 4 iterations truncates the plan (same discipline as
+   *    `connectedComponents`; cluster runs snapshot via
+   *    `Checkpoints.runStage`).
+   *  - entity graphs are tiny next to the corpus that produced them,
+   *    so below `localThreshold` edges the loop is a driver problem
+   *    (same adaptive judgment as `connectedComponents`; identical
+   *    output is asserted by forcing localThreshold = 0 in tests).
+   *
+   * Input: (src, dst) edge relation (parallel edges count as repeated
+   * links, as in classic PageRank over a multigraph).
+   * Output: (node, rank) with sum(rank) == 1.
+   */
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
+      localThreshold: Long = 4000000L): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sess = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).persist(lvl)
+    val nEdges = e.count()
+    if (nEdges <= localThreshold) {
+      val out = pageRankLocal(e, iters, damping)
+      e.unpersist(false)
+      return out
+    }
+    val parts = math.max(1, math.min(
+      sess.sparkContext.defaultParallelism, (nEdges / 50000L).toInt))
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct().persist(lvl)
+      val n = nodes.count().toDouble
+      val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      // constant across iterations: each edge tagged with its source's
+      // out-degree, hash-partitioned on src by the groupBy above
+      val edgesDeg = e.join(outdeg.withColumnRenamed("node", "src"), Seq("src"))
+        .persist(lvl)
+      edgesDeg.count()
+      var ranks = nodes.withColumn("rank", lit(1.0 / n)).persist(lvl)
+      ranks.count()
+      var it = 0
+      while (it < iters) {
+        val contrib = edgesDeg
+          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
+        // rank held by dangling nodes (no outgoing edges) teleports
+        // uniformly; 1-row aggregate rides broadcast, never the driver
+        val dang = ranks.join(outdeg, Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
+        val stepped = nodes
+          .join(contrib, Seq("node"), "left_outer")
+          .crossJoin(broadcast(dang))
+          .select(col("node"),
+            (lit((1 - damping) / n) + lit(damping) *
+              (coalesce(col("in_sum"), lit(0.0)) + col("dang") / n)).as("rank"))
+          .persist(lvl)
+        it += 1
+        val next = if (it % 4 == 0) stepped.localCheckpoint(true) else stepped
+        next.count()
+        ranks.unpersist(false)
+        ranks = if (next ne stepped) { stepped.unpersist(false); next } else next
+      }
+      val out = ranks.localCheckpoint(true)
+      ranks.unpersist(false)
+      edgesDeg.unpersist(false)
+      nodes.unpersist(false)
+      e.unpersist(false)
+      out
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Driver-side power iteration over a collected small edge list —
+    * same math, same (node, rank) schema as the distributed loop. */
+  private def pageRankLocal(e: DataFrame, iters: Int, damping: Double): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect()
+    val adj = scala.collection.mutable.HashMap.empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+    val nodeSet = scala.collection.mutable.LinkedHashSet.empty[Any]
+    rows.foreach { r =>
+      val (s, d) = (r.get(0), r.get(1))
+      nodeSet += s; nodeSet += d
+      adj.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += d
+    }
+    val nodes = nodeSet.toVector
+    val n = nodes.size.toDouble
+    var rank = nodes.map(nd => nd -> 1.0 / n).toMap
+    var it = 0
+    while (it < iters) {
+      val in = scala.collection.mutable.HashMap.empty[Any, Double].withDefaultValue(0.0)
+      var dang = 0.0
+      nodes.foreach { nd =>
+        adj.get(nd) match {
+          case Some(ds) => val c = rank(nd) / ds.size; ds.foreach(d => in(d) += c)
+          case None => dang += rank(nd)
+        }
+      }
+      rank = nodes.map(nd =>
+        nd -> ((1 - damping) / n + damping * (in(nd) + dang / n))).toMap
+      it += 1
+    }
+    val nodeType = e.schema.fields(0).dataType
+    val out = nodes.map(nd => org.apache.spark.sql.Row(nd, rank(nd)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.DoubleType))))
+  }
 }

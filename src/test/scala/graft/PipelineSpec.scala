@@ -620,4 +620,89 @@ class PipelineSpec extends AnyFunSuite {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("pageRank: mass conserved, dangling redistributed, both paths equal") {
+    // star into a sink (dangling) + a 2-cycle + an isolate edge:
+    // exercises in-degree aggregation, dangling teleport, and ties
+    val edges = Seq(
+      ("a", "s"), ("b", "s"), ("c", "s"),
+      ("x", "y"), ("y", "x"), ("p", "q")).toDF("src", "dst")
+    val local = TopicGraph.pageRank(edges, iters = 8)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(local.values.sum - 1.0) < 1e-9,
+      s"rank mass ${local.values.sum} != 1")
+    // the sink collects the star's rank: beats its sources and the
+    // isolate edge's target (the 2-cycle legitimately retains more —
+    // its mass recirculates instead of teleporting away)
+    assert(local("s") > local("a") && local("s") > local("q"))
+    // symmetric 2-cycle: equal ranks
+    assert(math.abs(local("x") - local("y")) < 1e-12)
+    val dist = TopicGraph.pageRank(edges, iters = 8, localThreshold = 0)
+      .as[(String, Double)].collect().toMap
+    assert(dist.keySet == local.keySet)
+    dist.foreach { case (n, r) =>
+      assert(math.abs(r - local(n)) < 1e-9, s"node $n: dist $r vs local ${local(n)}")
+    }
+  }
+
+  test("pageRank matches the closed form on a 2-node cycle") {
+    // a<->b with damping d: stationary rank is exactly 0.5 each, and
+    // the power iteration stays there from the uniform start
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = TopicGraph.pageRank(edges, iters = 3).as[(String, Double)].collect().toMap
+    assert(math.abs(r("a") - 0.5) < 1e-12 && math.abs(r("b") - 0.5) < 1e-12)
+  }
+
+  test("cooccurrence PMI: counts and sign match hand computation") {
+    // 4 docs; (spark,join) together in 2 of 4, spark in 3, join in 2:
+    // pmi = ln(2*4/(3*2)) = ln(4/3) > 0; (spark,scan) in 1, scan in 2:
+    // pmi = ln(1*4/(3*2)) = ln(2/3) < 0
+    val docs = Seq(
+      (0L, "spark join x"), (1L, "join spark spark"),
+      (2L, "spark scan"), (3L, "y scan w")).toDF("doc_id", "text")
+    val got = TextAnalysis.cooccurrencePmi(docs, Seq("spark", "join", "scan"), 4L)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got(("join", "spark"))._1 == 2L)
+    assert(math.abs(got(("join", "spark"))._2 - math.log(4.0 / 3.0)) < 1e-12)
+    assert(got(("scan", "spark"))._1 == 1L)
+    assert(math.abs(got(("scan", "spark"))._2 - math.log(2.0 / 3.0)) < 1e-12)
+    // per-doc duplicates counted once (doc 1 has two "spark" tokens)
+    assert(got.size == 2)
+  }
+
+  test("semDedup: in-cell near-duplicate dropped, cross-cell twin kept") {
+    // v0/v1: same cell (signs ++++), cosine ~1 -> v1 dropped, v0 kept
+    // v2: near-copy of v0 but first sign flipped -> different cell,
+    //     kept even though cosine to v0 is high (the documented
+    //     cell-boundary recall trade, exactly SemDeDup's)
+    // v3: same cell as v0, orthogonal-ish -> kept
+    val vecs = Seq(
+      (0L, Array(1f, 2f, 3f, 4f, 5f, 6f)),
+      (1L, Array(1.01f, 2f, 3f, 4f, 5f, 6f)),
+      (2L, Array(-1f, 2f, 3f, 4f, 5f, 6f)),
+      (3L, Array(5f, 4f, 1f, 1f, -9f, 2f))).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(vecs, tau = 0.99, bits = 4)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(0L)._2 == 1 && got(1L)._2 == 0)
+    assert(got(2L)._2 == 1 && got(3L)._2 == 1)
+    assert(got(0L)._1 == got(1L)._1 && got(0L)._1 != got(2L)._1)
+  }
+
+  test("sourceStats: dup rate counts corpus-wide copies per source") {
+    // "mirror" repeats a doc that also appears under "origin":
+    // corpus-wide copies > 1 for both occurrences
+    val docs = Seq(
+      (0L, "origin", "a b c"), (1L, "mirror", "a b c"),
+      (2L, "mirror", "a b c"), (3L, "mirror", "x y z w"),
+      (4L, "clean", "u v")).toDF("doc_id", "source", "text")
+    val got = Curation.sourceStats(docs)
+      .as[(String, Long, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("origin")._5 == 1L && got("origin")._6 == 1.0)
+    assert(got("mirror")._2 == 3L && got("mirror")._5 == 2L)
+    assert(math.abs(got("mirror")._6 - 0.666667) < 1e-9)
+    assert(got("mirror")._3 == 10L) // 3+3+4 tokens
+    assert(got("clean")._5 == 0L && got("clean")._6 == 0.0)
+  }
 }
