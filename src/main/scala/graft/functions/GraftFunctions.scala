@@ -26,6 +26,15 @@ object GraftFunctions {
   def minhash_sig(c: Column, shingleWords: Int = 3, numHashes: Int = 16): Column =
     col(MinhashSigExpr(expr(c), shingleWords, numHashes))
 
+  /** Codegen dot product over array<float|double> (see FloatDotExpr). */
+  def vec_dot(a: Column, b: Column): Column = col(FloatDotExpr(expr(a), expr(b)))
+
+  /** Codegen L2 norm over array<float|double> (see FloatNormExpr). */
+  def vec_norm(a: Column): Column = col(FloatNormExpr(expr(a)))
+
+  /** Codegen L2 distance over array<float|double> (see FloatL2Expr). */
+  def vec_l2(a: Column, b: Column): Column = col(FloatL2Expr(expr(a), expr(b)))
+
   /** Static helper the generated code (and nullSafeEval) calls: the
     * one-pass signature packed as Catalyst ArrayData. */
   def minhashSigData(text: String, shingleWords: Int,
@@ -42,6 +51,12 @@ object GraftFunctions {
       "simhash64", es => SimHash64Expr(es.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", es => MinhashSigExpr(es.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", es => FloatDotExpr(es.head, es(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_norm", es => FloatNormExpr(es.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_l2", es => FloatL2Expr(es.head, es(1)), "scala_udf")
   }
 }
 
@@ -63,5 +78,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[MinhashSigExpr].getName, "minhash_sig"),
         (es: Seq[Expression]) => MinhashSigExpr(es.head)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[FloatDotExpr].getName, "vec_dot"),
+        (es: Seq[Expression]) => FloatDotExpr(es.head, es(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("vec_norm"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[FloatNormExpr].getName, "vec_norm"),
+        (es: Seq[Expression]) => FloatNormExpr(es.head)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("vec_l2"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[FloatL2Expr].getName, "vec_l2"),
+        (es: Seq[Expression]) => FloatL2Expr(es.head, es(1))))
   }
 }

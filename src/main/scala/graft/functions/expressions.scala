@@ -1,8 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -47,6 +49,187 @@ case class MinhashSigExpr(child: Expression, shingleWords: Int = 3,
   override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
     copy(child = newChild)
   override def prettyName: String = "minhash_sig"
+}
+
+/** Element getter fragment for array<float>/array<double> children. */
+private[functions] object VecExprs {
+  def getter(e: Expression): String = e.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case _ => "getDouble"
+  }
+  def elemAt(a: ArrayData, isFloat: Boolean, i: Int): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+/**
+ * Dot product of two array<float|double> columns in double math — a
+ * true codegen'd tight loop. The relational form
+ * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` is semantically identical
+ * but higher-order functions are CodegenFallback: every pair walks an
+ * interpreted expression tree per ELEMENT, in the innermost loop of
+ * every ANN/near-dup join. Same accumulation order (left-to-right,
+ * each element widened to double before multiply), so results are
+ * bit-identical to the HOF form (asserted in ExpressionsSpec).
+ *
+ * Null semantics mirror the HOF form: null array, length mismatch
+ * (zip_with pads with null), or any null element → null.
+ */
+case class FloatDotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> inputs (cast explicitly; " +
+          "an implicit whole-array cast would materialize a copy per row)")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val (lf, rf) = (VecExprs.isFloat(left), VecExprs.isFloat(right))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += VecExprs.elemAt(x, lf, i) * VecExprs.elemAt(y, rf, i)
+      i += 1
+    }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (acc, i, n) = (ctx.freshName("acc"), ctx.freshName("i"), ctx.freshName("n"))
+      val (lg, rg) = (VecExprs.getter(left), VecExprs.getter(right))
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.$lg($i)) * ((double) $b.$rg($i));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): FloatDotExpr = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_dot"
+}
+
+/**
+ * L2 norm of an array<float|double> column (double math), codegen'd —
+ * same motivation and same accumulation order as `FloatDotExpr`
+ * (bit-identical to `sqrt(aggregate(a, 0.0, acc + v*v))`).
+ */
+case class FloatNormExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val f = VecExprs.isFloat(child)
+    var acc = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val e = VecExprs.elemAt(x, f, i)
+      acc += e * e
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val (acc, i, n, e) = (ctx.freshName("acc"), ctx.freshName("i"),
+        ctx.freshName("n"), ctx.freshName("e"))
+      val g = VecExprs.getter(child)
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $e = (double) $a.$g($i);
+         |  $acc += $e * $e;
+         |}
+         |if (!${ev.isNull}) ${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): FloatNormExpr =
+    copy(child = newChild)
+  override def prettyName: String = "vec_norm"
+}
+
+/**
+ * L2 distance of two array<float|double> columns (double math),
+ * codegen'd — the IVF cell-assignment inner loop (every vector ×
+ * every centroid). Bit-identical to
+ * `sqrt(aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0, _+_))`;
+ * null semantics as `FloatDotExpr`.
+ */
+case class FloatL2Expr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> inputs (cast explicitly; " +
+          "an implicit whole-array cast would materialize a copy per row)")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val (lf, rf) = (VecExprs.isFloat(left), VecExprs.isFloat(right))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = VecExprs.elemAt(x, lf, i) - VecExprs.elemAt(y, rf, i)
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (acc, i, n, d) = (ctx.freshName("acc"), ctx.freshName("i"),
+        ctx.freshName("n"), ctx.freshName("d"))
+      val (lg, rg) = (VecExprs.getter(left), VecExprs.getter(right))
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = ((double) $a.$lg($i)) - ((double) $b.$rg($i));
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = java.lang.Math.sqrt($acc);
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): FloatL2Expr = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_l2"
 }
 
 /** 60-bit SimHash of a space-tokenized text (majority vote over

@@ -100,4 +100,80 @@ class ExpressionsSpec extends AnyFunSuite {
       NTriples.formatUriLiteral("B", "plain", "", "http://p", "http://s/")).sorted
     assert(gotLit == wantLit)
   }
+
+  test("vec_dot/vec_norm/vec_l2 are bit-identical to the HOF forms (float + double)") {
+    // HOF reference forms (what Similarity.dot/norm used before the
+    // codegen expressions): same accumulation order, so exact equality
+    import org.apache.spark.sql.Column
+    val hofDot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val hofNorm = (a: Column) =>
+      sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val hofL2 = (a: Column, b: Column) =>
+      sqrt(aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))), lit(0.0), (acc, v) => acc + v))
+    // range => codegen source; pseudo-random but deterministic arrays
+    val fdf = spark.range(500).select(
+      transform(sequence(lit(1), lit(64)),
+        i => ((i * 31 + col("id") * 7) % 101 - 50).cast("float") / 9f).as("a"),
+      transform(sequence(lit(1), lit(64)),
+        i => ((i * 17 + col("id") * 13) % 97 - 48).cast("float") / 7f).as("b"))
+    val ddf = fdf.select(col("a").cast("array<double>").as("a"),
+      col("b").cast("array<double>").as("b"))
+    for (df <- Seq(fdf, ddf)) {
+      val rows = df.select(
+        GraftFunctions.vec_dot(col("a"), col("b")).as("d1"), hofDot(col("a"), col("b")).as("d2"),
+        GraftFunctions.vec_norm(col("a")).as("n1"), hofNorm(col("a")).as("n2"),
+        GraftFunctions.vec_l2(col("a"), col("b")).as("l1"), hofL2(col("a"), col("b")).as("l2"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getDouble(0) == r.getDouble(1)) // bit-equal, no epsilon
+        assert(r.getDouble(2) == r.getDouble(3))
+        assert(r.getDouble(4) == r.getDouble(5))
+      }
+    }
+  }
+
+  test("vec_dot null semantics mirror zip_with: null array, length mismatch, null element") {
+    val df = Seq(
+      (Some(Seq(1f, 2f)), Some(Seq(3f, 4f))),
+      (None, Some(Seq(3f, 4f))),
+      (Some(Seq(1f, 2f, 5f)), Some(Seq(3f, 4f)))).toDF("a", "b")
+    val got = df.select(GraftFunctions.vec_dot(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got == Seq(Some(11.0), None, None))
+    // null ELEMENT (needs containsNull=true schema)
+    GraftFunctions.register(spark)
+    val withNullElem = spark.sql(
+      "SELECT vec_dot(CAST(array(1.0, NULL) AS ARRAY<DOUBLE>), " +
+        "CAST(array(2.0, 3.0) AS ARRAY<DOUBLE>)) AS d")
+    assert(withNullElem.collect().head.isNullAt(0))
+  }
+
+  test("vector expressions run inside WholeStageCodegen (no fallback)") {
+    val df = spark.range(3).select(
+      transform(sequence(lit(1), lit(8)), i => (i + col("id")).cast("float")).as("a"))
+      .select(GraftFunctions.vec_dot(col("a"), col("a")).as("d"),
+        GraftFunctions.vec_norm(col("a")).as("n"),
+        GraftFunctions.vec_l2(col("a"), col("a")).as("l"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the vec_* Project is starred (inside WholeStageCodegen) — while,
+    // illustrating exactly the motivation, the HOF `transform` Project
+    // that builds the array is NOT
+    assert("""\*\(\d+\) Project \[vec_dot""".r.findFirstIn(plan).isDefined, plan)
+    assert(df.collect().forall(r => r.getDouble(2) == 0.0))
+  }
+
+  test("vec_* SQL registration") {
+    GraftFunctions.register(spark)
+    // numeric literals parse as DECIMAL; the expressions demand an
+    // explicit cast rather than silently copying the array per row
+    val r = spark.sql(
+      "SELECT vec_dot(CAST(array(1.0,2.0) AS ARRAY<DOUBLE>), CAST(array(3.0,4.0) AS ARRAY<DOUBLE>)) AS d, " +
+        "vec_norm(CAST(array(3.0,4.0) AS ARRAY<DOUBLE>)) AS n, " +
+        "vec_l2(CAST(array(1.0,1.0) AS ARRAY<DOUBLE>), CAST(array(4.0,5.0) AS ARRAY<DOUBLE>)) AS l")
+      .collect().head
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0 && r.getDouble(2) == 5.0)
+  }
 }
