@@ -774,6 +774,32 @@ object SparkEntry {
       // doc/token rollup + exact-duplicate rate per source
       Curation.sourceStats(Tables.documents(s, d))),
 
+    "q79_commonness" -> ((s, d) => {
+      // commonness prior P(entity|surface) — the ne-disambiguation
+      // popularity signal (NerCorpus.commonnessPrior). Ambiguity is
+      // synthesized deterministically: each dict surface has 3
+      // candidate entities, a mention's target varies by
+      // (doc_id + 1-based position) mod 3
+      val docs = Tables.documents(s, d)
+      val hits = docs
+        .select(col("doc_id"), posexplode(toks).as(Seq("i", "surface")))
+        .filter(isDictSurface(col("surface")))
+      val se = hits.join(broadcast(dictDf(s)), Seq("surface"))
+        .select(col("surface"),
+          concat(col("entity"), lit("_v"),
+            (col("doc_id") + col("i") + 1) % 3).as("entity"))
+      NerCorpus.commonnessPrior(se)
+        .select(col("surface"), col("entity"), col("n"),
+          round(col("prior"), 6).as("prior_r6"), col("rank"))
+    }),
+
+    "q80_unigram_logprob" -> ((s, d) =>
+      // unigram-LM quality score (CCNet perplexity-filter shape):
+      // mean ln P(token) under the corpus's own unigram LM
+      TextAnalysis.unigramLogprob(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("logprob"), 6).as("logprob_r6"))),
+
     "q48_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1524,6 +1550,30 @@ object SparkEntry {
         |   / CAST(count(*) AS DOUBLE), 6) AS dup_rate
         |FROM base JOIN freq USING (h)
         |GROUP BY source""".stripMargin,
+
+    "q79_commonness" ->
+      s"""WITH $tokenPosSql,
+         |se AS (
+         | SELECT t.surface,
+         |  d.entity || '_v' || CAST((t.doc_id + t.i) % 3 AS VARCHAR) AS entity
+         | FROM tok t JOIN (VALUES $dictSqlValues) d(surface, entity, etype)
+         |   ON t.surface = d.surface),
+         |c AS (SELECT surface, entity, count(*) AS n FROM se GROUP BY 1, 2)
+         |SELECT surface, entity, n,
+         | round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY surface), 6) AS prior_r6,
+         | row_number() OVER (PARTITION BY surface ORDER BY n DESC, entity ASC) AS rank
+         |FROM c""".stripMargin,
+
+    "q80_unigram_logprob" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |lm AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM lm)
+        |SELECT doc_id, count(*) AS n_tok,
+        | round(sum(ln(CAST(c AS DOUBLE) / (SELECT t FROM tot))) / count(*), 6)
+        |   AS logprob_r6
+        |FROM tok JOIN lm USING (tok)
+        |GROUP BY doc_id""".stripMargin,
 
     "q48_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,

@@ -113,6 +113,36 @@ object NerCorpus {
           .as("context"))
   }
 
+  /**
+   * Commonness prior P(entity | surface form) — the popularity signal
+   * of the ne-disambiguation pipeline (and the core statistic of every
+   * anchor-dictionary linker since Milne&Witten 2008): from
+   * mention-level (surface, entity) rows, the fraction of a surface's
+   * mentions that point at each candidate entity, plus the rank that
+   * makes rank=1 the most-common-sense baseline linker.
+   *
+   * Scale shape: ONE shuffle — groupBy (surface, entity) with map-side
+   * partial counts; the per-surface total and rank run as a window
+   * over the aggregated relation, which is |surface × candidates|-sized
+   * (vocabulary-scale, orders below the mention corpus). Top-1 linking
+   * (`rank <= k` filter) triggers Spark's WindowGroupLimit partial
+   * top-k before the window exchange.
+   *
+   * Input columns: (surface, entity). Output: (surface, entity, n,
+   * prior, rank) with Σ prior = 1 per surface.
+   */
+  def commonnessPrior(surfaceEntity: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = surfaceEntity.groupBy(col("surface"), col("entity"))
+      .agg(count(lit(1)).as("n"))
+    val bySurface = Window.partitionBy(col("surface"))
+    val order = Window.partitionBy(col("surface"))
+      .orderBy(col("n").desc, col("entity").asc)
+    counts
+      .withColumn("prior", col("n").cast("double") / sum(col("n")).over(bySurface))
+      .withColumn("rank", row_number().over(order))
+  }
+
   /** Full chain over a corpus + NT-file side inputs. Alias edges come
     * from a pushed-down content-prefix scan (exactly the parser's
     * anchored AliasRe), the mention branch runs as one fused

@@ -128,6 +128,30 @@ object TextAnalysis {
    * `nDocs` is the corpus size (denominator); pass `docs.count()` —
    * metadata-only on parquet, no scan.
    */
+  /**
+   * Unigram-LM log-probability quality score — the engine-native
+   * stand-in for CCNet's KenLM perplexity filter: score each document
+   * by the mean ln P(token) under the corpus's own unigram language
+   * model (docs full of rare/garbage tokens score low, template/common
+   * prose scores high). Two corpus scans: one builds the LM (token →
+   * count), one scores; the LM join is |vocab|-sized and aggregates
+   * map-side before the shuffle. Smoothing-free by construction (every
+   * scored token is in the LM — it came from the same corpus).
+   *
+   * Output: (doc_id, n_tok, logprob) with logprob = Σ ln(c_t/T) / n_tok.
+   */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val toksOf = split(col("text"), " ")
+    val tok = docs.select(col("doc_id"), explode(toksOf).as("tok"))
+    val lm = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = lm.agg(sum(col("c")).as("t"))
+    tok.join(lm, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        (sum(log(col("c").cast("double") / col("t"))) / count(lit(1))).as("logprob"))
+  }
+
   def cooccurrencePmi(docs: DataFrame, surfaces: Seq[String], nDocs: Long): DataFrame = {
     val toks = split(col("text"), " ")
     val docSurf = docs

@@ -689,6 +689,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(0L)._1 == got(1L)._1 && got(0L)._1 != got(2L)._1)
   }
 
+  test("commonnessPrior: per-surface distribution sums to 1, rank by count then name") {
+    val se = Seq(("a", "E1"), ("a", "E1"), ("a", "E2"), ("b", "E3"))
+      .toDF("surface", "entity")
+    val got = NerCorpus.commonnessPrior(se)
+      .as[(String, String, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got(("a", "E1")) == ((2L, 2.0 / 3.0, 1)))
+    assert(got(("a", "E2")) == ((1L, 1.0 / 3.0, 2)))
+    assert(got(("b", "E3")) == ((1L, 1.0, 1)))
+  }
+
+  test("unigramLogprob: mean ln P(token) under the corpus's own LM") {
+    // LM: x->3, y->1, total 4
+    val docs = Seq((0L, "x x"), (1L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogprob(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(0L)._1 == 2L)
+    assert(math.abs(got(0L)._2 - math.log(0.75)) < 1e-12)
+    assert(math.abs(got(1L)._2 - (math.log(0.75) + math.log(0.25)) / 2) < 1e-12)
+  }
+
   test("sourceStats: dup rate counts corpus-wide copies per source") {
     // "mirror" repeats a doc that also appears under "origin":
     // corpus-wide copies > 1 for both occurrences
