@@ -724,24 +724,30 @@ object SparkEntry {
           size(regexp_extract_all(col("text"),
             lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_bpe"))),
 
-    "q74_repetition_signals" -> ((s, d) =>
+    "q74_repetition_signals" -> ((s, d) => {
       // Gopher/MassiveText repetition filters (adapted to the 10-token
-      // window convention): duplicate-window fraction is pure column
-      // math computed in the SAME single scan that explodes the
-      // bigrams; top-bigram char coverage via per-doc argmax (struct
-      // max — deterministic tie-break)
-      Tables.documents(s, d)
+      // window convention): top-bigram char coverage via per-doc argmax
+      // (struct max — deterministic tie-break), duplicate-window
+      // fraction in its OWN doc-level projection joined back on doc_id.
+      // Projecting dwr alongside the bigram explode re-evaluates the
+      // whole windowed HOF once per BIGRAM row (ExtractGenerator hoists
+      // the alias above Generate; measured 12.9s -> ~1s at sf0.1)
+      val docs = Tables.documents(s, d)
+      val top = docs
         .select(col("doc_id"), length(col("text")).as("len"),
-          TextAnalysis.dupWindowRatio(col("text")).as("dwr"),
           explode(Dedup.wordShingles(col("text"), 2)).as("g"))
-        .groupBy(col("doc_id"), col("len"), col("dwr"), col("g"))
+        .groupBy(col("doc_id"), col("len"), col("g"))
         .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"), col("dwr"))
+        .groupBy(col("doc_id"))
         .agg(max(struct(col("c"), col("g"), col("len"))).as("top"))
-        .select(col("doc_id"), col("dwr").as("dup_window_ratio"),
+      val dwr = docs.select(col("doc_id"),
+        TextAnalysis.dupWindowRatio(col("text")).as("dup_window_ratio"))
+      top.join(dwr, Seq("doc_id"))
+        .select(col("doc_id"), col("dup_window_ratio"),
           col("top.g").as("top_bigram"),
           round(least(lit(1.0), col("top.c") * (length(col("top.g")) + 1)
-            / col("top.len").cast("double")), 4).as("top_bigram_fraction"))),
+            / col("top.len").cast("double")), 4).as("top_bigram_fraction"))
+    }),
 
     "q75_pagerank" -> ((s, d) =>
       // entity-importance prior for the skewed popular-entity linking
