@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
  *     --corpus <parquet dir | gen:N> --out <dir> [--stages s1,s2,...]
  *
  * Stages (each a Checkpoints snapshot; a killed run resumes from the
- * last committed one): mentions, aliases, closure, ner, triples.
+ * last committed one): mentions, aliases, closure, ner, triples,
+ * priors (PageRank over the materialized triples; needs `triples`
+ * in this or an earlier run).
  */
 object Main {
 
@@ -128,6 +130,18 @@ object Main {
         .partitionBy("lang", "repo_prefix")
         .parquet(s"$outDir/triples")
       println(s"[graft] triples: ${triples.count()}")
+    }
+    if (stages("priors")) {
+      // entity-importance stage: PageRank over the materialized triple
+      // graph — the popularity prior behind the skew-aware linking join
+      // (its top ranks ARE the hot-key list for Skew.saltedJoin) and
+      // most-common-sense disambiguation
+      val t = spark.read.parquet(s"$outDir/triples")
+      val pr = cp.runStage("06_priors") {
+        TopicGraph.pageRank(t.select(col("subj").as("src"), col("obj").as("dst")))
+          .select(col("node").as("entity"), col("rank").as("pagerank"))
+      }
+      println(s"[graft] priors: ${pr.count()} ranked entities")
     }
     println(s"[graft] metrics: ${metrics.report()}")
     spark.stop()

@@ -645,6 +645,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank invariants on random graphs (seeded)") {
+    // mass conserved, every rank >= teleport floor (1-d)/n, ranks
+    // positive — on arbitrary graphs incl. dangling nodes and cycles
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(40)
+      val edges = (1 to 3 * n)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("src", "dst")
+      val r = TopicGraph.pageRank(edges, iters = 6).as[(Long, Double)].collect()
+      val nNodes = r.length
+      assert(math.abs(r.map(_._2).sum - 1.0) < 1e-9, s"seed $seed mass")
+      val floor = 0.15 / nNodes
+      assert(r.forall(_._2 >= floor - 1e-12), s"seed $seed below teleport floor")
+    }
+  }
+
   test("pageRank matches the closed form on a 2-node cycle") {
     // a<->b with damping d: stationary rank is exactly 0.5 each, and
     // the power iteration stays there from the uniform start
