@@ -806,6 +806,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tok"),
           round(col("logprob"), 6).as("logprob_r6"))),
 
+    "q81_triangles" -> ((s, d) => {
+      // per-node triangle counts over the full token-adjacency graph
+      // (degree-ordered compact-forward — see TopicGraph.triangles);
+      // community-density vs hub-noise signal for the entity graph
+      val docs = Tables.documents(s, d)
+      val pairs = zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("src"), b.as("dst")))
+      val edges = docs.select(explode(pairs).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      TopicGraph.triangles(edges)
+    }),
+
     "q48_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1580,6 +1595,25 @@ object SparkEntry {
         |   AS logprob_r6
         |FROM tok JOIN lm USING (tok)
         |GROUP BY doc_id""".stripMargin,
+
+    "q81_triangles" ->
+      // naive a<b<c enumeration — same exact triangle set as the
+      // engine's degree-ordered compact-forward
+      """WITH raw AS (
+        |  SELECT z[1] AS src, z[2] AS dst
+        |  FROM (SELECT unnest(list_zip(toks[1:length(toks)-1], toks[2:length(toks)])) AS z
+        |        FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+        |  WHERE z[1] <> z[2]),
+        |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM raw),
+        |t AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |n AS (
+        |  SELECT a AS node FROM t
+        |  UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT c FROM t)
+        |SELECT node, count(*) AS n_tri FROM n GROUP BY node""".stripMargin,
 
     "q48_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,

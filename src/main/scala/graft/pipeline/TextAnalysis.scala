@@ -136,7 +136,11 @@ object TextAnalysis {
    * prose scores high). Two corpus scans: one builds the LM (token →
    * count), one scores; the LM join is |vocab|-sized and aggregates
    * map-side before the shuffle. Smoothing-free by construction (every
-   * scored token is in the LM — it came from the same corpus).
+   * scored token is in the LM — it came from the same corpus). The
+   * 1-row global token total rides a SinglePartition exchange into a
+   * broadcast — only |partitions| partial sums cross it, the benign
+   * form of a global scalar (PlanAudit flags it; this is the
+   * documented exception).
    *
    * Output: (doc_id, n_tok, logprob) with logprob = Σ ln(c_t/T) / n_tok.
    */

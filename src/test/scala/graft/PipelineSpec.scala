@@ -707,6 +707,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(0L)._1 == got(1L)._1 && got(0L)._1 != got(2L)._1)
   }
 
+  test("triangles: K4, a triangle-free square, duplicates/direction ignored") {
+    // K4 on 1-4 (4 triangles, each node in 3) + square 5-6-7-8-5 (none)
+    // + pendant 4-9 (none); edges given in mixed direction with dups
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (8L, 7L), (8L, 5L),
+      (4L, 9L)).toDF("src", "dst")
+    val got = TopicGraph.triangles(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: degree-ordered counts equal a brute-force reference on random graphs") {
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 24
+      val es = (1 to 4 * n)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+      val ref = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+      for {
+        i <- nodes.indices; j <- i + 1 until nodes.size; k <- j + 1 until nodes.size
+        (a, b, c) = (nodes(i), nodes(j), nodes(k))
+        if und((a, b)) && und((b, c)) && und((a, c))
+      } { ref(a) += 1; ref(b) += 1; ref(c) += 1 }
+      val got = TopicGraph.triangles(es.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == ref.toMap, s"seed $seed")
+    }
+  }
+
   test("commonnessPrior: per-surface distribution sums to 1, rank by count then name") {
     val se = Seq(("a", "E1"), ("a", "E1"), ("a", "E2"), ("b", "E3"))
       .toDF("surface", "entity")
