@@ -806,6 +806,20 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tok"),
           round(col("logprob"), 6).as("logprob_r6"))),
 
+    "q82_incremental_dedup" -> ((s, d) => {
+      // incremental dedup: every 10th doc plays the "new daily batch",
+      // the rest the accumulated corpus whose SIGNATURE TABLE is the
+      // persistent index (text never re-scanned); emits new-vs-corpus
+      // and new-vs-new candidates (Dedup.incrementalCandidates)
+      val docs = Tables.documents(s, d)
+      val newDocs = docs.filter(col("doc_id") % 10 === 0)
+      val corpusSigs = Dedup.minhashSignaturesOnePass(
+        docs.filter(col("doc_id") % 10 =!= 0))
+      Dedup.incrementalCandidates(newDocs, corpusSigs)
+        .select(col("id_new"), col("id_other"), col("within_batch"),
+          round(col("est_jaccard"), 4).as("est_jaccard"))
+    }),
+
     "q81_triangles" -> ((s, d) => {
       // per-node triangle counts over the full token-adjacency graph
       // (degree-ordered compact-forward — see TopicGraph.triangles);
@@ -1595,6 +1609,19 @@ object SparkEntry {
         |   AS logprob_r6
         |FROM tok JOIN lm USING (tok)
         |GROUP BY doc_id""".stripMargin,
+
+    "q82_incremental_dedup" ->
+      s"""WITH $minhashPairsCte,
+         |ip AS (
+         | SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_other,
+         |  a.sig AS sig_a, b.sig AS sig_b, (b.doc_id % 10 = 0) AS within_batch
+         | FROM bk a JOIN bk b ON a.bucket = b.bucket
+         | WHERE a.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
+         |   AND (b.doc_id % 10 <> 0 OR a.doc_id < b.doc_id))
+         |SELECT id_new, id_other, within_batch,
+         | round(length(list_filter(list_zip(sig_a, sig_b), z -> z[1] = z[2])) / 16.0, 4)
+         |   AS est_jaccard
+         |FROM ip""".stripMargin,
 
     "q81_triangles" ->
       // naive a<b<c enumeration — same exact triangle set as the

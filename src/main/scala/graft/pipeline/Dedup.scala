@@ -240,6 +240,49 @@ object Dedup {
     lshCandidatesFromSigs(
       minhashSignaturesFast(docs, shingleWords, numHashes), numHashes, bands)
 
+  /**
+   * Incremental near-dup candidates: a NEW document batch against an
+   * EXISTING corpus signature table — the production shape of dedup at
+   * 100 TB. A daily crawl increment must NOT recompute (or even
+   * re-scan the text of) the accumulated corpus: the signature table
+   * IS the persistent dedup index (one `Checkpoints.runStage` write
+   * per batch, appended), and each increment costs O(|new|) signature
+   * work plus one band-bucket join against the index.
+   *
+   * Emits both pair kinds a batch decision needs: new-vs-corpus
+   * (within_batch = false, every matching corpus doc) and new-vs-new
+   * inside the batch (within_batch = true, id_new < id_other — same
+   * convention as [[minhashCandidates]]).
+   *
+   * Output: (id_new, id_other, within_batch, est_jaccard).
+   */
+  def incrementalCandidates(newDocs: DataFrame, corpusSigs: DataFrame,
+      shingleWords: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    val newSigs = minhashSignaturesOnePass(newDocs, shingleWords, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def keyed(sigs: DataFrame): DataFrame = sigs.select(col("doc_id"), col("sig"),
+      explode(lshBandKeys(col("sig"), bands, rows)).as("bucket"))
+    val a = keyed(newSigs)
+      .select(col("bucket"), col("doc_id").as("id_new"), col("sig").as("sig_a"))
+    val b = keyed(corpusSigs)
+      .select(col("bucket"), col("doc_id").as("id_other"), col("sig").as("sig_b"),
+        lit(false).as("within_batch"))
+      .unionByName(keyed(newSigs)
+        .select(col("bucket"), col("doc_id").as("id_other"), col("sig").as("sig_b"),
+          lit(true).as("within_batch")))
+    val out = a.join(b, Seq("bucket"))
+      .filter(col("id_new") =!= col("id_other") &&
+        (!col("within_batch") || col("id_new") < col("id_other")))
+      .select(col("id_new"), col("id_other"), col("within_batch"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          (m: Column) => m)) / lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+      .localCheckpoint(true)
+    newSigs.unpersist(false)
+    out
+  }
+
   /** Exact n-gram Jaccard similarity between two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val ua = array_distinct(a)

@@ -707,6 +707,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(0L)._1 == got(1L)._1 && got(0L)._1 != got(2L)._1)
   }
 
+  test("incrementalCandidates: new-vs-corpus and new-vs-new found, corpus pairs excluded") {
+    val base = (1 to 40).map(i => s"alpha beta gamma delta epsilon$i zeta eta theta").mkString(" ")
+    // corpus: 3, 4 near-identical (a corpus-internal pair — must NOT appear);
+    // new batch: 10 matches corpus doc 3; 20 and 21 match each other
+    val corpusDocs = Seq(
+      (3L, base + " tail3"), (4L, base + " tail3x"), (5L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, base + " tail3"), (20L, base + " other"), (21L, base + " otherz"),
+      (30L, "completely different content again")).toDF("doc_id", "text")
+    val got = Dedup.incrementalCandidates(newDocs, Dedup.minhashSignaturesOnePass(corpusDocs))
+      .as[(Long, Long, Boolean, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.contains((10L, 3L)) && !got((10L, 3L)), "new-vs-corpus pair missing/mistagged")
+    assert(got.contains((20L, 21L)) && got((20L, 21L)), "new-vs-new pair missing/mistagged")
+    // corpus-internal pair (3,4) must not be re-examined
+    assert(!got.keySet.exists { case (a, b) => Set(a, b) == Set(3L, 4L) })
+    // every pair has a new-batch doc on the left
+    assert(got.keySet.forall(p => Set(10L, 20L, 21L, 30L)(p._1)))
+  }
+
   test("triangles: K4, a triangle-free square, duplicates/direction ignored") {
     // K4 on 1-4 (4 triangles, each node in 3) + square 5-6-7-8-5 (none)
     // + pendant 4-9 (none); edges given in mixed direction with dups
