@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
  * Stages (each a Checkpoints snapshot; a killed run resumes from the
  * last committed one): mentions, aliases, closure, ner, triples,
  * priors (PageRank over the materialized triples; needs `triples`
- * in this or an earlier run).
+ * in this or an earlier run), dedup (persistent signature index +
+ * near-dup keep list over the corpus).
  */
 object Main {
 
@@ -142,6 +143,33 @@ object Main {
           .select(col("node").as("entity"), col("rank").as("pagerank"))
       }
       println(s"[graft] priors: ${pr.count()} ranked entities")
+    }
+    if (stages("dedup")) {
+      // curation stage: the corpus's persistent SIGNATURE INDEX (sign
+      // once per batch; later increments search it via
+      // Dedup.incrementalCandidates without re-scanning text) and the
+      // near-dup keep list (candidates -> components -> keep min-id)
+      val docs = files.select(
+        xxhash64(col("repo"), col("path"), col("commit")).as("doc_id"),
+        col("content").as("text"))
+      val sigs = cp.runStage("07_sig_index") {
+        // fast xxhash64 signatures: the engine-internal index path
+        Dedup.minhashSignaturesFast(docs)
+      }
+      val keep = cp.runStage("08_keep_list") {
+        val edges = Dedup.candidatesFromSigs(sigs)
+          .filter(col("est_jaccard") >= 0.5)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        val cc = TopicGraph.connectedComponents(edges)
+          .withColumnRenamed("node", "doc_id")
+        docs.select(col("doc_id"))
+          .join(cc, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            when(col("label").isNull || col("label") === col("doc_id"), 1)
+              .otherwise(0).as("keep"))
+      }
+      val kept = keep.filter(col("keep") === 1).count()
+      println(s"[graft] dedup: ${keep.count()} docs, $kept kept")
     }
     println(s"[graft] metrics: ${metrics.report()}")
     spark.stop()

@@ -240,6 +240,14 @@ object Dedup {
     lshCandidatesFromSigs(
       minhashSignaturesFast(docs, shingleWords, numHashes), numHashes, bands)
 
+  /** Candidate pairs from an existing (doc_id, sig) signature table —
+    * the snapshot-table entry point: sign once (`minhashSignatures*`,
+    * checkpointed per batch), search many times without touching the
+    * corpus text. */
+  def candidatesFromSigs(sigs: DataFrame, numHashes: Int = 16,
+      bands: Int = 4): DataFrame =
+    lshCandidatesFromSigs(sigs, numHashes, bands)
+
   /**
    * Incremental near-dup candidates: a NEW document batch against an
    * EXISTING corpus signature table — the production shape of dedup at
