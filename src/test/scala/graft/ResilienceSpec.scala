@@ -85,6 +85,41 @@ class ResilienceSpec extends AnyFunSuite {
     assert(manifest.contains("\"lineage\""))
   }
 
+  test("dedup stage pair resumes: keep list rebuilt from the committed sig index") {
+    // the Main `dedup` stage shape: sign once (index), derive keep list;
+    // a crash after the index commit must NOT re-sign the corpus
+    import graft.pipeline.{Dedup, TopicGraph}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt3").toString
+    val signCalls = new AtomicInteger(0)
+    val base = (1 to 30).map(i => s"alpha beta gamma delta$i epsilon zeta").mkString(" ")
+    val docs = Seq((1L, base + " t"), (2L, base + " tz"), (3L, "other words entirely here"))
+      .toDF("doc_id", "text")
+    def signIndex(cp: Checkpoints) = cp.runStage("07_sig_index") {
+      signCalls.incrementAndGet()
+      Dedup.minhashSignaturesFast(docs)
+    }
+    // run 1: index only (crash before the keep stage)
+    signIndex(new Checkpoints(spark, dir))
+    assert(signCalls.get() == 1)
+    // run 2 ("restart"): index loads from snapshot, keep list derives from it
+    val cp2 = new Checkpoints(spark, dir)
+    val sigs = signIndex(cp2)
+    assert(signCalls.get() == 1, "committed index must not re-sign")
+    val keep = cp2.runStage("08_keep_list") {
+      val edges = Dedup.candidatesFromSigs(sigs)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val cc = TopicGraph.connectedComponents(edges).withColumnRenamed("node", "doc_id")
+      docs.select(col("doc_id")).join(cc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          when(col("label").isNull || col("label") === col("doc_id"), 1)
+            .otherwise(0).as("keep"))
+    }
+    val got = keep.as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 1))
+    assert(cp2.committedStages() == Seq("07_sig_index", "08_keep_list"))
+  }
+
   test("partial stage (no manifest) is recomputed on resume") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
     val cp = new Checkpoints(spark, dir)
