@@ -806,6 +806,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tok"),
           round(col("logprob"), 6).as("logprob_r6"))),
 
+    "q83_quality_classifier" -> ((s, d) =>
+      // fixed-weight logistic quality filter (fastText-filter stand-in;
+      // a trained model is just a different weight vector) over the
+      // rounded q46 feature columns — one map-side projection
+      TextAnalysis.qualityScore(Tables.documents(s, d))
+        .select(col("doc_id"), round(col("score"), 6).as("score_r6"), col("keep"))),
+
     "q82_incremental_dedup" -> ((s, d) => {
       // incremental dedup: every 10th doc plays the "new daily batch",
       // the rest the accumulated corpus whose SIGNATURE TABLE is the
@@ -1609,6 +1616,26 @@ object SparkEntry {
         |   AS logprob_r6
         |FROM tok JOIN lm USING (tok)
         |GROUP BY doc_id""".stripMargin,
+
+    "q83_quality_classifier" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  CAST(length(toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(list_distinct(toks)) AS DOUBLE) / length(toks), 4) AS dr,
+        |  round(CAST(length(list_filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE)
+        |    / length(toks), 4) AS sr,
+        |  round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+        |    / length(toks), 4) AS mtl
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |z AS (
+        | SELECT doc_id,
+        |  -3.0::DOUBLE + 0.5::DOUBLE * ln(CAST(n_tokens AS DOUBLE))
+        |   + 3.0::DOUBLE * dr + 4.0::DOUBLE * sr - 0.2::DOUBLE * mtl AS z
+        | FROM f)
+        |SELECT doc_id,
+        | round(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)), 6) AS score_r6,
+        | CAST(1.0::DOUBLE / (1.0::DOUBLE + exp(-z)) >= 0.5::DOUBLE AS INT) AS keep
+        |FROM z""".stripMargin,
 
     "q82_incremental_dedup" ->
       s"""WITH $minhashPairsCte,

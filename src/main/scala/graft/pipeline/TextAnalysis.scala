@@ -129,6 +129,28 @@ object TextAnalysis {
    * metadata-only on parquet, no scan.
    */
   /**
+   * Fixed-weight logistic quality classifier — the engine-native
+   * stand-in for the fastText/linear quality filters every pretraining
+   * pipeline runs (a trained model is just a different weight vector;
+   * the plan — one map-side codegen'd projection over the feature
+   * scan, filter pushdown on the verdict — is identical). Features are
+   * the ROUNDED `qualityFeatures` columns, so the score is exactly
+   * reproducible from the q46 feature table in any engine.
+   *
+   * z = -3 + 0.5·ln(n_tokens) + 3·distinct_ratio + 4·stopword_ratio
+   *     − 0.2·mean_token_len;  score = 1/(1+e^−z);  keep = score ≥ 0.5.
+   */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val f = qualityFeatures(docs)
+    val z = lit(-3.0) + lit(0.5) * log(col("n_tokens").cast("double")) +
+      lit(3.0) * col("distinct_ratio") + lit(4.0) * col("stopword_ratio") -
+      lit(0.2) * col("mean_token_len")
+    f.select(col("doc_id"),
+      (lit(1.0) / (lit(1.0) + exp(-z))).as("score"))
+      .withColumn("keep", (col("score") >= 0.5).cast("int"))
+  }
+
+  /**
    * Unigram-LM log-probability quality score — the engine-native
    * stand-in for CCNet's KenLM perplexity filter: score each document
    * by the mean ln P(token) under the corpus's own unigram language

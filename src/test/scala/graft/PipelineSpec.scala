@@ -772,6 +772,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(("b", "E3")) == ((1L, 1.0, 1)))
   }
 
+  test("qualityScore: logistic over rounded features matches hand computation") {
+    // "the the a x": n=4, dr=.75, sr=.75, mtl=2 -> z=-3+.5ln4+2.25+3-.4
+    // "zzzz": n=1, dr=1, sr=0, mtl=4 -> z=-3+0+3-0.8=-0.8 -> drop
+    val docs = Seq((0L, "the the a x"), (1L, "zzzz")).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityScore(docs)
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val z0 = -3.0 + 0.5 * math.log(4.0) + 3.0 * 0.75 + 4.0 * 0.75 - 0.2 * 2.0
+    assert(math.abs(got(0L)._1 - 1.0 / (1.0 + math.exp(-z0))) < 1e-12)
+    assert(got(0L)._2 == 1)
+    val z1 = -0.8
+    assert(math.abs(got(1L)._1 - 1.0 / (1.0 + math.exp(-z1))) < 1e-12)
+    assert(got(1L)._2 == 0)
+  }
+
   test("unigramLogprob: mean ln P(token) under the corpus's own LM") {
     // LM: x->3, y->1, total 4
     val docs = Seq((0L, "x x"), (1L, "x y")).toDF("doc_id", "text")
