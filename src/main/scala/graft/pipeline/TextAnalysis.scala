@@ -111,24 +111,6 @@ object TextAnalysis {
     md5(array_join(array_sort(array_distinct(split(text, " "))), " "))
 
   /**
-   * Entity co-occurrence PMI — the classic relation-extraction signal
-   * a KG pipeline derives right after mention detection (which entity
-   * pairs co-occur in documents more than chance): for each unordered
-   * pair of dictionary surfaces appearing in the same document,
-   * pmi = ln( P(a,b) / (P(a)·P(b)) ) over document frequencies.
-   *
-   * Scale shape: the per-doc surface set is gated by the (broadcast)
-   * dictionary, so the in-document pair fan-out is bounded by |dict|²
-   * — the doc-level self-join never explodes on long documents (for an
-   * open vocabulary, cap the per-doc distinct-mention list first, same
-   * bound). Marginals are |vocab|-sized → broadcast joins; the only
-   * big shuffle is the distinct (doc, surface) projection, which
-   * aggregates map-side.
-   *
-   * `nDocs` is the corpus size (denominator); pass `docs.count()` —
-   * metadata-only on parquet, no scan.
-   */
-  /**
    * Fixed-weight logistic quality classifier — the engine-native
    * stand-in for the fastText/linear quality filters every pretraining
    * pipeline runs (a trained model is just a different weight vector;
@@ -178,17 +160,40 @@ object TextAnalysis {
         (sum(log(col("c").cast("double") / col("t"))) / count(lit(1))).as("logprob"))
   }
 
+  /**
+   * Entity co-occurrence PMI — the classic relation-extraction signal
+   * a KG pipeline derives right after mention detection (which entity
+   * pairs co-occur in documents more than chance): for each unordered
+   * pair of dictionary surfaces appearing in the same document,
+   * pmi = ln( P(a,b) / (P(a)·P(b)) ) over document frequencies.
+   *
+   * Scale shape: ZERO joins on corpus-sized relations — the per-doc
+   * surface set (gated by the broadcast dictionary, so ≤ |dict| long;
+   * for an open vocabulary cap it, same bound) expands to its ordered
+   * pairs INSIDE the same scan via a nested array transform, and the
+   * only shuffles are the two vocabulary-sized count aggregations.
+   * (A doc_id self-join computes the same pairs but shuffles the whole
+   * mention relation twice — the q39 single-scan lesson.) Marginal
+   * joins broadcast.
+   *
+   * `nDocs` is the corpus size (denominator); pass `docs.count()` —
+   * metadata-only on parquet, no scan.
+   */
   def cooccurrencePmi(docs: DataFrame, surfaces: Seq[String], nDocs: Long): DataFrame = {
     val toks = split(col("text"), " ")
-    val docSurf = docs
-      .select(col("doc_id"),
-        explode(array_distinct(
-          filter(toks, t => t.isin(surfaces.map(s => s: Any): _*)))).as("surface"))
-    val marg = docSurf.groupBy(col("surface")).agg(count(lit(1)).as("n"))
-    val pairs = docSurf.as("a")
-      .join(docSurf.as("b"), col("a.doc_id") === col("b.doc_id") &&
-        col("a.surface") < col("b.surface"))
-      .groupBy(col("a.surface").as("sa"), col("b.surface").as("sb"))
+    val present = array_sort(array_distinct(
+      filter(toks, t => t.isin(surfaces.map(s => s: Any): _*))))
+    // no pre-filter: single-surface docs still count toward MARGINALS,
+    // and their empty pair expansion explodes to nothing
+    val surfArr = docs.select(present.as("arr"))
+    val marg = surfArr.select(explode(col("arr")).as("surface"))
+      .groupBy(col("surface")).agg(count(lit(1)).as("n"))
+    // ordered pairs (sa < sb by the sort) expanded per doc, one scan
+    val pairsArr = flatten(transform(col("arr"), (x, i) =>
+      transform(slice(col("arr"), i + lit(2), size(col("arr")) - i - lit(1)),
+        y => struct(x.as("sa"), y.as("sb")))))
+    val pairs = surfArr.select(explode(pairsArr).as("p"))
+      .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
       .agg(count(lit(1)).as("n_ab"))
     pairs
       .join(broadcast(marg.select(col("surface").as("sa"), col("n").as("na"))), Seq("sa"))

@@ -270,9 +270,17 @@ object TopicGraph {
     val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions", parts)
     try {
+      // nodes tagged ONCE with has-outgoing: the per-iteration dangling
+      // mass then comes from a filter+sum over the rank relation itself
+      // (a V-vs-V anti-join per iteration otherwise — at billions of
+      // nodes that join is the loop's whole shuffle budget)
       val nodes = e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node")))
-        .distinct().persist(lvl)
+        .distinct()
+        .join(e.select(col("src").as("node")).distinct()
+          .withColumn("hasOut", lit(true)), Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("hasOut"), lit(false)).as("hasOut"))
+        .persist(lvl)
       val n = nodes.count().toDouble
       val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       // constant across iterations: each edge tagged with its source's
@@ -285,17 +293,17 @@ object TopicGraph {
       var it = 0
       while (it < iters) {
         val contrib = edgesDeg
-          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
           .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
           .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
-        // rank held by dangling nodes (no outgoing edges) teleports
-        // uniformly; 1-row aggregate rides broadcast, never the driver
-        val dang = ranks.join(outdeg, Seq("node"), "left_anti")
+        // rank held by dangling nodes teleports uniformly; the 1-row
+        // aggregate rides broadcast, never the driver
+        val dang = ranks.filter(!col("hasOut"))
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
         val stepped = nodes
           .join(contrib, Seq("node"), "left_outer")
           .crossJoin(broadcast(dang))
-          .select(col("node"),
+          .select(col("node"), col("hasOut"),
             (lit((1 - damping) / n) + lit(damping) *
               (coalesce(col("in_sum"), lit(0.0)) + col("dang") / n)).as("rank"))
           .persist(lvl)
@@ -305,7 +313,7 @@ object TopicGraph {
         ranks.unpersist(false)
         ranks = if (next ne stepped) { stepped.unpersist(false); next } else next
       }
-      val out = ranks.localCheckpoint(true)
+      val out = ranks.select(col("node"), col("rank")).localCheckpoint(true)
       ranks.unpersist(false)
       edgesDeg.unpersist(false)
       nodes.unpersist(false)
