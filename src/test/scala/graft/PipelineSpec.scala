@@ -728,6 +728,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.keySet.forall(p => Set(10L, 20L, 21L, 30L)(p._1)))
   }
 
+  test("incremental dedup over two batches equals the one-shot full-corpus search") {
+    // day-1 index + day-2 increment must surface EXACTLY the pairs the
+    // full-corpus batch search finds (as unordered id pairs)
+    val mk = (i: Int, tail: String) =>
+      (i.toLong, (1 to 30).map(k => s"w$k").mkString(" ") + " " + tail)
+    val day1 = Seq(mk(1, "a"), mk(2, "ax"), (3L, "different doc entirely here")).toDF("doc_id", "text")
+    val day2 = Seq(mk(10, "a"), mk(11, "ay"), (12L, "another unrelated one")).toDF("doc_id", "text")
+    val all = day1.unionByName(day2)
+    val full = Dedup.minhashCandidates(all)
+      .as[(Long, Long, Double)].collect()
+      .map(r => Set(r._1, r._2)).toSet
+    val sigs1 = Dedup.minhashSignaturesOnePass(day1)
+    val within1 = Dedup.candidatesFromSigs(sigs1)
+      .as[(Long, Long, Double)].collect().map(r => Set(r._1, r._2)).toSet
+    val inc = Dedup.incrementalCandidates(day2, sigs1)
+      .as[(Long, Long, Boolean, Double)].collect().map(r => Set(r._1, r._2)).toSet
+    assert((within1 ++ inc) == full,
+      s"within1=$within1 inc=$inc full=$full")
+    assert(full.nonEmpty)
+  }
+
   test("triangles: K4, a triangle-free square, duplicates/direction ignored") {
     // K4 on 1-4 (4 triangles, each node in 3) + square 5-6-7-8-5 (none)
     // + pendant 4-9 (none); edges given in mixed direction with dups
