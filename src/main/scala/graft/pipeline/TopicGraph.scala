@@ -355,19 +355,28 @@ object TopicGraph {
       .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
     val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    // the oriented relation feeds BOTH wedge sides and the closure
+    // check: persist lazily (all three consumers share one action) so
+    // the dedup+degree joins run once, and release it once the small
+    // per-node counts are checkpointed (same discipline as
+    // Dedup.lshCandidatesFromSigs)
     val orient = withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("a"),
       when(uFirst, col("v")).otherwise(col("u")).as("b"),
       when(uFirst, struct(col("dv").as("kd"), col("v").as("kn")))
         .otherwise(struct(col("du").as("kd"), col("u").as("kn"))).as("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wedges = orient.as("e1")
       .join(orient.as("e2"), col("e1.a") === col("e2.a") &&
         col("e1.bkey") < col("e2.bkey"))
       .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
     val tri = wedges.join(
       orient.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+    val out = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .localCheckpoint(true)
+    orient.unpersist(false)
+    out
   }
 
   /** Driver-side power iteration over a collected small edge list —
