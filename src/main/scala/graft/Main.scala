@@ -147,8 +147,10 @@ object Main {
     if (stages("dedup")) {
       // curation stage: the corpus's persistent SIGNATURE INDEX (sign
       // once per batch; later increments search it via
-      // Dedup.incrementalCandidates without re-scanning text) and the
-      // near-dup keep list (candidates -> components -> keep min-id)
+      // Dedup.incrementalCandidates(..., fast = true) — the flag MUST
+      // match this index's xxhash64 family — without re-scanning text)
+      // and the near-dup keep list (candidates -> components -> keep
+      // min-id)
       val docs = files.select(
         xxhash64(col("repo"), col("path"), col("commit")).as("doc_id"),
         col("content").as("text"))

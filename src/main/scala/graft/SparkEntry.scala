@@ -733,20 +733,11 @@ object SparkEntry {
       // whole windowed HOF once per BIGRAM row (ExtractGenerator hoists
       // the alias above Generate; measured 12.9s -> ~1s at sf0.1)
       val docs = Tables.documents(s, d)
-      val top = docs
-        .select(col("doc_id"), length(col("text")).as("len"),
-          explode(Dedup.wordShingles(col("text"), 2)).as("g"))
-        .groupBy(col("doc_id"), col("len"), col("g"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(struct(col("c"), col("g"), col("len"))).as("top"))
       val dwr = docs.select(col("doc_id"),
         TextAnalysis.dupWindowRatio(col("text")).as("dup_window_ratio"))
-      top.join(dwr, Seq("doc_id"))
+      TextAnalysis.topBigramFraction(docs).join(dwr, Seq("doc_id"))
         .select(col("doc_id"), col("dup_window_ratio"),
-          col("top.g").as("top_bigram"),
-          round(least(lit(1.0), col("top.c") * (length(col("top.g")) + 1)
-            / col("top.len").cast("double")), 4).as("top_bigram_fraction"))
+          col("top_bigram"), col("top_bigram_fraction"))
     }),
 
     "q75_pagerank" -> ((s, d) =>
@@ -1567,15 +1558,21 @@ object SparkEntry {
          |GROUP BY a.surface, b.surface, ma.n, mb.n""".stripMargin,
 
     "q77_semdedup" ->
+      // the nrm > 0 guards restate the engine's zero-vector convention
+      // (cosine = 0 when either norm is 0, Similarity.cosine) — DuckDB's
+      // list_cosine_similarity yields NaN there, which its total order
+      // would put ABOVE the threshold
       """WITH c AS (
         | SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v*v))) AS nrm,
         |  array_to_string(list_transform(embedding[1:4],
         |    v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '') AS cell
         | FROM embeddings),
         |drops AS (
         | SELECT DISTINCT b.vec_id
         | FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        | WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25)
+        | WHERE a.nrm > 0 AND b.nrm > 0
+        |   AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25)
         |SELECT c.vec_id, c.cell, CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
         |FROM c LEFT JOIN drops d ON c.vec_id = d.vec_id""".stripMargin,
 

@@ -43,20 +43,25 @@ object GraftFunctions {
       graft.pipeline.Dedup.minhashSigArray(text, shingleWords, numHashes)
         .map(s => org.apache.spark.unsafe.types.UTF8String.fromString(s): Any))
 
+  private[functions] def arity(name: String, n: Int)(es: Seq[Expression]): Seq[Expression] = {
+    require(es.length == n, s"$name expects $n argument(s), got ${es.length}")
+    es
+  }
+
   /** Register the functions for SQL use on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nt_escape", es => NtEscapeExpr(es.head), "scala_udf")
+      "nt_escape", es => NtEscapeExpr(arity("nt_escape", 1)(es).head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", es => SimHash64Expr(es.head), "scala_udf")
+      "simhash64", es => SimHash64Expr(arity("simhash64", 1)(es).head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", es => MinhashSigExpr(es.head), "scala_udf")
+      "minhash_sig", es => MinhashSigExpr(arity("minhash_sig", 1)(es).head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", es => FloatDotExpr(es.head, es(1)), "scala_udf")
+      "vec_dot", es => { arity("vec_dot", 2)(es); FloatDotExpr(es.head, es(1)) }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_norm", es => FloatNormExpr(es.head), "scala_udf")
+      "vec_norm", es => FloatNormExpr(arity("vec_norm", 1)(es).head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_l2", es => FloatL2Expr(es.head, es(1)), "scala_udf")
+      "vec_l2", es => { arity("vec_l2", 2)(es); FloatL2Expr(es.head, es(1)) }, "scala_udf")
   }
 }
 
@@ -67,31 +72,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("nt_escape"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[NtEscapeExpr].getName, "nt_escape"),
-        (es: Seq[Expression]) => NtEscapeExpr(es.head)))
+        (es: Seq[Expression]) => NtEscapeExpr(GraftFunctions.arity("nt_escape", 1)(es).head)))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[SimHash64Expr].getName, "simhash64"),
-        (es: Seq[Expression]) => SimHash64Expr(es.head)))
+        (es: Seq[Expression]) => SimHash64Expr(GraftFunctions.arity("simhash64", 1)(es).head)))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[MinhashSigExpr].getName, "minhash_sig"),
-        (es: Seq[Expression]) => MinhashSigExpr(es.head)))
+        (es: Seq[Expression]) => MinhashSigExpr(GraftFunctions.arity("minhash_sig", 1)(es).head)))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[FloatDotExpr].getName, "vec_dot"),
-        (es: Seq[Expression]) => FloatDotExpr(es.head, es(1))))
+        (es: Seq[Expression]) => { GraftFunctions.arity("vec_dot", 2)(es); FloatDotExpr(es.head, es(1)) }))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("vec_norm"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[FloatNormExpr].getName, "vec_norm"),
-        (es: Seq[Expression]) => FloatNormExpr(es.head)))
+        (es: Seq[Expression]) => FloatNormExpr(GraftFunctions.arity("vec_norm", 1)(es).head)))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("vec_l2"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[FloatL2Expr].getName, "vec_l2"),
-        (es: Seq[Expression]) => FloatL2Expr(es.head, es(1))))
+        (es: Seq[Expression]) => { GraftFunctions.arity("vec_l2", 2)(es); FloatL2Expr(es.head, es(1)) }))
   }
 }

@@ -262,12 +262,21 @@ object Dedup {
    * inside the batch (within_batch = true, id_new < id_other — same
    * convention as [[minhashCandidates]]).
    *
+   * `fast` selects the signature FAMILY for the new batch and MUST
+   * match how the index was signed: false = md5 one-pass
+   * ([[minhashSignaturesOnePass]], the cross-engine-reproducible
+   * family), true = xxhash64 ([[minhashSignaturesFast]], the
+   * throughput family Main's dedup stage writes). Mixing families
+   * would make every bucket key miss — zero candidates, silently.
+   *
    * Output: (id_new, id_other, within_batch, est_jaccard).
    */
   def incrementalCandidates(newDocs: DataFrame, corpusSigs: DataFrame,
-      shingleWords: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      shingleWords: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      fast: Boolean = false): DataFrame = {
     val rows = numHashes / bands
-    val newSigs = minhashSignaturesOnePass(newDocs, shingleWords, numHashes)
+    val newSigs = (if (fast) minhashSignaturesFast(newDocs, shingleWords, numHashes)
+      else minhashSignaturesOnePass(newDocs, shingleWords, numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def keyed(sigs: DataFrame): DataFrame = sigs.select(col("doc_id"), col("sig"),
       explode(lshBandKeys(col("sig"), bands, rows)).as("bucket"))

@@ -197,9 +197,14 @@ object Similarity {
    * Output: (vec_id, cell, kept 0/1) — one row per input vector.
    */
   def semDedup(vecs: DataFrame, tau: Double, bits: Int = 4): DataFrame = {
+    // the celled projection feeds BOTH self-join sides and the final
+    // keep join: persist lazily so the scan + norms + cells compute
+    // once, release after the verdict table is checkpointed (same
+    // discipline as Dedup.lshCandidatesFromSigs)
     val c = vecs.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"),
       signBucket(col("embedding"), bits).as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cosine computed inside the join projection: the exchange after
     // it carries (id, id) not the embedding arrays (cf. signLshPairs)
     val drops = c.as("a")
@@ -211,10 +216,13 @@ object Similarity {
             / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= tau)
       .select(col("vec_id")).distinct()
-    c.select(col("vec_id"), col("cell"))
+    val out = c.select(col("vec_id"), col("cell"))
       .join(drops.withColumn("drop", lit(1)), Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cell"),
         when(col("drop").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+      .localCheckpoint(true)
+    c.unpersist(false)
+    out
   }
 
   def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8,

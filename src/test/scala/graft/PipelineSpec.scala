@@ -728,6 +728,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.keySet.forall(p => Set(10L, 20L, 21L, 30L)(p._1)))
   }
 
+  test("incremental dedup against a FAST (xxhash64) index finds pairs with fast = true") {
+    // Main's dedup stage signs the index with minhashSignaturesFast;
+    // the increment must use the same family or every bucket misses
+    val base = (1 to 30).map(k => s"tok$k").mkString(" ")
+    val corpus = Seq((1L, base + " a"), (2L, "something else wholly")).toDF("doc_id", "text")
+    val batch = Seq((10L, base + " ab")).toDF("doc_id", "text")
+    val fastIdx = Dedup.minhashSignaturesFast(corpus)
+    val hit = Dedup.incrementalCandidates(batch, fastIdx, fast = true)
+      .as[(Long, Long, Boolean, Double)].collect()
+    assert(hit.exists(r => r._1 == 10L && r._2 == 1L && !r._3),
+      s"fast-family increment missed the planted pair: ${hit.toSeq}")
+    // mixed families would silently return nothing — guard the guard
+    val mixed = Dedup.incrementalCandidates(batch, fastIdx, fast = false)
+      .as[(Long, Long, Boolean, Double)].collect()
+    assert(!mixed.exists(r => r._2 == 1L),
+      "md5 increment against an xxhash64 index cannot legitimately match")
+  }
+
   test("incremental dedup over two batches equals the one-shot full-corpus search") {
     // day-1 index + day-2 increment must surface EXACTLY the pairs the
     // full-corpus batch search finds (as unordered id pairs)
