@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -120,6 +120,51 @@ object EventStream {
       .withColumn("sh", graft.functions.GraftFunctions.simhash64(col("text")))
       .withWatermark(tsCol, "10 minutes")
       .dropDuplicatesWithinWatermark("sh")
+
+  /**
+   * Streaming incremental dedup — the continuous-crawl twin of
+   * `Dedup.incrementalCandidates` (q82): each arriving document is
+   * signed in the micro-batch (one-pass codegen signature, map-side)
+   * and band-joined against the STATIC corpus signature index (the
+   * table Main's dedup stage checkpoints). Stream-static joins keep no
+   * state for the static side — the index rides as a regular build
+   * side (broadcast when small, shuffled otherwise), so this scales
+   * exactly like the batch search, per micro-batch.
+   *
+   * Output stream: (doc_id, dup_of, est_jaccard, ts) — one row per
+   * (new doc, matching corpus doc) candidate. The multi-band pair
+   * dedup uses `dropDuplicatesWithinWatermark`, so its state EVICTS
+   * as the `ts` watermark advances (a plain streaming dropDuplicates
+   * without the event-time key never evicts — the round-1 dedupStream
+   * lesson).
+   */
+  def incrementalDedupStream(docs: DataFrame, corpusSigs: DataFrame,
+      numHashes: Int = 16, bands: Int = 4, tsCol: String = "ts"): DataFrame = {
+    val rows = numHashes / bands
+    val newKeyed = docs
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, "10 minutes")
+      .withColumn("sig", graft.functions.GraftFunctions.minhash_sig(col("text")))
+      .select(col("doc_id"), col("sig"), col(tsCol),
+        explode(graft.pipeline.Dedup.lshBandKeys(col("sig"), bands, rows)).as("bucket"))
+    val idx = corpusSigs.select(col("bucket"),
+      col("doc_id").as("dup_of"), col("sig").as("sig_b"))
+    newKeyed.join(idx, Seq("bucket"))
+      .filter(col("doc_id") =!= col("dup_of"))
+      .select(col("doc_id"), col("dup_of"),
+        (size(filter(zip_with(col("sig"), col("sig_b"), (x, y) => x === y),
+          (m: Column) => m)) / lit(numHashes.toDouble)).as("est_jaccard"),
+        col(tsCol))
+      .dropDuplicatesWithinWatermark("doc_id", "dup_of")
+  }
+
+  /** Band-keyed view of a (doc_id, sig) signature table — the static
+    * side [[incrementalDedupStream]] joins against (pre-explode it
+    * once and checkpoint, rather than exploding per micro-batch). */
+  def bandedIndex(sigs: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+      explode(graft.pipeline.Dedup.lshBandKeys(col("sig"), bands, numHashes / bands))
+        .as("bucket"))
 
   /**
    * Stream-stream interval join — the streaming twin of the batch

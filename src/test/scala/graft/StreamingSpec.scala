@@ -168,6 +168,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup against a static index equals the batch search") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, base + " a"), (2L, base + " ab"),
+      (3L, "entirely different text here")).toDF("doc_id", "text")
+    val idx = EventStream.bandedIndex(
+      graft.pipeline.Dedup.minhashSignaturesOnePass(corpus))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    in.addData((10L, base + " az", ts(0)), (11L, "another unrelated doc", ts(5)))
+    val q = EventStream.incrementalDedupStream(
+        in.toDF.toDF("doc_id", "text", "ts"), idx)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("incdedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("incdedup_out")
+        .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+      // batch reference: the new-vs-corpus side of incrementalCandidates
+      val want = graft.pipeline.Dedup.incrementalCandidates(
+          Seq((10L, base + " az"), (11L, "another unrelated doc")).toDF("doc_id", "text"),
+          graft.pipeline.Dedup.minhashSignaturesOnePass(corpus))
+        .filter(!col("within_batch"))
+        .select("id_new", "id_other").as[(Long, Long)].collect().toSet
+      assert(got == want, s"stream $got vs batch $want")
+      assert(got.contains((10L, 1L)), s"planted near-dup not found: $got")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch range join (q63)") {
     val sfDir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._
