@@ -127,11 +127,16 @@ object Bench {
     // vector math, minhash/simhash banding, and the triangle joins —
     // each warmed once at sf0.001 (sub-second), NOT the iterative-loop
     // queries (their sf0.001 cost is scheduling latency, not JIT)
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
+      else sfDir // warming at the bench scale still beats no warm-up
     Seq("q37_kg_ner_corpus", "q42_dedup_minhash", "q43_sim_topk",
       "q50_dedup_simhash_pairs", "q74_repetition_signals", "q81_triangles")
       .foreach { q =>
-        try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
-        catch { case _: Throwable => () }
+        try SparkEntry.queries(q)(spark, warmDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm-up $q failed: ${e.getMessage}")
+        }
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

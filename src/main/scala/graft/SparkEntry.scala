@@ -94,6 +94,16 @@ object SparkEntry {
       s"\nSELECT node, round(rank, 8) AS rank_r8 FROM r$iters"
   }
 
+  /** Zero-guarded cosine for the DuckDB oracles: restates the engine's
+    * "cosine = 0 for zero vectors" convention (Similarity.cosine) —
+    * DuckDB's `list_cosine_similarity` yields NaN there, and NaN sorts
+    * ABOVE every threshold/ranking in its total order. */
+  private def safeCosSql(a: String, b: String): String =
+    s"CASE WHEN list_sum(list_transform($a.embedding::DOUBLE[], v -> v*v)) = 0" +
+      s" OR list_sum(list_transform($b.embedding::DOUBLE[], v -> v*v)) = 0" +
+      s" THEN 0.0::DOUBLE ELSE list_cosine_similarity(" +
+      s"$a.embedding::DOUBLE[], $b.embedding::DOUBLE[]) END"
+
   /** Entity co-occurrence edges: adjacent token pairs, both dictionary
     * surfaces, self-loops removed, distinct (topic-graph analog). */
   private def entityEdges(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1423,17 +1433,19 @@ object SparkEntry {
          |    / length(list_distinct(list_concat(a.sh, b.sh))) END, 4) >= 0.7""".stripMargin,
 
     "q43_sim_topk" ->
-      """SELECT probe_id, cand_id, round(cos, 4) AS cos, rank FROM (
-        | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-        |  list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
-        |  row_number() OVER (PARTITION BY p.vec_id
-        |    ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-        |             c.vec_id ASC) AS rank
-        | FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
-        | WHERE p.vec_id % 50 = 0) WHERE rank <= 5""".stripMargin,
+      s"""WITH scored AS (
+         | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |  ${safeCosSql("p", "c")} AS cos
+         | FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+         | WHERE p.vec_id % 50 = 0)
+         |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank FROM (
+         | SELECT probe_id, cand_id, cos,
+         |  row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos DESC, cand_id ASC) AS rank
+         | FROM scored) WHERE rank <= 5""".stripMargin,
 
     "q44_sim_lsh" ->
-      """WITH bk AS (
+      ("""WITH bk AS (
         | SELECT vec_id, embedding,
         |  b || '|' || array_to_string(list_transform(embedding[b*8+1:(b+1)*8],
         |    v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '') AS bucket
@@ -1441,35 +1453,41 @@ object SparkEntry {
         |cand AS (
         | SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
         | FROM bk p JOIN bk c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
-        | WHERE p.vec_id % 50 = 0)
-        |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank FROM (
-        | SELECT cand.probe_id, cand.cand_id,
-        |  list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
-        |  row_number() OVER (PARTITION BY cand.probe_id
-        |    ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-        |             cand.cand_id ASC) AS rank
+        | WHERE p.vec_id % 50 = 0),
+        |scored AS (
+        | SELECT cand.probe_id, cand.cand_id, """.stripMargin +
+      safeCosSql("p", "c") +
+      """ AS cos
         | FROM cand
         | JOIN embeddings p ON cand.probe_id = p.vec_id
-        | JOIN embeddings c ON cand.cand_id = c.vec_id) WHERE rank <= 5""".stripMargin,
+        | JOIN embeddings c ON cand.cand_id = c.vec_id)
+        |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank FROM (
+        | SELECT probe_id, cand_id, cos,
+        |  row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cos DESC, cand_id ASC) AS rank
+        | FROM scored) WHERE rank <= 5""".stripMargin),
 
     "q53_emb_neardup" ->
-      """WITH bk AS (
+      ("""WITH bk AS (
         | SELECT vec_id, embedding,
         |  b || '|' || array_to_string(list_transform(embedding[b*8+1:(b+1)*8],
         |    v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '') AS bucket
         | FROM embeddings, range(0, 4) r(b)),
         |cand AS (
         | SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
-        | FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
-        |SELECT cand.id_a, cand.id_b,
-        | round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos
+        | FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+        |scored AS (
+        | SELECT cand.id_a, cand.id_b, """.stripMargin +
+      safeCosSql("a", "c") +
+      """ AS cos
         |FROM cand
         |JOIN embeddings a ON cand.id_a = a.vec_id
-        |JOIN embeddings c ON cand.id_b = c.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.25""".stripMargin,
+        |JOIN embeddings c ON cand.id_b = c.vec_id)
+        |SELECT id_a, id_b, round(cos, 4) AS cos FROM scored
+        |WHERE cos >= 0.25""".stripMargin),
 
     "q52_sim_ivf" ->
-      """WITH cents AS (
+      ("""WITH cents AS (
         | SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
         | FROM embeddings WHERE vec_id < 16),
         |assign AS (
@@ -1477,15 +1495,18 @@ object SparkEntry {
         |  SELECT e.vec_id, e.embedding, c.cent_id AS cell,
         |   row_number() OVER (PARTITION BY e.vec_id
         |     ORDER BY list_distance(e.embedding::DOUBLE[], c.cv) ASC, c.cent_id ASC) AS rk
-        |  FROM embeddings e CROSS JOIN cents c) WHERE rk = 1)
-        |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank FROM (
-        | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-        |  list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
-        |  row_number() OVER (PARTITION BY p.vec_id
-        |    ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-        |             c.vec_id ASC) AS rank
+        |  FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+        |scored AS (
+        | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, """.stripMargin +
+      safeCosSql("p", "c") +
+      """ AS cos
         | FROM assign p JOIN assign c ON p.cell = c.cell AND p.vec_id <> c.vec_id
-        | WHERE p.vec_id % 50 = 0) WHERE rank <= 5""".stripMargin,
+        | WHERE p.vec_id % 50 = 0)
+        |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank FROM (
+        | SELECT probe_id, cand_id, cos,
+        |  row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cos DESC, cand_id ASC) AS rank
+        | FROM scored) WHERE rank <= 5""".stripMargin),
 
     "q45_langid" -> {
       val branches = TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>

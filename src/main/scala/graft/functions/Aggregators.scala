@@ -25,16 +25,21 @@ object Aggregators {
    *
    * Bounding rule (prefix-monotone, so partials may apply it
    * independently and merge stays associative): sort by key, keep items
-   * while the running sum of min(len, 199) is below sizeLimit.
-   * Soundness: cappedConcat's per-item budget is >= 200, and a cut at a
-   * word boundary never shrinks an item below budget-1 chars, so every
-   * item contributes >= min(len, 199) chars to the output's running
-   * total — an item whose PRIOR items already sum past sizeLimit by
-   * that lower bound can never be emitted. Count-consistency: per-item
-   * budget = max(sizeLimit/n, 200) depends on the group count n, but
-   * whenever the rule drops anything, the kept prefix alone has
-   * n_kept >= sizeLimit/199 items, which forces the budget to its 200
-   * floor for both the true n and the kept n — identical output.
+   * while the running sum of min(len, 199) + 1 over PRIOR items is
+   * <= sizeLimit. The +1 is each item's separator — without it a run
+   * of zero-length items contributes 0 and the buffer is unbounded in
+   * item COUNT (the exact hot-group blowup this class exists to stop);
+   * with it the buffer holds at most sizeLimit + 1 items.
+   * Soundness: cappedConcat's per-item budget is >= 200 and a
+   * word-boundary cut never shrinks an item below budget-1 chars, so
+   * k prior items consume >= Σ min(len,199) + (k-1) = acc - 1 output
+   * chars; item k+1 can be emitted only while consumption < sizeLimit,
+   * i.e. only while acc <= sizeLimit — dropping at acc > sizeLimit
+   * never drops an emittable item. Count-consistency: per-item budget
+   * = max(sizeLimit/n, 200) depends on the group count n, but whenever
+   * the rule drops anything the kept prefix alone has n_kept >=
+   * sizeLimit/200 items, which forces the budget to its 200 floor for
+   * both the true n and the kept n — identical output.
    */
   final class CappedConcat(sizeLimit: Int = 100000)
       extends Aggregator[(Long, String), Seq[(Long, String)], String] {
@@ -48,8 +53,8 @@ object Aggregators {
       var stop = false
       while (it.hasNext && !stop) {
         val kv = it.next()
-        if (acc >= sizeLimit) stop = true
-        else { out += kv; acc += math.min(kv._2.length, 199).toLong }
+        if (acc > sizeLimit) stop = true
+        else { out += kv; acc += math.min(kv._2.length, 199).toLong + 1 }
       }
       out.result()
     }
@@ -58,8 +63,8 @@ object Aggregators {
       if (b.length <= slack) b
       else {
         var chars = 0L
-        b.foreach(kv => chars += math.min(kv._2.length, 199).toLong)
-        if (chars < sizeLimit) b else bound(b)
+        b.foreach(kv => chars += math.min(kv._2.length, 199).toLong + 1)
+        if (chars <= sizeLimit) b else bound(b)
       }
     }
     def zero: Seq[(Long, String)] = Seq.empty

@@ -21,6 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression — used in the triple-materialization hot path. */
 case class NtEscapeExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got $other")
+  }
   override def nullSafeEval(v: Any): Any =
     UTF8String.fromString(TextFunctions.ntEscape(v.toString))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -40,6 +45,11 @@ case class NtEscapeExpr(child: Expression) extends UnaryExpression {
 case class MinhashSigExpr(child: Expression, shingleWords: Int = 3,
     numHashes: Int = 16) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got $other")
+  }
   override def nullSafeEval(v: Any): Any =
     GraftFunctions.minhashSigData(v.toString, shingleWords, numHashes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -236,6 +246,11 @@ case class FloatL2Expr(left: Expression, right: Expression) extends BinaryExpres
   * md5-derived token hashes; see graft.pipeline.Dedup.simhash64). */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got $other")
+  }
   override def nullSafeEval(v: Any): Any =
     graft.pipeline.Dedup.simhash64(v.toString)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -198,7 +198,15 @@ object Dedup {
     // so the shingle+digest lineage runs once, not twice. On a cluster
     // at corpus scale, write signatures to a snapshot table instead
     // (Checkpoints.runStage) and join from that.
-    val sigs = sigsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // respect a caller-managed cache: the "sign once, search many"
+    // entry point (candidatesFromSigs) hands in a table the caller may
+    // keep cached across searches — unpersisting THAT here would evict
+    // it after the first search and silently re-sign the corpus on the
+    // next one
+    val callerCached =
+      sigsIn.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val sigs = if (callerCached) sigsIn
+      else sigsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = sigs.select(col("doc_id"), col("sig"),
       explode(lshBandKeys(col("sig"), bands, rows)).as("bucket"))
     val a = keyed.select(col("bucket"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
@@ -215,7 +223,7 @@ object Dedup {
           (b: Column) => b)) / lit(numHashes.toDouble)).as("est_jaccard"))
       .distinct()
       .localCheckpoint(true)
-    sigs.unpersist(false)
+    if (!callerCached) sigs.unpersist(false)
     out
   }
 

@@ -50,7 +50,10 @@ object Skew {
       hotKeys: Seq[String], salts: Int, saltSource: Column,
       joinType: String = "inner"): DataFrame = {
     if (hotKeys.isEmpty) return big.join(small, Seq(key), joinType)
-    val isHot = col(key).isin(hotKeys.map(k => k: Any): _*)
+    // null-safe: a NULL key is never hot but MUST reach the cold branch
+    // (plain `isin` evaluates NULL there, so `!isHot` would drop the
+    // row from BOTH branches and break outer-join identity)
+    val isHot = coalesce(col(key).isin(hotKeys.map(k => k: Any): _*), lit(false))
     val cold = big.filter(!isHot).join(small.filter(!isHot), Seq(key), joinType)
     val hot = saltedJoin(big.filter(isHot), small.filter(isHot), key, salts,
       saltSource, joinType)

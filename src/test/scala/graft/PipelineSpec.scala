@@ -351,6 +351,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(agg.finish(merged) == want)
   }
 
+  test("CappedConcat buffer stays bounded on a hot group of EMPTY items") {
+    // zero-length items contribute no chars — the separator accounting
+    // (+1 per item) is what bounds the buffer in item COUNT
+    val limit = 5000
+    val agg = new Aggregators.CappedConcat(limit)
+    val items = (0 until 200000).map(i => (i.toLong, ""))
+    val buf = items.foldLeft(agg.zero)(agg.reduce)
+    assert(buf.length <= limit + 300, s"buffer kept ${buf.length} empty items")
+    assert(agg.finish(buf) ==
+      graft.functions.TextFunctions.cappedConcat(items.map(_._2), limit))
+  }
+
   test("iterative ops release their caches (persisted-RDD count does not grow per level)") {
     val sc = spark.sparkContext
     def settle(): Unit = { System.gc(); Thread.sleep(300) } // let ContextCleaner drain

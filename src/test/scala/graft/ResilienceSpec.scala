@@ -45,6 +45,22 @@ class ResilienceSpec extends AnyFunSuite {
     assert(none == plain)
   }
 
+  test("selective hot-key salting preserves NULL-key rows on outer joins") {
+    // a NULL key is never hot, but `!isin` evaluates NULL there — the
+    // row must still reach the cold branch or left-join identity breaks
+    val big = Seq((1L, "hot"), (2L, "cold"), (3L, null))
+      .toDF("id", "key")
+    val small = Seq(("hot", "H"), ("cold", "C")).toDF("key", "v")
+    val plain = big.join(small, Seq("key"), "left_outer")
+      .select("id", "key", "v").collect().map(_.toString).sorted.toSeq
+    val salted = Skew.saltedJoinHotKeys(big, small, "key",
+        hotKeys = Seq("hot"), salts = 4, saltSource = col("id"),
+        joinType = "left_outer")
+      .select("id", "key", "v").collect().map(_.toString).sorted.toSeq
+    assert(salted == plain, s"salted $salted vs plain $plain")
+    assert(plain.exists(_.contains("3")), "null-key row missing from reference")
+  }
+
   test("salted two-phase count equals plain groupBy count") {
     val df = (1 to 5000).map(i => (i.toLong, if (i % 2 == 0) "hot" else s"k${i % 7}"))
       .toDF("id", "key")
