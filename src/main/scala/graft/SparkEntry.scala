@@ -94,6 +94,36 @@ object SparkEntry {
       s"\nSELECT node, round(rank, 8) AS rank_r8 FROM r$iters"
   }
 
+  /** Shared simhash oracle fragments (single source of truth for the
+    * q50/q64/q70 family — layout must match Dedup.simhash64 +
+    * simhashBandKeys): per-doc 60-bit simhash CTE chain, the 4x15-bit
+    * band-match condition, and the verified near-dup edge CTE. */
+  private val simhashShCte =
+    """h AS (
+      | SELECT doc_id, ('0x' || substring(md5(w.word), 1, 15))::BIGINT AS h
+      | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) w
+      | WHERE w.word <> ''),
+      |bits AS (
+      | SELECT doc_id, b, sum(((h >> b) & 1)::INT) AS cnt, count(*) AS total
+      | FROM h, range(0, 60) r(b) GROUP BY 1, 2),
+      |sh AS (
+      | SELECT doc_id,
+      |  CAST(sum(CASE WHEN 2*cnt > total THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
+      | FROM bits GROUP BY doc_id)""".stripMargin
+
+  private val simhashBandMatch =
+    """((a.sh & 32767) = (b.sh & 32767)
+      |   OR ((a.sh >> 15) & 32767) = ((b.sh >> 15) & 32767)
+      |   OR ((a.sh >> 30) & 32767) = ((b.sh >> 30) & 32767)
+      |   OR ((a.sh >> 45) & 32767) = ((b.sh >> 45) & 32767))""".stripMargin
+
+  private def simhashEdgeCte(maxHamming: Int): String =
+    s"""e AS (
+       | SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  AND $simhashBandMatch
+       | WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming)""".stripMargin
+
   /** Zero-guarded cosine for the DuckDB oracles: restates the engine's
     * "cosine = 0 for zero vectors" convention (Similarity.cosine) —
     * DuckDB's `list_cosine_similarity` yields NaN there, and NaN sorts
@@ -1714,25 +1744,12 @@ object SparkEntry {
         |FROM bits GROUP BY doc_id""".stripMargin,
 
     "q50_dedup_simhash_pairs" ->
-      """WITH h AS (
-        | SELECT doc_id, ('0x' || substring(md5(w.word), 1, 15))::BIGINT AS h
-        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) w
-        | WHERE w.word <> ''),
-        |bits AS (
-        | SELECT doc_id, b, sum(((h >> b) & 1)::INT) AS cnt, count(*) AS total
-        | FROM h, range(0, 60) r(b) GROUP BY 1, 2),
-        |sh AS (
-        | SELECT doc_id,
-        |  CAST(sum(CASE WHEN 2*cnt > total THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
-        | FROM bits GROUP BY doc_id)
-        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        | CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        | AND ((a.sh & 32767) = (b.sh & 32767)
-        |   OR ((a.sh >> 15) & 32767) = ((b.sh >> 15) & 32767)
-        |   OR ((a.sh >> 30) & 32767) = ((b.sh >> 30) & 32767)
-        |   OR ((a.sh >> 45) & 32767) = ((b.sh >> 45) & 32767))
-        |WHERE bit_count(xor(a.sh, b.sh)) <= 20""".stripMargin,
+      s"""WITH $simhashShCte
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         | AND $simhashBandMatch
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 20""".stripMargin,
 
     "q62_asof_join" ->
       """WITH clicks AS (
@@ -1747,25 +1764,8 @@ object SparkEntry {
     "q64_connected_components" ->
       // components of the banded-simhash near-dup graph via a recursive
       // min-label reachability closure (set semantics terminate it)
-      """WITH RECURSIVE h AS (
-        | SELECT doc_id, ('0x' || substring(md5(w.word), 1, 15))::BIGINT AS h
-        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) w
-        | WHERE w.word <> ''),
-        |bits AS (
-        | SELECT doc_id, b, sum(((h >> b) & 1)::INT) AS cnt, count(*) AS total
-        | FROM h, range(0, 60) r(b) GROUP BY 1, 2),
-        |sh AS (
-        | SELECT doc_id,
-        |  CAST(sum(CASE WHEN 2*cnt > total THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
-        | FROM bits GROUP BY doc_id),
-        |e AS (
-        | SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  AND ((a.sh & 32767) = (b.sh & 32767)
-        |    OR ((a.sh >> 15) & 32767) = ((b.sh >> 15) & 32767)
-        |    OR ((a.sh >> 30) & 32767) = ((b.sh >> 30) & 32767)
-        |    OR ((a.sh >> 45) & 32767) = ((b.sh >> 45) & 32767))
-        | WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+      s"""WITH RECURSIVE $simhashShCte,
+         |${simhashEdgeCte(8)},
         |sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
         |reach(n, m) AS (
         | SELECT src, src FROM sym
@@ -1774,25 +1774,8 @@ object SparkEntry {
         |SELECT n AS node, min(m) AS label FROM reach GROUP BY n""".stripMargin,
 
     "q70_dedup_keep_list" ->
-      """WITH RECURSIVE h AS (
-        | SELECT doc_id, ('0x' || substring(md5(w.word), 1, 15))::BIGINT AS h
-        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) w
-        | WHERE w.word <> ''),
-        |bits AS (
-        | SELECT doc_id, b, sum(((h >> b) & 1)::INT) AS cnt, count(*) AS total
-        | FROM h, range(0, 60) r(b) GROUP BY 1, 2),
-        |sh AS (
-        | SELECT doc_id,
-        |  CAST(sum(CASE WHEN 2*cnt > total THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
-        | FROM bits GROUP BY doc_id),
-        |e AS (
-        | SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  AND ((a.sh & 32767) = (b.sh & 32767)
-        |    OR ((a.sh >> 15) & 32767) = ((b.sh >> 15) & 32767)
-        |    OR ((a.sh >> 30) & 32767) = ((b.sh >> 30) & 32767)
-        |    OR ((a.sh >> 45) & 32767) = ((b.sh >> 45) & 32767))
-        | WHERE bit_count(xor(a.sh, b.sh)) <= 8),
+      s"""WITH RECURSIVE $simhashShCte,
+         |${simhashEdgeCte(8)},
         |sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
         |reach(n, m) AS (
         | SELECT src, src FROM sym
