@@ -94,6 +94,19 @@ object SparkEntry {
       s"\nSELECT node, round(rank, 8) AS rank_r8 FROM r$iters"
   }
 
+  /** Shared sentence-window regroup + annotate chain (the q35/q68
+    * family — ner-corpus/03's group+merge over this corpus's 10-token
+    * window convention): posexplode -> window grouping ->
+    * order-restoring struct sort -> per-token annotate -> re-join. */
+  private def annotatedSentences(docs: DataFrame, annotate: Column => Column,
+      extraAggs: Seq[Column] = Seq.empty): DataFrame =
+    docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+      .groupBy(col("doc_id"), (col("pos") / 10).cast("int").as("sentence_order"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => annotate(x.getField("token"))), " ").as("annotated"),
+        extraAggs: _*)
+
   /** Shared simhash oracle fragments (single source of truth for the
     * q50/q64/q70 family — layout must match Dedup.simhash64 +
     * simhashBandKeys): per-doc 60-bit simhash CTE chain, the 4x15-bit
@@ -536,36 +549,26 @@ object SparkEntry {
       // grouped order-sensitive merge (G1+U2): per (doc, sentence) the
       // tokens regrouped and annotated — the ner-corpus/03 group+merge
       val typeOf = dict.map { case (sf, _, t) => (sf, t) }.toMap
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
       val annotate = (t: Column) => {
         val cases = typeOf.foldLeft(when(lit(false), t)) { case (acc, (sf, tp)) =>
           acc.when(t === sf, concat(lit(s"<START:$tp> "), t, lit(" <END>")))
         }
         cases.otherwise(t)
       }
-      tok.groupBy(col("doc_id"), (col("pos") / 10).cast("int").as("sentence_order"))
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("token")))),
-            s => annotate(s.getField("token"))), " ").as("annotated"))
+      annotatedSentences(Tables.documents(s, d), annotate)
     }),
 
     "q68_kg_onetype_corpus" -> ((s, d) => {
       // ner-corpus/03bis_filter_join_by_type_and_convert.pig:18 analog
-      // (`type == '$TYPE_URI'`): the SAME group+annotate chain as q35,
-      // but the broadcast type join is filtered to ONE type before the
-      // merge and only sentences actually mentioning that type survive
+      // (`type == '$TYPE_URI'`): the SAME group+annotate chain as q35
+      // (shared annotatedSentences), but annotation is filtered to ONE
+      // type and only sentences actually mentioning it survive
       val surfaces = dict.filter(_._3 == "OPERATOR").map(_._1)
       val isOne = (t: Column) => t.isin(surfaces.map(x => x: Any): _*)
       val annotate = (t: Column) =>
         when(isOne(t), concat(lit("<START:OPERATOR> "), t, lit(" <END>"))).otherwise(t)
-      Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
-        .groupBy(col("doc_id"), (col("pos") / 10).cast("int").as("sentence_order"))
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("token")))),
-            x => annotate(x.getField("token"))), " ").as("annotated"),
-          sum(isOne(col("token")).cast("int")).as("n_type_mentions"))
+      annotatedSentences(Tables.documents(s, d), annotate,
+        Seq(sum(isOne(col("token")).cast("int")).as("n_type_mentions")))
         .filter(col("n_type_mentions") > 0)
     }),
 
