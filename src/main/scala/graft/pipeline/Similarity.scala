@@ -194,9 +194,30 @@ object Similarity {
    * keep-list (q70); like SemDeDup's per-cluster keep-one it
    * approximates maximal-independent-set one pass, no iteration.
    *
+   * `bits = 0` (the default) DERIVES the cell count from the corpus:
+   * the smallest `bits` with 2^bits ≥ √n ([[semDedupAutoBits]]) —
+   * cells ≈ √n keeps the per-cell pairwise work O(n) total, the same
+   * k ≈ √n sizing SemDeDup uses for its k-means cells. A fixed small
+   * `bits` on a growing corpus silently degrades toward O(n²/2^bits);
+   * pass `bits` explicitly only to pin a known cell layout.
+   *
    * Output: (vec_id, cell, kept 0/1) — one row per input vector.
    */
-  def semDedup(vecs: DataFrame, tau: Double, bits: Int = 4): DataFrame = {
+  def semDedup(vecs: DataFrame, tau: Double, bits: Int = 0): DataFrame = {
+    val b = if (bits > 0) bits else semDedupAutoBits(vecs.count())
+    semDedupWithBits(vecs, tau, b)
+  }
+
+  /** Smallest `bits` with 2^bits ≥ √n, i.e. ceil(log4 n), clamped to
+    * [4, 16] (16 bits = 65k cells carries corpora to ~4×10^9 vectors;
+    * beyond that swap in k-means cell ids — same plan shape). The 1e-9
+    * guard makes exact powers of 4 land identically in every IEEE
+    * engine; the DuckDB q77 oracle restates this exact formula. */
+  def semDedupAutoBits(n: Long): Int =
+    math.max(4, math.min(16,
+      math.ceil(math.log(math.max(n, 1L).toDouble) / math.log(4.0) - 1e-9).toInt))
+
+  private def semDedupWithBits(vecs: DataFrame, tau: Double, bits: Int): DataFrame = {
     // the celled projection feeds BOTH self-join sides and the final
     // keep join: persist lazily so the scan + norms + cells compute
     // once, release after the verdict table is checkpointed (same

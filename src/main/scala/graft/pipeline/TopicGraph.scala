@@ -43,17 +43,19 @@ object TopicGraph {
    * '/'-joined root..node, loops removed by NoLoopInPath semantics
    * (last element vs prefix).
    *
-   * SCALE WARNING: path accumulation enumerates every distinct simple
-   * path — on a sparse taxonomy (the reference's SKOS input) that is
-   * ~|V|, but on a dense graph it is combinatorial (measured: 30-node
-   * dense co-occurrence graph, depth 5 -> 195k paths). For dense inputs
-   * set `dedupFrontier = true`: the frontier dedups per (node, root)
-   * keeping the lexicographically-first path, bounding each level at
-   * |V|x|roots| rows (the reference itself dedups its frontier,
-   * topic-corpus/03_…pig:26,35).
+   * SCALE SAFETY: the DEFAULT (`dedupFrontier = true`) dedups the
+   * frontier per (node, root) each level, keeping the
+   * lexicographically-first path — each level is bounded at
+   * |V|x|roots| rows regardless of graph density (the reference itself
+   * dedups its frontier, topic-corpus/03_…pig:26,35). The opt-in
+   * `dedupFrontier = false` form enumerates every distinct simple path
+   * (the literal unrolled-Pig shape of 05_…pig): ~|V| paths on a
+   * sparse taxonomy, but COMBINATORIAL on a dense graph (measured:
+   * 30-node dense co-occurrence graph, depth 5 -> 195k paths) — use it
+   * only when the full path multiset is the product.
    */
   def groundedAncestry(edges: DataFrame, roots: DataFrame, maxDepth: Int = 5,
-      dedupFrontier: Boolean = false): DataFrame = {
+      dedupFrontier: Boolean = true): DataFrame = {
     // edges: (src=narrower/child, dst=broader/parent); walk parent->child
     val down = edges.select(col("dst").as("parent"), col("src").as("child"))
       .distinct().localCheckpoint(true)

@@ -125,6 +125,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(!got.exists(r => r._1 == "root" && r._2 > 0))
   }
 
+  test("grounded ancestry: frontier dedup (default) bounds dense graphs; tree output identical") {
+    // dense digraph: every ordered pair of 6 nodes is an edge — the
+    // path-enumeration form is combinatorial, the dedup default is
+    // bounded at |V| x |roots| rows per level
+    val ns = (0 until 6).map(i => s"n$i")
+    val dense = (for { a <- ns; b <- ns if a != b } yield (a, b)).toDF("src", "dst")
+    val roots = Seq("n0").toDF("root")
+    val deduped = TopicGraph.groundedAncestry(dense, roots, maxDepth = 4)
+    val enumerated = TopicGraph.groundedAncestry(dense, roots, maxDepth = 4,
+      dedupFrontier = false)
+    val nDedup = deduped.count()
+    assert(nDedup <= 5L * ns.size, // (maxDepth+1) levels x |V| x 1 root
+      s"dedup form must be level-bounded, got $nDedup rows")
+    assert(enumerated.count() > 10 * nDedup,
+      "enumeration form should be combinatorial on the dense graph")
+    // on a TREE the two forms agree exactly (one path per node)
+    val tree = Seq(("b", "a"), ("c", "a"), ("d", "b"), ("e", "b")).toDF("src", "dst")
+    val tRoots = Seq("a").toDF("root")
+    val t1 = TopicGraph.groundedAncestry(tree, tRoots, maxDepth = 3)
+      .as[(String, String, Int, String)].collect().toSet
+    val t2 = TopicGraph.groundedAncestry(tree, tRoots, maxDepth = 3,
+        dedupFrontier = false)
+      .as[(String, String, Int, String)].collect().toSet
+    assert(t1 == t2 && t1.size == 5)
+  }
+
   test("mentions pipeline end-to-end on the synthetic corpus (P/R vs goldens)") {
     val corpus = CorpusGen.generate(512)
     val files = spark.createDataset(corpus.map(_.file))
@@ -717,6 +743,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(0L)._2 == 1 && got(1L)._2 == 0)
     assert(got(2L)._2 == 1 && got(3L)._2 == 1)
     assert(got(0L)._1 == got(1L)._1 && got(0L)._1 != got(2L)._1)
+  }
+
+  test("semDedup auto-bits: cells ≈ √n, clamped [4,16]; max cell population shrinks with bits") {
+    // ceil(log4 n) closed form, exact powers of 4 included
+    assert(Similarity.semDedupAutoBits(1) == 4)
+    assert(Similarity.semDedupAutoBits(256) == 4)      // 4^4 exactly
+    assert(Similarity.semDedupAutoBits(257) == 5)
+    assert(Similarity.semDedupAutoBits(2000) == 6)     // q77 @ sf0.1
+    assert(Similarity.semDedupAutoBits(1L << 20) == 10)
+    assert(Similarity.semDedupAutoBits(Long.MaxValue / 2) == 16) // clamp
+    // more bits -> strictly finer cells on a sign-diverse corpus: the
+    // scale guarantee the auto default buys (in-cell pairwise is
+    // O(max_pop) per row)
+    val vecs = (0 until 512).map { i =>
+      (i.toLong, (0 until 12).map(j =>
+        if (((i >> j) & 1) == 1) 1f else -1f).toArray)
+    }.toDF("vec_id", "embedding")
+    def maxPop(bits: Int): Long = vecs
+      .groupBy(Similarity.signBucket(col("embedding"), bits).as("cell"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).as[Long].head()
+    assert(maxPop(4) == 32 && maxPop(8) == 2,
+      "cell granularity must follow bits")
+    // the auto default picks 5 bits for n=512 (2^5 = 32 >= sqrt(512))
+    assert(Similarity.semDedupAutoBits(512) == 5 && maxPop(5) == 16)
   }
 
   test("incrementalCandidates: new-vs-corpus and new-vs-new found, corpus pairs excluded") {

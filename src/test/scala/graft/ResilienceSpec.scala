@@ -136,6 +136,23 @@ class ResilienceSpec extends AnyFunSuite {
     assert(cp2.committedStages() == Seq("07_sig_index", "08_keep_list"))
   }
 
+  test("q82 searches a PRE-BUILT signature index stage; a second run reuses it") {
+    // the incremental-dedup query must measure O(|new|) work: its
+    // corpus signature index is a Checkpoints stage keyed to the
+    // corpus, built on first touch and reloaded (never re-signed) after
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$d/documents.parquet").exists())
+    val manifest = java.nio.file.Paths.get(
+      s"${SparkEntry.stageCacheDir(d)}/q82_sig_index/_MANIFEST")
+    val n1 = SparkEntry.queries("q82_incremental_dedup")(spark, d).count()
+    assert(java.nio.file.Files.exists(manifest), "index stage not committed")
+    val t1 = java.nio.file.Files.getLastModifiedTime(manifest)
+    val n2 = SparkEntry.queries("q82_incremental_dedup")(spark, d).count()
+    assert(java.nio.file.Files.getLastModifiedTime(manifest) == t1,
+      "second run must reuse the committed index stage, not rebuild it")
+    assert(n1 == n2)
+  }
+
   test("partial stage (no manifest) is recomputed on resume") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
     val cp = new Checkpoints(spark, dir)
