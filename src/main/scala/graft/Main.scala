@@ -116,11 +116,14 @@ object Main {
       val c = if (canon != null) canon
         else spark.read.parquet(s"$outDir/stages/03_closure")
       val triples = cp.runStage("04_triples") {
-        m.join(c.withColumnRenamed("src", "target"), Seq("target"), "left_outer")
+        // skew-controlled linking join: MG-sketch hot keys -> selective
+        // salting (Triples.linkCanonical) — identical rows to the plain
+        // left-outer join, but no reducer pins on a ubiquitous surface
+        Triples.linkCanonical(m, c)
           .select(
             col("uri").as("subj"),
             lit("http://graft.dev/ontology#mentions").as("pred"),
-            coalesce(col("root"), col("target")).as("obj"),
+            col("obj"),
             col("sha256"),
             // partition columns of the north rule: lang + repo prefix
             regexp_extract(col("uri"), "graft\\.dev/([^/]+)/", 1).as("lang"),

@@ -186,6 +186,25 @@ object Dedup {
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"m$i").cast("string")): _*).as("sig"))
 
+  /**
+   * Map-side FAST signature from a pre-computed shingle-array column —
+   * the SAME xxhash64 family and values as [[minhashSignaturesFast]]
+   * (min over shingles of xxhash64(i, s), stringified), but computed as
+   * per-row `array_min(transform(...))` with no explode and no
+   * aggregation: usable where a groupBy is unavailable or undesirable
+   * (streaming micro-batches sign each arriving doc in-projection —
+   * EventStream.incrementalDedupStream(fast = true)). Takes the SHINGLE
+   * column, not the text, so the caller materializes shingles once in a
+   * prior projection — Catalyst does not CSE through higher-order
+   * function lambdas, and inlining [[wordShingles]] here would
+   * re-tokenize the text once per hash function (16x).
+   */
+  def fastSigFromShingles(shingles: Column,
+      numHashes: Int = MinhashFunctions): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))
+        .cast("string")): _*)
+
   /** Shared LSH banding + bucket join + match-fraction estimate over a
     * (doc_id, sig: array<string>) relation. */
   private def lshCandidatesFromSigs(sigsIn: DataFrame, numHashes: Int,

@@ -84,14 +84,25 @@ object Similarity {
    * (n/65k per bucket); `bands` buys back the recall that finer
    * buckets cost — at cos≥0.95 duplicates, 16 bits x 8 bands gives
    * ~0.97 candidate recall (asserted against planted clusters in
-   * PipelineSpec). Requires bits*bands <= dim (64 here).
+   * PipelineSpec). Requires bits*bands <= dim (64 here) — ENFORCED
+   * per row: a slice past the embedding length would yield a short or
+   * empty sign pattern, silently collapsing every vector into one
+   * bucket for the out-of-range band (an O(n²) join of meaningless
+   * candidates), so the key expression asserts the dimension instead.
+   * The `assert_true` rides inside the `concat_ws`, which skips its
+   * NULL (= passed) result — zero change to the key bytes.
    */
-  def signBandKeys(emb: Column, bits: Int, bands: Int): Column =
+  def signBandKeys(emb: Column, bits: Int, bands: Int): Column = {
+    require(bits > 0 && bands > 0, s"signBandKeys: bits=$bits bands=$bands must be positive")
+    val dimOk = assert_true(size(emb) >= bits * bands,
+      concat(lit(s"signBandKeys: bits*bands = ${bits * bands} exceeds embedding dim "),
+        size(emb).cast("string")))
     array((0 until bands).map { b =>
       concat_ws("|", lit(b.toString),
         array_join(transform(slice(emb, b * bits + 1, bits),
-          v => when(v >= 0, lit("1")).otherwise(lit("0"))), ""))
+          v => when(v >= 0, lit("1")).otherwise(lit("0"))), ""), dimOk)
     }: _*)
+  }
 
   /**
    * Candidate pairs from the banded sign-LSH: distinct (id_a, id_b)

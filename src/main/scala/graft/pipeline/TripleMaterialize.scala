@@ -51,6 +51,25 @@ object TripleMaterialize {
       .parquet(outDir)
 
   /**
+   * Bucketed + sorted triple snapshot — the J4 pre-sorted-merge-join
+   * story applied at the OUTPUT end (the reference pre-sorts its own
+   * outputs so a later script can merge-join them without a sort,
+   * ner-corpus/01_…pig:31-32): the written table is bucketed AND
+   * sorted by `subj`, so every downstream subj-equi-join (entity
+   * enrichment, triple⋈triple path expansion, re-linking) runs
+   * zero-Exchange on read-back — at 100 TB that deletes the single
+   * biggest shuffle a consumer would otherwise pay, once, at write
+   * time. Bucketing needs the table catalog (`saveAsTable`); on a
+   * cluster this is the Iceberg `bucket(buckets, subj)` partition
+   * transform with sorted write, identical read-side plan.
+   */
+  def writeBucketed(triples: DataFrame, table: String, buckets: Int = 8): Unit =
+    triples.write.mode("overwrite")
+      .bucketBy(buckets, "subj").sortBy("subj")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /**
    * NT-line text sink with suffix-inferred compression — the
    * AbstractNTriplesStorer.java:54-61 contract: an output path ending
    * `.gz`/`.bz2` selects the codec; an explicit `codec` argument (the

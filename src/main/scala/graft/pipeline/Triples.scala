@@ -48,6 +48,41 @@ object Triples {
       .distinct()
   }
 
+  /**
+   * The PRODUCTION mentions⋈canon linking join with explicit skew
+   * control (north rule: "salted repartition joins for skewed
+   * popular-entity linking") — the composition Main's 04_triples stage
+   * runs: one Misra-Gries sketch pass over the mention targets finds
+   * the ubiquitous surface forms (a single aggregation returning ≤
+   * `sketchK` strings — never a corpus-wide groupBy of all keys), and
+   * exactly those keys are spread over `salts` tasks via
+   * [[Skew.saltedJoinHotKeys]]; the cold majority joins plainly.
+   * Result is IDENTICAL to the plain left-outer join (ResilienceSpec
+   * asserts it); sketch false positives only salt a cold key — a few
+   * extra replicated rows, never a wrong row.
+   *
+   * When `canon` is broadcast-small, AQE broadcasts both branches and
+   * salting is a no-op by construction; the hot-key path is what keeps
+   * this stage alive once the canonical-entity table outgrows the
+   * broadcast threshold (billions of entities at 10^12-file scale,
+   * where one ubiquitous surface form would otherwise pin one reducer).
+   *
+   * Input: mentions with at least (uri, target, ...), canon (src, root).
+   * Output: every mention column plus `obj` = canonicalized target.
+   */
+  def linkCanonical(mentions: DataFrame, canon: DataFrame, salts: Int = 8,
+      sketchK: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions.udaf
+    val mg = udaf(new graft.functions.Aggregators.MisraGries(sketchK))
+    val hot = mentions.filter(col("target").isNotNull)
+      .agg(mg(col("target"))).head().getSeq[String](0)
+    Skew.saltedJoinHotKeys(
+        mentions, canon.withColumnRenamed("src", "target"), "target",
+        hot, salts, saltSource = col("uri"), joinType = "left_outer")
+      .withColumn("obj", coalesce(col("root"), col("target")))
+      .drop("root")
+  }
+
   /** Precision/recall of a got-vs-want triple set (the north rule's
     * P/R>=0.95 criterion, computed distributed — no driver collect). */
   def precisionRecall(got: DataFrame, want: DataFrame): (Double, Double) = {

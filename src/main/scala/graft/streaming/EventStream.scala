@@ -124,12 +124,26 @@ object EventStream {
   /**
    * Streaming incremental dedup — the continuous-crawl twin of
    * `Dedup.incrementalCandidates` (q82): each arriving document is
-   * signed in the micro-batch (one-pass codegen signature, map-side)
-   * and band-joined against the STATIC corpus signature index (the
-   * table Main's dedup stage checkpoints). Stream-static joins keep no
+   * signed in the micro-batch (map-side, in-projection) and band-joined
+   * against the STATIC banded index. Stream-static joins keep no
    * state for the static side — the index rides as a regular build
    * side (broadcast when small, shuffled otherwise), so this scales
    * exactly like the batch search, per micro-batch.
+   *
+   * `bandedIndex` is the pre-exploded (doc_id, sig, bucket) view of the
+   * corpus signature table — build it once with [[bandedIndex]] over
+   * the checkpointed (doc_id, sig) stage and snapshot it (a raw
+   * signature table is NOT accepted here: exploding band keys per
+   * micro-batch would redo the same corpus-wide work every trigger).
+   *
+   * `fast` selects the signature FAMILY for the arriving docs and MUST
+   * match how the index was signed — the same contract as
+   * `Dedup.incrementalCandidates`: false = md5 one-pass codegen
+   * signatures (`minhash_sig`, cross-engine-reproducible), true =
+   * xxhash64 (`Dedup.fastSigFromShingles`, value-identical to
+   * `minhashSignaturesFast` — the family Main's 07_sig_index stage
+   * writes). Mixing families makes every bucket key miss — zero
+   * candidates, silently.
    *
    * Output stream: (doc_id, dup_of, est_jaccard, ts) — one row per
    * (new doc, matching corpus doc) candidate. The multi-band pair
@@ -138,16 +152,26 @@ object EventStream {
    * without the event-time key never evicts — the round-1 dedupStream
    * lesson).
    */
-  def incrementalDedupStream(docs: DataFrame, corpusSigs: DataFrame,
-      numHashes: Int = 16, bands: Int = 4, tsCol: String = "ts"): DataFrame = {
+  def incrementalDedupStream(docs: DataFrame, bandedIndex: DataFrame,
+      numHashes: Int = 16, bands: Int = 4, tsCol: String = "ts",
+      fast: Boolean = false): DataFrame = {
     val rows = numHashes / bands
-    val newKeyed = docs
+    val marked = docs
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
       .withWatermark(tsCol, "10 minutes")
-      .withColumn("sig", graft.functions.GraftFunctions.minhash_sig(col("text")))
+    val signed =
+      if (fast) marked
+        // shingles materialized once, then the 16 per-row minima read
+        // them (Catalyst does not CSE through HOF lambdas)
+        .withColumn("_shingles", graft.pipeline.Dedup.wordShingles(col("text"), 3))
+        .withColumn("sig",
+          graft.pipeline.Dedup.fastSigFromShingles(col("_shingles"), numHashes))
+      else marked
+        .withColumn("sig", graft.functions.GraftFunctions.minhash_sig(col("text")))
+    val newKeyed = signed
       .select(col("doc_id"), col("sig"), col(tsCol),
         explode(graft.pipeline.Dedup.lshBandKeys(col("sig"), bands, rows)).as("bucket"))
-    val idx = corpusSigs.select(col("bucket"),
+    val idx = bandedIndex.select(col("bucket"),
       col("doc_id").as("dup_of"), col("sig").as("sig_b"))
     newKeyed.join(idx, Seq("bucket"))
       .filter(col("doc_id") =!= col("dup_of"))

@@ -808,6 +808,36 @@ class PipelineSpec extends AnyFunSuite {
       "md5 increment against an xxhash64 index cannot legitimately match")
   }
 
+  test("fastSigFromShingles equals minhashSignaturesFast byte-exact (streaming family)") {
+    val docs = Seq(
+      (1L, (1 to 25).map(k => s"tok$k").mkString(" ")),
+      (2L, "short"), (3L, "two words"), (4L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val agg = Dedup.minhashSignaturesFast(docs)
+      .as[(Long, Seq[String])].collect().toMap
+    val mapSide = docs
+      .withColumn("_sh", Dedup.wordShingles(col("text"), 3))
+      .select(col("doc_id"), Dedup.fastSigFromShingles(col("_sh")).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(mapSide == agg)
+    assert(agg.values.forall(_.size == 16))
+  }
+
+  test("signBandKeys enforces bits*bands <= dim (out-of-range band would collapse buckets)") {
+    val vecs = Seq((1L, Array.fill(8)(1f))).toDF("vec_id", "embedding")
+    // boundary OK: 4 bits x 2 bands = 8 = dim
+    assert(vecs.select(explode(Similarity.signBandKeys(col("embedding"), 4, 2)))
+      .count() == 2)
+    // past the dim: the key expression must FAIL, not degrade to one bucket
+    val ex = intercept[Exception] {
+      vecs.select(explode(Similarity.signBandKeys(col("embedding"), 8, 2))).collect()
+    }
+    assert(ex.getMessage != null)
+    intercept[IllegalArgumentException] {
+      Similarity.signBandKeys(col("embedding"), 0, 4)
+    }
+  }
+
   test("incremental dedup over two batches equals the one-shot full-corpus search") {
     // day-1 index + day-2 increment must surface EXACTLY the pairs the
     // full-corpus batch search finds (as unordered id pairs)

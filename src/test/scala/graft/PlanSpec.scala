@@ -101,6 +101,37 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("bucketed triple output self-joins on subj with zero Exchange (K-side J4)") {
+    // TripleMaterialize.writeBucketed: the written table itself carries
+    // the co-location, so a consumer's subj-join needs no shuffle
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS b_triples")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val d = new java.io.File(wh, "b_triples")
+    if (d.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(d)
+    }
+    val triples = (1 to 500).map(i =>
+      (s"s${i % 50}", "mentions", s"o$i")).toDF("subj", "pred", "obj")
+    graft.pipeline.TripleMaterialize.writeBucketed(triples, "b_triples")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val t = spark.table("b_triples")
+      val joined = t.as("a").join(t.as("b"), col("a.subj") === col("b.subj"))
+        .select(col("a.subj"), col("a.obj"), col("b.obj"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed triple self-join should not shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("q57 redaction scan reads only doc_id and text (pruning)") {
     val p = plan("q57_redact")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -61,6 +61,29 @@ class ResilienceSpec extends AnyFunSuite {
     assert(plain.exists(_.contains("3")), "null-key row missing from reference")
   }
 
+  test("production linking join (MG sketch -> selective salting) equals the plain left-outer join") {
+    // Main's 04_triples shape: skewed mention targets (one ubiquitous
+    // surface form), canon covering some targets, unresolved kept as-is
+    val mentions = (1 to 3000).map { i =>
+      val t = if (i % 2 == 0) "hot_entity" else s"ent_${i % 37}"
+      (s"uri_$i", t, s"sha_$i")
+    }.toDF("uri", "target", "sha256")
+    val canon = Seq(("hot_entity", "HOT_ROOT"), ("ent_1", "R1"), ("ent_5", "R5"))
+      .toDF("src", "root")
+    val plain = mentions
+      .join(canon.withColumnRenamed("src", "target"), Seq("target"), "left_outer")
+      .select(col("uri"), col("target"), col("sha256"),
+        coalesce(col("root"), col("target")).as("obj"))
+      .collect().map(_.toString).sorted.toSeq
+    val salted = graft.pipeline.Triples.linkCanonical(mentions, canon)
+      .select(col("uri"), col("target"), col("sha256"), col("obj"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain && plain.size == 3000)
+    // the hot key resolved through canon; unresolved targets kept as-is
+    assert(salted.exists(_.contains("HOT_ROOT")))
+    assert(salted.exists(_.contains("ent_2")))
+  }
+
   test("salted two-phase count equals plain groupBy count") {
     val df = (1 to 5000).map(i => (i.toLong, if (i % 2 == 0) "hot" else s"k${i % 7}"))
       .toDF("id", "key")

@@ -201,6 +201,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup fast=true matches a FAST (xxhash64) index; md5 misses it") {
+    // the index family Main's 07_sig_index stage writes — the stream
+    // side must sign with the matching family or every bucket misses
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, base + " a"),
+      (3L, "entirely different text here")).toDF("doc_id", "text")
+    val fastIdx = EventStream.bandedIndex(
+      graft.pipeline.Dedup.minhashSignaturesFast(corpus))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def run(fast: Boolean, sink: String): Set[(Long, Long)] = {
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+      in.addData((10L, base + " az", t0))
+      val q = EventStream.incrementalDedupStream(
+          in.toDF.toDF("doc_id", "text", "ts"), fastIdx, fast = fast)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try {
+        q.processAllAvailable()
+        spark.table(sink).select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+    val hit = run(fast = true, "incfast_out")
+    assert(hit == Set((10L, 1L)), s"fast-family stream missed the planted pair: $hit")
+    // family mismatch = silent zero candidates — the documented hazard
+    assert(run(fast = false, "incmixed_out").isEmpty,
+      "md5 stream against an xxhash64 index cannot legitimately match")
+  }
+
   test("stream-stream interval join equals the batch range join (q63)") {
     val sfDir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._
