@@ -1,0 +1,223 @@
+package graft.io
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Splittable raw-dump page reader as a DataSource V2 — the Spark-first
+ * re-realization of the reference's byte-split ingestion
+ * (format/WikipediaPageInputFormat.java:24-186): a multi-gigabyte
+ * `<title>…</title> … <text xml:space="preserve">…</text>` dump is
+ * read in PARALLEL byte ranges, each range scanning forward to the
+ * first record that BEGINS inside it, so a single file fans out to
+ * thousands of tasks without a pre-split step.
+ *
+ * Split-ownership contract (exactly-once): a record belongs to the
+ * range containing the FIRST byte of its `<title>` marker. A reader
+ * seeks to its range start and scans byte-wise — a marker straddling
+ * the range start cannot match (its head bytes were consumed by the
+ * previous reader's scan), and a record whose marker begins past the
+ * range end is left to the next reader; record BODIES may extend past
+ * the range end and are read to completion by their owner. (The
+ * reference instead begins a fresh title SEARCH whenever the previous
+ * record ended before the split end — readUntilMatch at :77-104 can
+ * then claim a record that begins arbitrarily far into the next split,
+ * which that split's reader claims again; a dense dump masks it. This
+ * re-realization fixes the double-read rather than replicating it.)
+ *
+ * Content is XML-unescaped exactly as the reference does
+ * (StringEscapeUtils.unescapeXml, :92-96 — entity + numeric forms).
+ *
+ * Usage (opt-in by format name; the north-rule pipelines read tables):
+ *   spark.read.format("graft-wikidump")          // or the FQCN
+ *     .option("splitBytes", 64 << 20).load("/dumps/enwiki.xml")
+ * Schema: (title string, content string). The short name registers via
+ * META-INF/services on a spark-submit classpath; under sbt's layered
+ * test classloader ServiceLoader may not surface it — use
+ * classOf[WikiPageSource].getName there (as the spec does).
+ *
+ * Local files here; on a cluster the identical plan reads any Hadoop
+ * FileSystem — the DSv2 Batch/InputPartition surface is the same.
+ */
+class WikiPageSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-wikidump"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WikiPageSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = opts.get("path")
+    require(path != null && path.nonEmpty, "graft-wikidump requires a path")
+    val split = Option(opts.get("splitbytes")).map(_.toLong)
+      .getOrElse(WikiPageSource.DefaultSplitBytes)
+    new WikiPageTable(path, split)
+  }
+}
+
+object WikiPageSource {
+  val schema: StructType = StructType(Seq(
+    StructField("title", StringType, nullable = false),
+    StructField("content", StringType, nullable = false)))
+  val DefaultSplitBytes: Long = 64L * 1024 * 1024
+
+  private[io] val StartTitle = "<title>".getBytes("UTF-8")
+  private[io] val EndTitle = "</title>".getBytes("UTF-8")
+  private[io] val StartText = "<text xml:space=\"preserve\">".getBytes("UTF-8")
+  private[io] val EndText = "</text>".getBytes("UTF-8")
+
+  /** Minimal XML entity unescape (named + decimal/hex numeric) — the
+    * unescapeXml contract of the reference reader (:92-96). Unknown
+    * entities pass through verbatim, as StringEscapeUtils does. */
+  def unescapeXml(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val rep: String =
+          if (semi > i && semi - i <= 10) {
+            val ent = s.substring(i + 1, semi)
+            ent match {
+              case "lt" => "<"
+              case "gt" => ">"
+              case "amp" => "&"
+              case "quot" => "\""
+              case "apos" => "'"
+              case e if e.length > 2 && (e.charAt(0) == '#') &&
+                  (e.charAt(1) == 'x' || e.charAt(1) == 'X') =>
+                try new String(Character.toChars(Integer.parseInt(e.substring(2), 16)))
+                catch { case _: Exception => null }
+              case e if e.length > 1 && e.charAt(0) == '#' =>
+                try new String(Character.toChars(Integer.parseInt(e.substring(1))))
+                catch { case _: Exception => null }
+              case _ => null
+            }
+          } else null
+        if (rep != null) { sb.append(rep); i = semi + 1 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}
+
+private final class WikiPageTable(path: String, splitBytes: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-wikidump($path)"
+  override def schema(): StructType = WikiPageSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new WikiPageScan(path, splitBytes)
+    }
+}
+
+/** One byte range of one file; records beginning inside it belong to it. */
+private final case class PageRange(path: String, start: Long, end: Long)
+  extends InputPartition
+
+private final class WikiPageScan(path: String, splitBytes: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType = WikiPageSource.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-wikidump $path (splitBytes=$splitBytes)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val root = new java.io.File(path)
+    val files =
+      if (root.isDirectory)
+        root.listFiles().filter(_.isFile).sortBy(_.getName).toSeq
+      else Seq(root)
+    files.flatMap { f =>
+      val len = f.length()
+      val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
+      (0L until n).map(i =>
+        PageRange(f.getPath, i * splitBytes, math.min((i + 1) * splitBytes, len)))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val r = p.asInstanceOf[PageRange]
+        new WikiPageReader(r.path, r.start, r.end)
+      }
+    }
+}
+
+/**
+ * Byte-range page reader: buffered single-pass scan with the same
+ * single-char-restart marker automaton as the reference's
+ * readUntilMatch (:129-155) — sufficient for '<'-led markers. Tracks
+ * the absolute offset so the ownership test (marker first byte < range
+ * end) is exact; the body read past the range end is unbounded-buffered
+ * exactly like the reference's DataOutputBuffer.
+ */
+private final class WikiPageReader(path: String, rangeStart: Long, rangeEnd: Long)
+    extends PartitionReader[InternalRow] {
+  import WikiPageSource._
+
+  private val in: java.io.InputStream = {
+    val f = new java.io.FileInputStream(path)
+    f.getChannel.position(rangeStart)
+    new java.io.BufferedInputStream(f, 1 << 16)
+  }
+  private var pos: Long = rangeStart
+  private var row: InternalRow = _
+
+  /** Scan to the end of `marker`; optionally capture bytes read
+    * (marker excluded). Returns false at EOF. On success `pos` sits
+    * just past the marker (marker start = pos - marker.length). */
+  private def readUntilMatch(marker: Array[Byte],
+      capture: java.io.ByteArrayOutputStream): Boolean = {
+    var i = 0
+    while (true) {
+      val b = in.read()
+      if (b == -1) return false
+      pos += 1
+      if (capture != null) capture.write(b)
+      if (b == marker(i)) {
+        i += 1
+        if (i >= marker.length) {
+          if (capture != null) {
+            val data = capture.toByteArray
+            capture.reset()
+            capture.write(data, 0, data.length - marker.length)
+          }
+          return true
+        }
+      } else i = if (b == marker(0)) 1 else 0
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    if (!readUntilMatch(StartTitle, null)) return false
+    // ownership: the marker's first byte must lie inside this range
+    if (pos - StartTitle.length >= rangeEnd) return false
+    val buf = new java.io.ByteArrayOutputStream(4096)
+    if (!readUntilMatch(EndTitle, buf)) return false
+    val title = new String(buf.toByteArray, "UTF-8")
+    buf.reset()
+    if (!readUntilMatch(StartText, null)) return false
+    if (!readUntilMatch(EndText, buf)) return false
+    val content = unescapeXml(new String(buf.toByteArray, "UTF-8"))
+    row = new GenericInternalRow(Array[Any](
+      UTF8String.fromString(title), UTF8String.fromString(content)))
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
