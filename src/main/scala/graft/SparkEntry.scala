@@ -880,6 +880,24 @@ object SparkEntry {
           round(col("prior"), 6).as("prior_r6"), col("rank"))
     }),
 
+    "q85_disambiguation" -> ((s, d) => {
+      // the ne-disambiguation DECISION (NerCorpus.disambiguate):
+      // commonness count x window-context agreement, integer-scored
+      // argmax per mention — the capstone the q39 contexts and q79
+      // prior exist for. Ambiguity synthesized as in q79 (3 candidate
+      // entities per surface, target varies by (doc_id + pos + 1) % 3)
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+        .withColumn("w", (col("pos") / 10).cast("int"))
+      val mentions = tok.filter(isDictSurface(col("token")))
+        .join(broadcast(dictDf(s)), col("token") === col("surface"))
+        .select(col("doc_id"), col("w"), col("surface"),
+          concat(col("entity"), lit("_v"),
+            (col("doc_id") + col("pos") + 1) % 3).as("entity"))
+      NerCorpus.disambiguate(mentions,
+        tok.select(col("doc_id"), col("w"), col("token")))
+    }),
+
     "q80_unigram_logprob" -> ((s, d) =>
       // unigram-LM quality score (CCNet perplexity-filter shape):
       // mean ln P(token) under the corpus's own unigram LM
@@ -1744,6 +1762,41 @@ object SparkEntry {
          | round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY surface), 6) AS prior_r6,
          | row_number() OVER (PARTITION BY surface ORDER BY n DESC, entity ASC) AS rank
          |FROM c""".stripMargin,
+
+    "q85_disambiguation" ->
+      s"""WITH $tokenPosSql,
+         |wt AS (SELECT DISTINCT doc_id, CAST((i - 1) // 10 AS INT) AS w,
+         |        surface AS token FROM tok),
+         |ma AS (
+         | SELECT t.doc_id, CAST((t.i - 1) // 10 AS INT) AS w, t.surface,
+         |  d.entity || '_v' || CAST((t.doc_id + t.i) % 3 AS VARCHAR) AS entity
+         | FROM tok t JOIN (VALUES $dictSqlValues) d(surface, entity, etype)
+         |   ON t.surface = d.surface),
+         |cnt AS (SELECT surface, entity, count(*) AS n_se FROM ma GROUP BY 1, 2),
+         |prof AS (
+         | SELECT DISTINCT mw.entity, wt.token
+         | FROM (SELECT DISTINCT doc_id, w, entity FROM ma) mw
+         | JOIN wt ON mw.doc_id = wt.doc_id AND mw.w = wt.w),
+         |cand AS (
+         | SELECT mm.doc_id, mm.w, mm.surface, c.entity, c.n_se
+         | FROM (SELECT DISTINCT doc_id, w, surface FROM ma) mm
+         | JOIN cnt c ON mm.surface = c.surface),
+         |ov AS (
+         | SELECT c.doc_id, c.w, c.surface, c.entity,
+         |  count(DISTINCT wt.token) AS n_overlap
+         | FROM cand c
+         | JOIN wt ON c.doc_id = wt.doc_id AND c.w = wt.w
+         | JOIN prof p ON p.entity = c.entity AND p.token = wt.token
+         | GROUP BY 1, 2, 3, 4),
+         |sc AS (
+         | SELECT c.doc_id, c.w, c.surface, c.entity,
+         |  c.n_se * coalesce(o.n_overlap, 0) AS score
+         | FROM cand c LEFT JOIN ov o
+         |   ON c.doc_id = o.doc_id AND c.w = o.w
+         |  AND c.surface = o.surface AND c.entity = o.entity)
+         |SELECT doc_id, w, surface, entity, score FROM (
+         | SELECT sc.*, row_number() OVER (PARTITION BY doc_id, w, surface
+         |   ORDER BY score DESC, entity ASC) AS rk FROM sc) WHERE rk = 1""".stripMargin,
 
     "q80_unigram_logprob" ->
       """WITH tok AS (

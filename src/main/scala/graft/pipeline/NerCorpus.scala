@@ -143,6 +143,69 @@ object NerCorpus {
       .withColumn("rank", row_number().over(order))
   }
 
+  /**
+   * Most-likely entity per mention — the ne-disambiguation DECISION the
+   * reference's corpora exist to train (examples/ne-disambiguation-corpus
+   * builds per-entity context documents; the runtime decision combines
+   * the popularity prior with context agreement). Deterministic,
+   * model-free scoring: a mention of `surface` in window (doc, w)
+   * scores every candidate entity e ever labeled for that surface as
+   *
+   *   score(e) = n(surface, e) * |W(doc, w) ∩ profile(e)|
+   *
+   * where n(surface, e) is the commonness COUNT (the integer numerator
+   * of [[commonnessPrior]] — argmax of prior*overlap equals argmax of
+   * n*overlap since the prior denominator is constant per surface, and
+   * integer scoring makes the ranking engine-exact, no float ties),
+   * W(doc, w) the window's distinct tokens, and profile(e) the distinct
+   * tokens of every window with a labeled mention of e. Winner = max
+   * score, ties to the lexicographically-first entity.
+   *
+   * Scale shape: `counts` and `profile` are VOCABULARY-sized (entities
+   * x distinct tokens — orders below the mention corpus), so both ride
+   * broadcast hash joins under AQE against the corpus-sized window
+   * relations; the only corpus-scale shuffles are the distincts on
+   * (doc, window, token/surface) id rows.
+   *
+   * Input: labeled mentions (doc_id, w, surface, entity) — one row per
+   * OCCURRENCE — and window tokens (doc_id, w, token). Output: one row
+   * per distinct (doc_id, w, surface): the winning entity with its
+   * integer score.
+   */
+  def disambiguate(mentions: DataFrame, winToks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val m = mentions.persist(lvl)
+    val wt = winToks.select(col("doc_id"), col("w"), col("token")).distinct()
+      .persist(lvl)
+    val counts = m.groupBy(col("surface"), col("entity"))
+      .agg(count(lit(1)).as("n_se"))
+    val profile = m.select(col("doc_id"), col("w"), col("entity")).distinct()
+      .join(wt, Seq("doc_id", "w"))
+      .select(col("entity"), col("token")).distinct()
+    // candidate set per mention = every entity observed with its surface
+    val cands = m.select(col("doc_id"), col("w"), col("surface")).distinct()
+      .join(counts, Seq("surface"))
+    val ov = cands
+      .join(wt, Seq("doc_id", "w"))
+      .join(profile, Seq("entity", "token"))
+      .groupBy(col("doc_id"), col("w"), col("surface"), col("entity"))
+      .agg(countDistinct(col("token")).as("n_overlap"))
+    // zero-overlap candidates dropped by the inner chain: restore them
+    val scored = cands
+      .join(ov, Seq("doc_id", "w", "surface", "entity"), "left_outer")
+      .withColumn("score", col("n_se") * coalesce(col("n_overlap"), lit(0L)))
+    val order = Window.partitionBy(col("doc_id"), col("w"), col("surface"))
+      .orderBy(col("score").desc, col("entity").asc)
+    val out = scored.withColumn("rk", row_number().over(order))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("w"), col("surface"), col("entity"), col("score"))
+      .localCheckpoint(true)
+    m.unpersist(false)
+    wt.unpersist(false)
+    out
+  }
+
   /** Full chain over a corpus + NT-file side inputs. Alias edges come
     * from a pushed-down content-prefix scan (exactly the parser's
     * anchored AliasRe), the mention branch runs as one fused

@@ -892,6 +892,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("disambiguate: prior x context-overlap argmax, deterministic tie-break") {
+    // surface s: entity A labeled in d1w0/d1w1, B in d2w0/d3w0 (counts
+    // tie at 2) -> the CONTEXT decides; surface u: full tie -> lexical
+    val winToks = Seq(
+      (1L, 0, "a1"), (1L, 0, "a2"), (1L, 0, "s"),
+      (1L, 1, "a1"), (1L, 1, "a3"), (1L, 1, "s"),
+      (2L, 0, "b1"), (2L, 0, "b2"), (2L, 0, "s"),
+      (3L, 0, "b1"), (3L, 0, "b2"), (3L, 0, "b3"), (3L, 0, "s"),
+      (5L, 0, "u"), (5L, 0, "c1"),
+      (6L, 0, "u"), (6L, 0, "c1")).toDF("doc_id", "w", "token")
+    val mentions = Seq(
+      (1L, 0, "s", "A"), (1L, 1, "s", "A"),
+      (2L, 0, "s", "B"), (3L, 0, "s", "B"),
+      (5L, 0, "u", "X"), (6L, 0, "u", "Y")).toDF("doc_id", "w", "surface", "entity")
+    val got = NerCorpus.disambiguate(mentions, winToks)
+      .as[(Long, Int, String, String, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> (r._4, r._5)).toMap
+    // profiles: A = {a1,a2,a3,s}, B = {b1,b2,b3,s}; n(s,A)=n(s,B)=2
+    assert(got((1L, 0, "s")) == ("A", 6L)) // 2 * |{a1,a2,s}|
+    assert(got((1L, 1, "s")) == ("A", 6L))
+    assert(got((2L, 0, "s")) == ("B", 6L)) // context beats the count tie
+    assert(got((3L, 0, "s")) == ("B", 8L)) // 2 * |{b1,b2,b3,s}|
+    // u: X and Y tie exactly (1 * 2 each) -> lexicographically-first X
+    assert(got((5L, 0, "u")) == ("X", 2L))
+    assert(got((6L, 0, "u")) == ("X", 2L))
+    assert(got.size == 6)
+  }
+
   test("commonnessPrior: per-surface distribution sums to 1, rank by count then name") {
     val se = Seq(("a", "E1"), ("a", "E1"), ("a", "E2"), ("b", "E3"))
       .toDF("surface", "entity")
