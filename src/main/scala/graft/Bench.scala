@@ -189,7 +189,9 @@ object Bench {
       val srcTag = (if (srcDir.isDirectory)
         Option(srcDir.listFiles()).map(_.map(_.lastModified).max).getOrElse(0L)
         else srcDir.lastModified).toHexString
-      val dir10 = s"/tmp/graft-sf1-$srcTag"
+      // v-tag: bump when the copy-derivation scheme changes, or a
+      // cached corpus from an older scheme would silently survive
+      val dir10 = s"/tmp/graft-sf1-v1-$srcTag"
       if (!new java.io.File(s"$dir10/documents.parquet/_SUCCESS").exists()) {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         val n = docs.count()

@@ -72,6 +72,22 @@ object WikiPageSource {
   private[io] val StartText = "<text xml:space=\"preserve\">".getBytes("UTF-8")
   private[io] val EndText = "</text>".getBytes("UTF-8")
 
+  /** Drain one byte range directly (no Spark) — the test/diagnostic
+    * surface behind the ScalaCheck exactly-once property (a property
+    * trial per Spark job would be seconds each; the reader itself is
+    * plain IO). */
+  private[graft] def readRange(path: String, start: Long, end: Long): Vector[(String, String)] = {
+    val r = new WikiPageReader(path, start, end)
+    try {
+      val buf = Vector.newBuilder[(String, String)]
+      while (r.next()) {
+        val row = r.get()
+        buf += ((row.getUTF8String(0).toString, row.getUTF8String(1).toString))
+      }
+      buf.result()
+    } finally r.close()
+  }
+
   /** Minimal XML entity unescape (named + decimal/hex numeric) — the
     * unescapeXml contract of the reference reader (:92-96). Unknown
     * entities pass through verbatim, as StringEscapeUtils does. */

@@ -146,3 +146,46 @@ object ParserProperties extends Properties("graft.parser") {
       .mentions.forall(!_.value.contains(':'))
   }
 }
+
+/** Exactly-once split ownership of the raw-dump DSv2 reader, over
+  * random corpora and ARBITRARY split sizes (every boundary position:
+  * mid-marker, mid-title, mid-body, between pages) — driven through
+  * the reader class directly, no Spark job per trial. */
+object DumpReaderProperties extends Properties("graft.dumpreader") {
+  import graft.io.WikiPageSource
+
+  private val page: Gen[(String, String)] = for {
+    t <- Gen.chooseNum(0, 999).map(n => s"Title $n")
+    w <- Gen.chooseNum(0, 25)
+    b <- Gen.listOfN(w, Gen.chooseNum(0, 99).map(n => s"tok$n"))
+  } yield (t, b.mkString(" "))
+
+  private def writeDump(pages: Seq[(String, String)]): java.io.File = {
+    val sb = new StringBuilder("<dump>")
+    pages.foreach { case (t, c) =>
+      sb.append("<page><title>").append(t)
+        .append("</title><text xml:space=\"preserve\">").append(c)
+        .append("</text></page>")
+    }
+    sb.append("</dump>")
+    val f = java.io.File.createTempFile("graft-prop-dump", ".xml")
+    f.deleteOnExit()
+    java.nio.file.Files.writeString(f.toPath, sb.toString)
+    f
+  }
+
+  property("byte-range partition reads every page exactly once, any split size") =
+    forAll(Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, page)),
+        Gen.chooseNum(7L, 2048L)) { (pages, split) =>
+      val f = writeDump(pages)
+      try {
+        val len = f.length()
+        val ranges = (0L until math.max(1L, (len + split - 1) / split))
+          .map(i => (i * split, math.min((i + 1) * split, len)))
+        val got = ranges.flatMap { case (s, e) =>
+          WikiPageSource.readRange(f.getPath, s, e)
+        }
+        got.sorted == pages.sorted
+      } finally { f.delete(); () }
+    }
+}
