@@ -61,6 +61,42 @@ class WikiPageSourceSpec extends AnyFunSuite {
     assert(one == many && one.size == 300)
   }
 
+  test("raw dump -> reader -> full triple pipeline equals the table-input pipeline") {
+    // the S1 user journey end-to-end: serialize a synthetic code corpus
+    // as a dump (XML-escaped), read it back through the splittable
+    // reader in many byte ranges, rebuild CodeFile rows, run the SAME
+    // extraction pipeline — identical triples to the table path
+    import graft.core.CodeFile
+    import graft.fixtures.CorpusGen
+    def esc(s: String) =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val files = CorpusGen.generate(256).map(_.file)
+    val sb = new StringBuilder("<dump>")
+    files.foreach { f =>
+      sb.append("<page><title>")
+        .append(esc(s"${f.repo}|${f.path}|${f.commit}|${f.lang}"))
+        .append("</title><text xml:space=\"preserve\">")
+        .append(esc(f.content)).append("</text></page>")
+    }
+    sb.append("</dump>")
+    val dump = java.io.File.createTempFile("graft-e2e-dump", ".xml")
+    dump.deleteOnExit()
+    java.nio.file.Files.writeString(dump.toPath, sb.toString)
+    val fromDump = spark.read.format(classOf[graft.io.WikiPageSource].getName)
+      .option("splitBytes", 4096).load(dump.getPath)
+      .as[(String, String)].map { case (t, c) =>
+        val Array(repo, path, commit, lang) = t.split("\\|", 4)
+        CodeFile(repo, path, commit, lang, c)
+      }
+    val viaDump = graft.pipeline.Triples
+      .mentionTriples(fromDump, CorpusGen.dictionary)
+      .as[(String, String)].collect().toSet
+    val viaTable = graft.pipeline.Triples
+      .mentionTriples(spark.createDataset(files), CorpusGen.dictionary)
+      .as[(String, String)].collect().toSet
+    assert(viaDump == viaTable && viaTable.nonEmpty)
+  }
+
   test("unescapeXml: named, decimal, hex entities; unknown pass through") {
     assert(WikiPageSource.unescapeXml("a &lt;b&gt; &amp;&quot;&apos;") == "a <b> &\"'")
     assert(WikiPageSource.unescapeXml("&#65;&#x42;") == "AB")
