@@ -905,6 +905,14 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tok"),
           round(col("logprob"), 6).as("logprob_r6"))),
 
+    "q86_bigram_logprob" -> ((s, d) =>
+      // bigram-LM quality score (one order up the CCNet n-gram ladder
+      // from q80; TextAnalysis.bigramLogprob) — conditional
+      // P(w2|w1) under the corpus's own bigram LM
+      TextAnalysis.bigramLogprob(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("logprob"), 6).as("logprob_r6"))),
+
     "q83_quality_classifier" -> ((s, d) =>
       // fixed-weight logistic quality filter (fastText-filter stand-in;
       // a trained model is just a different weight vector) over the
@@ -1807,6 +1815,20 @@ object SparkEntry {
         | round(sum(ln(CAST(c AS DOUBLE) / (SELECT t FROM tot))) / count(*), 6)
         |   AS logprob_r6
         |FROM tok JOIN lm USING (tok)
+        |GROUP BY doc_id""".stripMargin,
+
+    "q86_bigram_logprob" ->
+      """WITH bg AS (
+        | SELECT doc_id, z[1] AS w1, z[2] AS w2
+        | FROM (SELECT doc_id,
+        |         unnest(list_zip(toks[1:length(toks)-1], toks[2:length(toks)])) AS z
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        | WHERE z[2] IS NOT NULL),
+        |lm AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c) AS DOUBLE) AS t FROM lm GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | round(sum(ln(CAST(c AS DOUBLE) / t)) / count(*), 6) AS logprob_r6
+        |FROM bg JOIN lm USING (w1, w2) JOIN ctx USING (w1)
         |GROUP BY doc_id""".stripMargin,
 
     "q83_quality_classifier" ->

@@ -161,6 +161,44 @@ object TextAnalysis {
   }
 
   /**
+   * Bigram language-model quality score — one order above
+   * [[unigramLogprob]] on the CCNet perplexity-filter ladder (their
+   * production filter is a 5-gram KenLM; the conditional-probability
+   * shape and the plan are identical at every order):
+   * mean ln P(w_t | w_{t-1}) under the corpus's own bigram LM, with
+   * P(w2|w1) = c(w1,w2) / c(w1,·) where c(w1,·) sums over bigram
+   * CONTEXTS (so every scored bigram is in the LM — smoothing-free by
+   * construction, like the unigram form).
+   *
+   * Scale shape: the bigram relation feeds both the LM build and the
+   * scoring join, so it is persisted once; the LM and its per-context
+   * totals are |observed bigrams|-sized (far below the corpus), and
+   * both aggregations combine map-side before their shuffles. Docs
+   * with fewer than 2 tokens have no bigrams and emit no row.
+   *
+   * Output: (doc_id, n_bigrams, logprob).
+   */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val toksOf = split(col("text"), " ")
+    val pairsCol = zip_with(
+      slice(toksOf, lit(1), size(toksOf) - 1),
+      slice(toksOf, lit(2), size(toksOf) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val pairs = docs.select(col("doc_id"), explode(pairsCol).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lm = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val ctx = lm.groupBy(col("w1")).agg(sum(col("c")).as("t"))
+    val out = pairs.join(lm, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(log(col("c").cast("double") / col("t"))) / count(lit(1))).as("logprob"))
+      .localCheckpoint(true)
+    pairs.unpersist(false)
+    out
+  }
+
+  /**
    * Entity co-occurrence PMI — the classic relation-extraction signal
    * a KG pipeline derives right after mention detection (which entity
    * pairs co-occur in documents more than chance): for each unordered

@@ -955,6 +955,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(got(1L)._2 - (math.log(0.75) + math.log(0.25)) / 2) < 1e-12)
   }
 
+  test("bigramLogprob: mean ln P(w2|w1) under the corpus's own bigram LM") {
+    // LM: c(a,b)=2, c(b,a)=1, c(a,c)=1; contexts: a·=3, b·=1
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogprob(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 == 3)
+    assert(math.abs(got(1L)._2 - (2 * math.log(2.0 / 3)) / 3) < 1e-12)
+    assert(got(2L) == ((1L, math.log(1.0 / 3))))
+    assert(!got.contains(3L), "single-token doc has no bigrams, no row")
+  }
+
   test("sourceStats: dup rate counts corpus-wide copies per source") {
     // "mirror" repeats a doc that also appears under "origin":
     // corpus-wide copies > 1 for both occurrences
