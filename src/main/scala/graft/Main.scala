@@ -133,6 +133,13 @@ object Main {
       triples.write.mode("overwrite")
         .partitionBy("lang", "repo_prefix")
         .parquet(s"$outDir/triples")
+      // opt-in consumer-side co-location (--bucket-triples true): the
+      // same triples also land bucketed+sorted by subj so downstream
+      // subj-joins run zero-Exchange (TripleMaterialize.writeBucketed;
+      // PlanSpec guards the read-back plan)
+      if (opts.get("bucket-triples").contains("true"))
+        TripleMaterialize.writeBucketed(
+          triples.select(col("subj"), col("pred"), col("obj")), "graft_triples_bucketed")
       println(s"[graft] triples: ${triples.count()}")
     }
     if (stages("priors")) {
