@@ -165,6 +165,21 @@ object SparkEntry {
        |  AND $simhashBandMatch
        | WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming)""".stripMargin
 
+  /** Shared q44/q53 oracle CTE: multi-band sign-LSH buckets with bits
+    * auto-derived from the corpus — restates
+    * Similarity.signLshAutoBits (ceil(log2(n/32)) clamped [4,16]). */
+  private val signLshBkCte: String =
+    """p AS (
+      | SELECT greatest(4, least(16,
+      |   CAST(ceil(ln(greatest(count(*), 1) / 32.0) / ln(2) - 1e-9) AS INT))) AS bits
+      | FROM embeddings),
+      |bk AS (
+      | SELECT vec_id, embedding,
+      |  b || '|' || array_to_string(
+      |    list_transform(embedding[b*p.bits+1:(b+1)*p.bits],
+      |      v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      | FROM embeddings, range(0, 4) r(b), p)""".stripMargin
+
   /** Zero-guarded cosine for the DuckDB oracles: restates the engine's
     * "cosine = 0 for zero vectors" convention (Similarity.cosine) —
     * DuckDB's `list_cosine_similarity` yields NaN there, and NaN sorts
@@ -743,23 +758,25 @@ object SparkEntry {
     }),
 
     "q44_sim_lsh" -> ((s, d) => {
-      // multi-band sign-LSH ANN: 4 independent 8-bit hash tables
-      // (union of bucket joins); per-band bucket population is n/256
-      // and recall compounds across bands — the scale knobs (bits up,
-      // bands up) are documented at Similarity.signBandKeys
+      // multi-band sign-LSH ANN: 4 independent hash tables (union of
+      // bucket joins), bucket granularity AUTO-DERIVED from the corpus
+      // (~32 vectors per bucket per band via signLshAutoBits; the
+      // oracle restates the formula) — per-bucket population stays
+      // constant as the corpus grows; `bands` is the recall knob
       val emb = Tables.embeddings(s, d)
       val probes = emb.filter(col("vec_id") % 50 === 0)
-      Similarity.lshTopK(probes, emb, 5, bits = 8, bands = 4)
+      Similarity.lshTopK(probes, emb, 5, bands = 4)
         .select(col("probe_id"), col("cand_id"), round(col("cos"), 4).as("cos"),
           col("rank"))
     }),
 
     "q53_emb_neardup" -> ((s, d) =>
       // embedding-cosine near-duplicate pairs: multi-band sign-LSH
-      // candidate join + exact-cosine threshold (the embedding analog
-      // of minhash near-dup); the synthetic embeddings are near-random,
-      // so the demo threshold is low
-      Similarity.signLshPairs(Tables.embeddings(s, d), bits = 8, bands = 4)
+      // candidate join (auto-sized buckets, as q44) + exact-cosine
+      // threshold (the embedding analog of minhash near-dup); the
+      // synthetic embeddings are near-random, so the demo threshold is
+      // low
+      Similarity.signLshPairs(Tables.embeddings(s, d), bands = 4)
         .filter(col("cos") >= 0.25)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))),
 
@@ -1587,11 +1604,7 @@ object SparkEntry {
          | FROM scored) WHERE rank <= 5""".stripMargin,
 
     "q44_sim_lsh" ->
-      ("""WITH bk AS (
-        | SELECT vec_id, embedding,
-        |  b || '|' || array_to_string(list_transform(embedding[b*8+1:(b+1)*8],
-        |    v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '') AS bucket
-        | FROM embeddings, range(0, 4) r(b)),
+      (s"""WITH $signLshBkCte,
         |cand AS (
         | SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
         | FROM bk p JOIN bk c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
@@ -1610,11 +1623,7 @@ object SparkEntry {
         | FROM scored) WHERE rank <= 5""".stripMargin),
 
     "q53_emb_neardup" ->
-      ("""WITH bk AS (
-        | SELECT vec_id, embedding,
-        |  b || '|' || array_to_string(list_transform(embedding[b*8+1:(b+1)*8],
-        |    v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '') AS bucket
-        | FROM embeddings, range(0, 4) r(b)),
+      (s"""WITH $signLshBkCte,
         |cand AS (
         | SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
         | FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),

@@ -104,13 +104,32 @@ object Similarity {
     }: _*)
   }
 
+  /** Sign-LSH SEARCH bucket sizing: smallest `bits` with 2^bits ≥ n/32
+    * (≈32 vectors per bucket per band, so each band's verify join is
+    * O(32·n)), clamped to [4, 16] (16 bits × 4 bands = 64 = the dim
+    * cap here; beyond n ≈ 2M per 32-pop bucket, raise `bands` on a
+    * wider embedding — same plan). The 1e-9 guard pins exact powers of
+    * two identically across IEEE engines; the q44/q53 DuckDB oracles
+    * restate this formula. */
+  def signLshAutoBits(n: Long): Int =
+    math.max(4, math.min(16,
+      math.ceil(math.log(math.max(n, 1L) / 32.0) / math.log(2.0) - 1e-9).toInt))
+
   /**
    * Candidate pairs from the banded sign-LSH: distinct (id_a, id_b)
    * sharing at least one band bucket, id_a < id_b, with exact cosine.
    * The near-dup feeder: follow with a threshold filter (or feed the
    * pairs to connectedComponents for canonical-doc election).
+   * `bits = 0` (default) derives bucket granularity from the corpus
+   * ([[signLshAutoBits]]) so per-bucket population stays ~constant as
+   * the corpus grows instead of degrading toward O(n²/2^bits).
    */
-  def signLshPairs(vecs: DataFrame, bits: Int = 8, bands: Int = 4): DataFrame = {
+  def signLshPairs(vecs: DataFrame, bits: Int = 0, bands: Int = 4): DataFrame = {
+    val bb = if (bits > 0) bits else signLshAutoBits(vecs.count())
+    signLshPairsWithBits(vecs, bb, bands)
+  }
+
+  private def signLshPairsWithBits(vecs: DataFrame, bits: Int, bands: Int): DataFrame = {
     val keyed = vecs.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"),
       explode(signBandKeys(col("embedding"), bits, bands)).as("bucket"))
@@ -257,14 +276,17 @@ object Similarity {
     out
   }
 
-  def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8,
+  def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, bits: Int = 0,
       bands: Int = 4): DataFrame = {
+    // bits = 0 derives bucket granularity from the CORPUS side (the
+    // side whose per-bucket population the join cost follows)
+    val bb = if (bits > 0) bits else signLshAutoBits(corpus.count())
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
       norm(col("embedding")).as("pn"),
-      explode(signBandKeys(col("embedding"), bits, bands)).as("bucket"))
+      explode(signBandKeys(col("embedding"), bb, bands)).as("bucket"))
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
       norm(col("embedding")).as("cn"),
-      explode(signBandKeys(col("embedding"), bits, bands)).as("bucket"))
+      explode(signBandKeys(col("embedding"), bb, bands)).as("bucket"))
     // cosine before dedup (see signLshPairs): the exchange carries
     // (probe_id, cand_id, cos), never the embedding arrays
     val scored = p.join(c, Seq("bucket"))

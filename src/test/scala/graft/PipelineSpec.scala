@@ -769,6 +769,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.semDedupAutoBits(512) == 5 && maxPop(5) == 16)
   }
 
+  test("signLshAutoBits: ~32 vectors per bucket per band, clamped [4,16]") {
+    assert(Similarity.signLshAutoBits(1) == 4)
+    assert(Similarity.signLshAutoBits(500) == 4)
+    assert(Similarity.signLshAutoBits(2000) == 6)     // q44/q53 @ sf0.1
+    assert(Similarity.signLshAutoBits(2048) == 6)     // exact power of two
+    assert(Similarity.signLshAutoBits(1L << 20) == 15)
+    assert(Similarity.signLshAutoBits(1L << 40) == 16) // clamp at dim/bands
+  }
+
   test("incrementalCandidates: new-vs-corpus and new-vs-new found, corpus pairs excluded") {
     val base = (1 to 40).map(i => s"alpha beta gamma delta epsilon$i zeta eta theta").mkString(" ")
     // corpus: 3, 4 near-identical (a corpus-internal pair — must NOT appear);
