@@ -182,6 +182,54 @@ object EventStream {
       .dropDuplicatesWithinWatermark("doc_id", "dup_of")
   }
 
+  /**
+   * Streaming triple extraction — the continuous-crawl form of the
+   * flagship batch pipeline (`Triples.mentionTriples`): each
+   * micro-batch of arriving code files is parsed map-side (same
+   * `CodeParser`/`Segmenter` chain, broadcast dictionary) and its
+   * mention targets resolve against a STATIC canonical-alias snapshot
+   * — the `03_closure` stage a periodic batch job maintains. Closure
+   * is iterative and belongs in batch; the stream does a stream-static
+   * left join, which keeps NO state for the static side, so per-trigger
+   * cost is O(|batch|) regardless of corpus history. Per-pipeline
+   * distinct uses `dropDuplicatesWithinWatermark` on (subj, obj), so
+   * dedup state EVICTS as event time advances instead of accumulating
+   * the whole triple history (the round-1 dedupStream lesson).
+   *
+   * Input: streaming files with CodeFile columns + `ts`; canon
+   * (src, root) static. Output: append stream (subj, pred, obj, ts).
+   */
+  def tripleStream(files: DataFrame, canon: DataFrame,
+      dict: Map[String, String], tsCol: String = "ts"): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val dictB = spark.sparkContext.broadcast(dict)
+    val mentions = files
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        col("content"), col(tsCol))
+      .as[(String, String, String, String, String, java.sql.Timestamp)]
+      .flatMap { case (repo, path, commit, lang, content, ts) =>
+        val p = graft.parse.CodeParser.parse(
+          graft.core.CodeFile(repo, path, commit, lang, content), dictB.value)
+        if (p.aliasTarget.isDefined) Iterator.empty
+        else graft.parse.Segmenter.sentencesWithMentions(p).iterator
+          .map(m => (m.uri, m.target, ts))
+      }
+      .toDF("uri", "target", tsCol)
+      // the watermark must attach to the column AS EMITTED by the typed
+      // flatMap — a tag applied before it is lost with the object
+      // round-trip, and the downstream within-watermark dedup requires it
+      .withWatermark(tsCol, "10 minutes")
+    mentions
+      .join(canon.withColumnRenamed("src", "target"), Seq("target"), "left_outer")
+      .select(col("uri").as("subj"),
+        lit("http://graft.dev/ontology#mentions").as("pred"),
+        coalesce(col("root"), col("target")).as("obj"),
+        col(tsCol))
+      .dropDuplicatesWithinWatermark("subj", "obj")
+  }
+
   /** Band-keyed view of a (doc_id, sig) signature table — the static
     * side [[incrementalDedupStream]] joins against (pre-explode it
     * once and checkpoint, rather than exploding per micro-batch). */

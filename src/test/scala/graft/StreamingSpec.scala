@@ -233,6 +233,43 @@ class StreamingSpec extends AnyFunSuite {
       "md5 stream against an xxhash64 index cannot legitimately match")
   }
 
+  test("streaming triple extraction equals the batch flagship pipeline") {
+    // stream the corpus files against the closure snapshot a batch job
+    // maintains; the (subj, obj) set must equal Triples.mentionTriples
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val files = graft.fixtures.CorpusGen.generate(256).map(_.file)
+    val dict = graft.fixtures.CorpusGen.dictionary
+    val batch = graft.pipeline.Triples
+      .mentionTriples(spark.createDataset(files), dict)
+      .as[(String, String)].collect().toSet
+    // the static canon snapshot (what Main's 03_closure stage commits)
+    val edges = spark.createDataset(files).toDF()
+      .filter(col("content").startsWith("#ALIAS [["))
+      .as[graft.core.CodeFile]
+      .map(f => graft.parse.CodeParser.parse(f, dict))
+      .flatMap(p => p.aliasTarget.map(t => (p.uri, t)))
+      .toDF("src", "dst")
+    val canon = graft.pipeline.Redirects.transitiveClosureDoubling(edges)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val in = MemoryStream[(String, String, String, String, String, java.sql.Timestamp)]
+    in.addData(files.map(f =>
+      (f.repo, f.path, f.commit, f.lang, f.content, t0)): _*)
+    val q = EventStream.tripleStream(
+        in.toDF.toDF("repo", "path", "commit", "lang", "content", "ts"), canon, dict)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("triples_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("triples_out")
+        .select("subj", "obj").as[(String, String)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty,
+        s"stream ${streamed.size} vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch range join (q63)") {
     val sfDir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._
