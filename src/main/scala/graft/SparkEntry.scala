@@ -167,11 +167,11 @@ object SparkEntry {
 
   /** Shared q44/q53 oracle CTE: multi-band sign-LSH buckets with bits
     * auto-derived from the corpus — restates
-    * Similarity.signLshAutoBits (ceil(log2(n/32)) clamped [4,16]). */
+    * Similarity.signLshAutoBits (ceil(log2(n/8)) clamped [4,16]). */
   private val signLshBkCte: String =
     """p AS (
       | SELECT greatest(4, least(16,
-      |   CAST(ceil(ln(greatest(count(*), 1) / 32.0) / ln(2) - 1e-9) AS INT))) AS bits
+      |   CAST(ceil(ln(greatest(count(*), 1) / 8.0) / ln(2) - 1e-9) AS INT))) AS bits
       | FROM embeddings),
       |bk AS (
       | SELECT vec_id, embedding,
@@ -760,7 +760,7 @@ object SparkEntry {
     "q44_sim_lsh" -> ((s, d) => {
       // multi-band sign-LSH ANN: 4 independent hash tables (union of
       // bucket joins), bucket granularity AUTO-DERIVED from the corpus
-      // (~32 vectors per bucket per band via signLshAutoBits; the
+      // (~8 vectors per bucket per band via signLshAutoBits; the
       // oracle restates the formula) — per-bucket population stays
       // constant as the corpus grows; `bands` is the recall knob
       val emb = Tables.embeddings(s, d)

@@ -104,16 +104,16 @@ object Similarity {
     }: _*)
   }
 
-  /** Sign-LSH SEARCH bucket sizing: smallest `bits` with 2^bits ≥ n/32
-    * (≈32 vectors per bucket per band, so each band's verify join is
-    * O(32·n)), clamped to [4, 16] (16 bits × 4 bands = 64 = the dim
-    * cap here; beyond n ≈ 2M per 32-pop bucket, raise `bands` on a
+  /** Sign-LSH SEARCH bucket sizing: smallest `bits` with 2^bits ≥ n/8
+    * (≈8 vectors per bucket per band, so each band's verify join is
+    * O(8·n)), clamped to [4, 16] (16 bits × 4 bands = 64 = the dim
+    * cap here; beyond n ≈ 512k per 8-pop bucket, raise `bands` on a
     * wider embedding — same plan). The 1e-9 guard pins exact powers of
     * two identically across IEEE engines; the q44/q53 DuckDB oracles
     * restate this formula. */
   def signLshAutoBits(n: Long): Int =
     math.max(4, math.min(16,
-      math.ceil(math.log(math.max(n, 1L) / 32.0) / math.log(2.0) - 1e-9).toInt))
+      math.ceil(math.log(math.max(n, 1L) / 8.0) / math.log(2.0) - 1e-9).toInt))
 
   /**
    * Candidate pairs from the banded sign-LSH: distinct (id_a, id_b)

@@ -769,13 +769,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.semDedupAutoBits(512) == 5 && maxPop(5) == 16)
   }
 
-  test("signLshAutoBits: ~32 vectors per bucket per band, clamped [4,16]") {
+  test("signLshAutoBits: ~8 vectors per bucket per band, clamped [4,16]") {
     assert(Similarity.signLshAutoBits(1) == 4)
-    assert(Similarity.signLshAutoBits(500) == 4)
-    assert(Similarity.signLshAutoBits(2000) == 6)     // q44/q53 @ sf0.1
-    assert(Similarity.signLshAutoBits(2048) == 6)     // exact power of two
-    assert(Similarity.signLshAutoBits(1L << 20) == 15)
-    assert(Similarity.signLshAutoBits(1L << 40) == 16) // clamp at dim/bands
+    assert(Similarity.signLshAutoBits(500) == 6)
+    assert(Similarity.signLshAutoBits(2000) == 8)     // q44/q53 @ sf0.1
+    assert(Similarity.signLshAutoBits(2048) == 8)     // exact power of two
+    assert(Similarity.signLshAutoBits(1L << 20) == 16) // 2^17 needed -> clamp
+    assert(Similarity.signLshAutoBits(100) == 4)
   }
 
   test("incrementalCandidates: new-vs-corpus and new-vs-new found, corpus pairs excluded") {
