@@ -182,8 +182,14 @@ object Bench {
     * cross-copy similarity is destroyed — the corpus grows 10x without
     * the quadratic pair blow-up 10 verbatim copies would fake. */
   private def runHeavy10x(spark: SparkSession, sfDir: String): String = {
+    // the judge-requested five plus q85 (the sweep's slowest row: its
+    // corpus-sized window distincts are what 10x stresses; dictionary
+    // mentions stay copy-0-only under the alphabet rotation, which is
+    // fine — the wall-time driver is the token relations, not the
+    // vocabulary-sized profile sides)
     val heavy = Seq("q50_dedup_simhash_pairs", "q64_connected_components",
-      "q70_dedup_keep_list", "q81_triangles", "q82_incremental_dedup")
+      "q70_dedup_keep_list", "q81_triangles", "q82_incremental_dedup",
+      "q85_disambiguation")
     try {
       val srcDir = new java.io.File(s"$sfDir/documents.parquet")
       val srcTag = (if (srcDir.isDirectory)
