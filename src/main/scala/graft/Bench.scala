@@ -145,16 +145,20 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] q82 index pre-build failed: ${e.getMessage}")
     }
+    // ---- sf1 heavy block FIRST: the shuffle-heavy dedup/graph
+    // operators at a 10x documents slice — sf0.1 under-stresses exactly
+    // these plans (banded joins, component loops, triangle closure,
+    // index search). It runs BEFORE the ~40s sweep because this host's
+    // burst-credit throttling punishes whatever runs last (measured
+    // 2.9x on identical sf1 work across host windows, round-3 verdict
+    // #2) — fresh-credit placement plus a per-query median of 3 passes
+    // makes the block comparable round-over-round ----
+    val sf1Json = runHeavy10x(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // ---- sf1 heavy block: the shuffle-heavy dedup/graph operators at
-    // a 10x documents slice — sf0.1 under-stresses exactly these plans
-    // (banded joins, component loops, triangle closure, index search),
-    // so each is timed once at 10x in the same session ----
-    val sf1Json = runHeavy10x(spark, sfDir)
     spark.stop()
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
@@ -176,11 +180,19 @@ object Bench {
   }
 
   /** Build (once, cached) a deterministic 10x slice of the sf-dir
-    * documents table and time the five heaviest shuffle-bound queries
-    * on it. Copy k shifts doc_id by k*n and rotates the alphabet by k
+    * documents table and time the heaviest shuffle-bound queries on it.
+    * Copy k shifts doc_id by k*n and rotates the alphabet by k
     * (`translate`), so in-copy duplicate structure replicates 10x while
     * cross-copy similarity is destroyed — the corpus grows 10x without
-    * the quadratic pair blow-up 10 verbatim copies would fake. */
+    * the quadratic pair blow-up 10 verbatim copies would fake.
+    *
+    * Protocol (round-3 verdict #2): every query is timed THREE times
+    * and the MEDIAN is the recorded value (all passes emitted under
+    * "passes"), and the whole block runs before the main sweep — the
+    * two defenses against this host's burst-credit throttle making
+    * round-over-round regression tracking blind. A failed query
+    * records -1.0 (and its name under "errs"), never its fail-fast
+    * wall time — a crash must not impersonate a fast run. */
   private def runHeavy10x(spark: SparkSession, sfDir: String): String = {
     // the judge-requested five plus q85 (the sweep's slowest row: its
     // corpus-sized window distincts are what 10x stresses; dictionary
@@ -218,16 +230,30 @@ object Bench {
       // per batch in production): commit it untimed so the timed row
       // measures the O(|new|) increment the operator advertises
       SparkEntry.q82SigIndex(spark, dir10)
-      val times = heavy.map { q =>
+      def onePass(): Seq[(String, Double)] = heavy.map { q =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(q)(spark, dir10).count() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] sf1 $q failed: ${e.getMessage}")
-        }
-        q -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { SparkEntry.queries(q)(spark, dir10).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] sf1 $q failed: ${e.getMessage}")
+            false
+          }
+        q -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-      val qj = times.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString(",")
-      s""""sf1":{"docs":$nDocs,$qj},"""
+      val passes = (1 to 3).map(_ => onePass())
+      val med = heavy.map { q =>
+        val ts = passes.map(_.toMap.apply(q))
+        // any failed pass poisons the row: -1 sentinel, not a timing
+        q -> (if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(ts.length / 2))
+      }
+      val errs = med.collect { case (q, -1.0) => "\"" + q + "\"" }
+      val qj = med.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString(",")
+      val passJson = passes.map(p =>
+        p.map { case (_, v) => f"$v%.3f" }.mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      s""""sf1":{"docs":$nDocs,$qj,"errs":[${errs.mkString(",")}],""" +
+        s""""pass_order":[${heavy.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""passes":$passJson},"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] sf1 block failed: ${e.getMessage}")
       ""

@@ -51,10 +51,12 @@ object Main {
         spark.range(n).map(i => CorpusGen.file(i)).toDF()
       } else spark.read.parquet(corpus)
 
-    def typedFiles = {
-      val ds = files.as[CodeFile]
-      ds.map { f => parsedCounter.add(1); f } // counted once per stage run
-    }
+    // files_parsed counts INSIDE the lambdas that already deserialize
+    // each row (the parse flatMap/map of every consuming stage) — a
+    // dedicated counting `.map` here would force a whole
+    // DeserializeToObject -> MapElements -> SerializeFromObject pass
+    // per stage just for the side effect (PlanSpec guards the absence)
+    def typedFiles = files.as[CodeFile]
     val dictB = spark.sparkContext.broadcast(dict)
 
     var mentions: DataFrame = null
@@ -63,6 +65,7 @@ object Main {
       // stage snapshot below is the materialization boundary
       mentions = cp.runStage("01_mentions") {
         typedFiles.flatMap { f =>
+          parsedCounter.add(1)
           val p = graft.parse.CodeParser.parse(f, dictB.value)
           if (p.aliasTarget.isDefined) Iterator.empty[graft.core.Mention]
           else graft.parse.Segmenter.sentencesWithMentions(p)
@@ -76,7 +79,7 @@ object Main {
       // corpus, re-scanning beats persisting the full parse
       aliases = cp.runStage("02_aliases") {
         typedFiles.filter(col("content").startsWith("#ALIAS [["))
-          .map(f => graft.parse.CodeParser.parse(f, dictB.value))
+          .map { f => parsedCounter.add(1); graft.parse.CodeParser.parse(f, dictB.value) }
           .flatMap(p => p.aliasTarget.map(t => (p.uri, t)))
           .toDF("src", "dst")
       }
@@ -106,7 +109,8 @@ object Main {
       val typeNames = Seq(("http://graft.dev/ontology/Component", "component"))
         .toDF("typeUri", "typeName")
       val annotated = cp.runStage("05_ner_corpus") {
-        NerCorpus.run(typedFiles, dict, entityTypes, typeNames)
+        NerCorpus.run(typedFiles, dict, entityTypes, typeNames,
+          onParse = _ => parsedCounter.add(1))
       }
       println(s"[graft] ner annotated sentences: ${annotated.count()}")
     }

@@ -42,18 +42,28 @@ object SparkEntry {
   private def isDictSurface(c: Column): Column =
     c.isin(dictSurfaces.map(s => s: Any): _*)
 
+  /** Cache-scheme version, folded into the stage-cache key: bump
+    * whenever the SIGNATURE FORMAT of any cached stage changes (hash
+    * family, numHashes, shingle size, …) so a stale index can never be
+    * silently reused against a new scheme (the same convention as
+    * Bench.runHeavy10x's `graft-sf1-v1` tag). v2 = md5 one-pass
+    * minhash, 16 hashes, 3-word shingles. */
+  private val StageCacheVersion = "v2"
+
   /** Per-corpus stage cache for queries that search a PRE-BUILT
     * persistent index (the production shape: sign/build once per batch
     * via Checkpoints.runStage — Main's 07_sig_index discipline — then
     * every search costs only its own increment). Keyed by the corpus
-    * path + parquet mtimes, so regenerated testdata self-invalidates. */
+    * path + parquet mtimes (so regenerated testdata self-invalidates)
+    * + [[StageCacheVersion]] (so a signature-scheme change does too). */
   private[graft] def stageCacheDir(d: String): String = {
     val src = new java.io.File(s"$d/documents.parquet")
     val mtime =
       if (src.isDirectory)
         Option(src.listFiles()).map(_.map(_.lastModified).max).getOrElse(0L)
       else src.lastModified
-    val key = graft.functions.TextFunctions.sha256Hex(s"$d|$mtime").take(12)
+    val key = graft.functions.TextFunctions.sha256Hex(
+      s"$d|$mtime|$StageCacheVersion").take(12)
     s"/tmp/graft-stage-cache/$key"
   }
 
@@ -165,20 +175,48 @@ object SparkEntry {
        |  AND $simhashBandMatch
        | WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming)""".stripMargin
 
-  /** Shared q44/q53 oracle CTE: multi-band sign-LSH buckets with bits
-    * auto-derived from the corpus — restates
-    * Similarity.signLshAutoBits (ceil(log2(n/8)) clamped [4,16]). */
+  /** Rademacher hyperplane-list CTE fragment: r(h, d) for hyperplane
+    * h = `hExpr` over 64 dims — restates the seeded
+    * multiply–xorshift–multiply family of RandProjBitsExpr /
+    * Similarity.ProjSeed verbatim (exact int64 arithmetic, no
+    * wraparound, so any engine reproduces it bit-for-bit). */
+  private def rademacherListSql(hExpr: String): String =
+    s"""list_transform(
+       |   list_transform(range(0, 64),
+       |     d -> ((20260817 + ($hExpr)*4096 + d) * 2654435761) % 2147483648),
+       |   x -> CASE WHEN ((((xor(x, x >> 15)) * 1103515245 + 12345)
+       |       % 2147483648) >> 16) & 1 = 1
+       |     THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)""".stripMargin
+
+  /** Seeded projection sign bit of one (vector, hyperplane) pair:
+    * '1' iff Σ_d r(h,d)·emb[d] ≥ 0 — products in dim order, list_sum's
+    * left-to-right double accumulation matching the engine's codegen
+    * loop (the FloatDotExpr discipline, bit-identical). */
+  private val projBitSql: String =
+    """CASE WHEN list_sum(list_transform(range(1, len(e.embedding)+1),
+      |     i -> h.r[i] * e.embedding[i]::DOUBLE)) >= 0
+      | THEN '1' ELSE '0' END""".stripMargin
+
+  /** Shared q44/q53 oracle CTE: multi-band seeded random-projection
+    * LSH buckets — bits auto-derived from the corpus (restates
+    * Similarity.signLshAutoBits, ceil(log2(n/8)) clamped [4,16]); band
+    * b's key is the sign pattern of seeded hyperplanes
+    * [b*bits, (b+1)*bits) (Similarity.signBandKeys over
+    * RandProjBitsExpr). */
   private val signLshBkCte: String =
-    """p AS (
+    s"""p AS (
       | SELECT greatest(4, least(16,
       |   CAST(ceil(ln(greatest(count(*), 1) / 8.0) / ln(2) - 1e-9) AS INT))) AS bits
       | FROM embeddings),
+      |hp AS (
+      | SELECT b, j, ${rademacherListSql("b*p.bits + j")} AS r
+      | FROM range(0, 4) t(b), range(0, 16) u(j), p
+      | WHERE u.j < p.bits),
       |bk AS (
-      | SELECT vec_id, embedding,
-      |  b || '|' || array_to_string(
-      |    list_transform(embedding[b*p.bits+1:(b+1)*p.bits],
-      |      v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '') AS bucket
-      | FROM embeddings, range(0, 4) r(b), p)""".stripMargin
+      | SELECT e.vec_id,
+      |  h.b || '|' || string_agg($projBitSql, '' ORDER BY h.j) AS bucket
+      | FROM embeddings e, hp h
+      | GROUP BY e.vec_id, h.b)""".stripMargin
 
   /** Zero-guarded cosine for the DuckDB oracles: restates the engine's
     * "cosine = 0 for zero vectors" convention (Similarity.cosine) —
@@ -865,7 +903,8 @@ object SparkEntry {
 
     "q77_semdedup" -> ((s, d) =>
       // SemDeDup: exact pairwise cosine ONLY within embedding-space
-      // cells (sign-bucket stand-in for k-means cells), greedy
+      // cells (seeded random-projection sign cells; semDedupKMeans is
+      // the data-adapted k-means-cell variant), greedy
       // keep-min-id — the embedding-level analog of the q70 keep list.
       // Cell count AUTO-DERIVED from the corpus (cells ≈ √n via
       // semDedupAutoBits; the oracle restates the formula), so the
@@ -1734,17 +1773,24 @@ object SparkEntry {
       // (cosine = 0 when either norm is 0, Similarity.cosine) — DuckDB's
       // list_cosine_similarity yields NaN there, which its total order
       // would put ABOVE the threshold. `p.bits` restates
-      // Similarity.semDedupAutoBits: ceil(log4 n) clamped to [4, 16]
-      """WITH p AS (
+      // Similarity.semDedupAutoBits: ceil(log4 n) clamped to [4, 16];
+      // the cell key is the seeded random-projection sign bucket
+      // (hyperplanes 0..bits-1 of the ProjSeed Rademacher family)
+      s"""WITH p AS (
         | SELECT greatest(4, least(16,
         |   CAST(ceil(ln(count(*)) / ln(4) - 1e-9) AS INT))) AS bits
         | FROM embeddings),
+        |hp AS (
+        | SELECT j, ${rademacherListSql("j")} AS r
+        | FROM range(0, 16) u(j), p WHERE u.j < p.bits),
+        |cb AS (
+        | SELECT e.vec_id, string_agg($projBitSql, '' ORDER BY h.j) AS cell
+        | FROM embeddings e, hp h GROUP BY e.vec_id),
         |c AS (
-        | SELECT vec_id, embedding,
-        |  sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v*v))) AS nrm,
-        |  array_to_string(list_transform(embedding[1:(SELECT bits FROM p)],
-        |    v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '') AS cell
-        | FROM embeddings),
+        | SELECT e.vec_id, e.embedding,
+        |  sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v*v))) AS nrm,
+        |  cb.cell
+        | FROM embeddings e JOIN cb ON e.vec_id = cb.vec_id),
         |drops AS (
         | SELECT DISTINCT b.vec_id
         | FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id

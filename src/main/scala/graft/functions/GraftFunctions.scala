@@ -35,6 +35,45 @@ object GraftFunctions {
   /** Codegen L2 distance over array<float|double> (see FloatL2Expr). */
   def vec_l2(a: Column, b: Column): Column = col(FloatL2Expr(expr(a), expr(b)))
 
+  /** Codegen seeded random-projection sign bits (see RandProjBitsExpr). */
+  def rproj_bits(a: Column, first: Int, bits: Int, seed: Long): Column =
+    col(RandProjBitsExpr(expr(a), first, bits, seed))
+
+  /** Rademacher hyperplane entry r(h, d) ∈ {+1, −1} of the seeded
+    * multiply–xorshift–multiply family (RandProjBitsExpr scaladoc has
+    * the derivation; the DuckDB oracles restate this arithmetic). */
+  def rademacher(seed: Long, h: Int, d: Int): Double = {
+    val s = seed + h.toLong * 4096L + d
+    val x = (s * 2654435761L) % 2147483648L
+    val z = x ^ (x >> 15)
+    val w = (z * 1103515245L + 12345L) % 2147483648L
+    if (((w >> 16) & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** Static helper the generated code (and nullSafeEval) calls: the
+    * `bits` projection signs in one tight loop per row. Returns null on
+    * a null element (FloatDotExpr's null discipline). */
+  def randProjBitsData(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      isFloat: Boolean, first: Int, bits: Int,
+      seed: Long): org.apache.spark.unsafe.types.UTF8String = {
+    val n = a.numElements()
+    val out = new Array[Byte](bits)
+    var j = 0
+    while (j < bits) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        if (a.isNullAt(d)) return null
+        val e = if (isFloat) a.getFloat(d).toDouble else a.getDouble(d)
+        acc += rademacher(seed, first + j, d) * e
+        d += 1
+      }
+      out(j) = if (acc >= 0) '1' else '0'
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
+
   /** Static helper the generated code (and nullSafeEval) calls: the
     * one-pass signature packed as Catalyst ArrayData. */
   def minhashSigData(text: String, shingleWords: Int,
@@ -46,6 +85,22 @@ object GraftFunctions {
   private[functions] def arity(name: String, n: Int)(es: Seq[Expression]): Seq[Expression] = {
     require(es.length == n, s"$name expects $n argument(s), got ${es.length}")
     es
+  }
+
+  /** Foldable-integer argument of a SQL function call (the
+    * first/bits/seed parameters of rproj_bits are plan-time constants,
+    * not per-row columns). */
+  private[functions] def litLong(name: String, e: Expression): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects an integer literal argument, got $other")
+  }
+
+  private[functions] def rprojFromSql(es: Seq[Expression]): RandProjBitsExpr = {
+    arity("rproj_bits", 4)(es)
+    RandProjBitsExpr(es.head, litLong("rproj_bits", es(1)).toInt,
+      litLong("rproj_bits", es(2)).toInt, litLong("rproj_bits", es(3)))
   }
 
   /** Register the functions for SQL use on an existing session. */
@@ -62,6 +117,8 @@ object GraftFunctions {
       "vec_norm", es => FloatNormExpr(arity("vec_norm", 1)(es).head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_l2", es => { arity("vec_l2", 2)(es); FloatL2Expr(es.head, es(1)) }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rproj_bits", rprojFromSql, "scala_udf")
   }
 }
 
@@ -98,5 +155,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[FloatL2Expr].getName, "vec_l2"),
         (es: Seq[Expression]) => { GraftFunctions.arity("vec_l2", 2)(es); FloatL2Expr(es.head, es(1)) }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("rproj_bits"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[RandProjBitsExpr].getName, "rproj_bits"),
+        (es: Seq[Expression]) => GraftFunctions.rprojFromSql(es)))
   }
 }

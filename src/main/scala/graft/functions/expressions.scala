@@ -242,6 +242,68 @@ case class FloatL2Expr(left: Expression, right: Expression) extends BinaryExpres
   override def prettyName: String = "vec_l2"
 }
 
+/**
+ * Seeded random-projection sign bits (`bits` hyperplanes starting at
+ * global hyperplane index `first`) over an array<float|double>
+ * embedding — the LSH family behind `Similarity.signBucket` /
+ * `signBandKeys` / `semDedup` cells.
+ *
+ * Hyperplane entries are a deterministic Rademacher (±1) family: for
+ * hyperplane h and dimension d,
+ *
+ *   s = seed + h*4096 + d
+ *   x = (s * 2654435761) mod 2^31
+ *   z = x XOR (x >> 15)
+ *   w = (z * 1103515245 + 12345) mod 2^31
+ *   r(h,d) = +1 if bit 16 of w else -1
+ *
+ * (multiply–xorshift–multiply: the xor between the two multiplies
+ * makes the map nonlinear in s, so distinct hyperplanes are
+ * decorrelated — a plain LCG is LINEAR in s and every hyperplane would
+ * be a shift of one underlying sequence; measured on 64 hyperplanes ×
+ * 64 dims the family's balance and pairwise correlations match iid
+ * signs). Every step is exact int64 arithmetic with no wraparound, so
+ * any engine restates it verbatim — the DuckDB oracles for
+ * q44/q53/q77 do. Output bit j = '1' iff Σ_d r(first+j, d)·emb[d] ≥ 0,
+ * accumulated left-to-right in double (bit-identical across engines
+ * for identical input, same discipline as FloatDotExpr).
+ *
+ * Unlike an axis-aligned sign family, `bits`+`first` are NOT bounded
+ * by the embedding dimension — hyperplanes are generated, not sliced —
+ * and every bit mixes ALL dimensions, so recall survives anisotropic
+ * (correlated-dimension) embeddings where leading-dimension signs
+ * carry no cluster signal (asserted in PipelineSpec).
+ *
+ * Null array or any null element → null.
+ */
+case class RandProjBitsExpr(child: Expression, first: Int, bits: Int,
+    seed: Long) extends UnaryExpression {
+  require(first >= 0 && bits > 0, s"rproj_bits: first=$first bits=$bits")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input (cast explicitly; " +
+        "an implicit whole-array cast would materialize a copy per row)")
+  }
+  override def nullSafeEval(v: Any): Any =
+    GraftFunctions.randProjBitsData(v.asInstanceOf[ArrayData],
+      VecExprs.isFloat(child), first, bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val f = VecExprs.isFloat(child)
+      s"""
+         |${ev.value} = graft.functions.GraftFunctions.randProjBitsData(
+         |  $a, $f, $first, $bits, ${seed}L);
+         |if (${ev.value} == null) ${ev.isNull} = true;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): RandProjBitsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "rproj_bits"
+}
+
 /** 60-bit SimHash of a space-tokenized text (majority vote over
   * md5-derived token hashes; see graft.pipeline.Dedup.simhash64). */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {

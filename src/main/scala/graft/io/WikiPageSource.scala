@@ -43,8 +43,15 @@ import org.apache.spark.unsafe.types.UTF8String
  * test classloader ServiceLoader may not surface it — use
  * classOf[WikiPageSource].getName there (as the spec does).
  *
- * Local files here; on a cluster the identical plan reads any Hadoop
- * FileSystem — the DSv2 Batch/InputPartition surface is the same.
+ * Listing and reads go through the Hadoop FileSystem API (the
+ * reference's FileInputFormat heritage, WikipediaPageInputFormat
+ * .java:24-34), so file:/, hdfs:/, s3a:/ … paths all split and read
+ * identically. Files with a registered compression suffix (`.gz`,
+ * `.bz2`, …) are read as ONE whole-stream range through the codec —
+ * correct but unsplit (a gzip stream has no mid-file entry points);
+ * splittable-bzip2 sub-ranges are intentionally NOT implemented, so a
+ * compressed dump parallelizes per FILE, as the upstream dumps (which
+ * ship in ~100-file multistream parts) expect.
  */
 class WikiPageSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-wikidump"
@@ -55,6 +62,11 @@ class WikiPageSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     val path = opts.get("path")
     require(path != null && path.nonEmpty, "graft-wikidump requires a path")
+    // the schema is FIXED: a caller-supplied schema that differs would
+    // otherwise be silently ignored (read as the fixed one anyway)
+    require(schema == null || schema.isEmpty || schema == WikiPageSource.schema,
+      s"graft-wikidump's schema is fixed to ${WikiPageSource.schema.simpleString}; " +
+        s"got ${schema.simpleString}")
     val split = Option(opts.get("splitbytes")).map(_.toLong)
       .getOrElse(WikiPageSource.DefaultSplitBytes)
     new WikiPageTable(path, split)
@@ -150,16 +162,27 @@ private final class WikiPageScan(path: String, splitBytes: Long)
     s"graft-wikidump $path (splitBytes=$splitBytes)"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val root = new java.io.File(path)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val rootStatus = fs.getFileStatus(root)
     val files =
-      if (root.isDirectory)
-        root.listFiles().filter(_.isFile).sortBy(_.getName).toSeq
-      else Seq(root)
-    files.flatMap { f =>
-      val len = f.length()
-      val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
-      (0L until n).map(i =>
-        PageRange(f.getPath, i * splitBytes, math.min((i + 1) * splitBytes, len)))
+      if (rootStatus.isDirectory)
+        fs.listStatus(root).filter(_.isFile).sortBy(_.getPath.getName).toSeq
+      else Seq(rootStatus)
+    val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+    files.flatMap { st =>
+      val p = st.getPath.toString
+      if (codecs.getCodec(st.getPath) != null) {
+        // compressed: one whole-stream range (no mid-stream seek);
+        // positions are DECOMPRESSED offsets, end = ∞ claims every record
+        Seq(PageRange(p, 0L, Long.MaxValue))
+      } else {
+        val len = st.getLen
+        val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
+        (0L until n).map(i =>
+          PageRange(p, i * splitBytes, math.min((i + 1) * splitBytes, len)))
+      }
     }.toArray
   }
 
@@ -179,15 +202,30 @@ private final class WikiPageScan(path: String, splitBytes: Long)
  * the absolute offset so the ownership test (marker first byte < range
  * end) is exact; the body read past the range end is unbounded-buffered
  * exactly like the reference's DataOutputBuffer.
+ *
+ * IO is Hadoop-FS (open + seek), so any FileSystem scheme works; a
+ * registered compression suffix routes through the codec stream
+ * (positions then count DECOMPRESSED bytes, and the planner hands such
+ * files a single [0, ∞) range — see planInputPartitions).
  */
 private final class WikiPageReader(path: String, rangeStart: Long, rangeEnd: Long)
     extends PartitionReader[InternalRow] {
   import WikiPageSource._
 
   private val in: java.io.InputStream = {
-    val f = new java.io.FileInputStream(path)
-    f.getChannel.position(rangeStart)
-    new java.io.BufferedInputStream(f, 1 << 16)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val raw = p.getFileSystem(conf).open(p)
+    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+      .getCodec(p)
+    if (codec != null) {
+      require(rangeStart == 0L,
+        s"compressed input has no mid-stream entry points: range start $rangeStart")
+      new java.io.BufferedInputStream(codec.createInputStream(raw), 1 << 16)
+    } else {
+      raw.seek(rangeStart)
+      new java.io.BufferedInputStream(raw, 1 << 16)
+    }
   }
   private var pos: Long = rangeStart
   private var row: InternalRow = _

@@ -182,7 +182,20 @@ object CodeParser {
  * quirk, §2.10.3, is not replicated).
  */
 object Segmenter {
-  def sentencesWithMentions(p: ParsedFile, sentenceTokens: Int = 10): Vector[Mention] = {
+  /**
+   * `recoverStraddlers = false` (default) keeps the reference's
+   * containment semantics exactly: a mention crossing a window
+   * boundary is dropped (the measured ~1.2% recall loss of the bench
+   * corpus — CodeParserSpec pins the accounting). The opt-in emits one
+   * OVERLAP sentence per straddling mention — a fresh `sentenceTokens`
+   * window starting at the token the mention begins in — recovering
+   * every straddler that fits a window at all. Overlap sentences take
+   * the next global order numbers at the point of detection, so
+   * downstream per-sentence grouping keys stay unique; only opt-in
+   * callers see the renumbering.
+   */
+  def sentencesWithMentions(p: ParsedFile, sentenceTokens: Int = 10,
+      recoverStraddlers: Boolean = false): Vector[Mention] = {
     val out = Vector.newBuilder[Mention]
     var order = 0
     val mentions = p.mentions.sortBy(_.begin)
@@ -211,6 +224,22 @@ object Segmenter {
             val m = mentions(j)
             if (m.begin >= sBegin && m.end <= sEnd)
               out += Mention(p.uri, order, m.label, m.begin - sBegin, m.end - sBegin, sentence, p.sha256)
+            else if (recoverStraddlers && m.begin >= sBegin && m.end > sEnd) {
+              // straddler: a fresh window anchored at the mention's own
+              // first token (find it by scan from s — bounded by the
+              // window width, and each mention is visited once)
+              var tb = s
+              while (tb + 1 < toks.length && toks(tb + 1)._1 <= m.begin) tb += 1
+              val we = math.min(tb + sentenceTokens, toks.length)
+              val (wBegin, wEnd) = (toks(tb)._1, toks(we - 1)._2)
+              if (m.begin >= wBegin && m.end <= wEnd) {
+                order += 1
+                val ws = p.text.substring(wBegin, wEnd)
+                  .map(c => if (c == '\n' || c == '\t') ' ' else c)
+                out += Mention(p.uri, order, m.label,
+                  m.begin - wBegin, m.end - wBegin, ws, p.sha256)
+              }
+            }
             j += 1
           }
         }

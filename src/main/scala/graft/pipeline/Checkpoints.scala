@@ -24,14 +24,25 @@ final class Checkpoints(spark: SparkSession, baseDir: String) {
   private def stageDir(name: String) = s"$baseDir/$name"
   private def manifest(name: String) = Paths.get(s"${stageDir(name)}/_MANIFEST")
 
-  /** True iff the stage snapshot was fully committed. */
-  def isCommitted(name: String): Boolean = Files.exists(manifest(name))
+  /** True iff the stage snapshot was fully committed: the manifest
+    * exists AND is structurally complete (the atomic rename below makes
+    * a torn manifest near-impossible, but a half-written file from an
+    * older writer or a non-atomic copy must still read as uncommitted —
+    * resuming from a stage whose lineage record is garbage would be a
+    * silent trust violation even when the parquet itself is fine). */
+  def isCommitted(name: String): Boolean =
+    Files.exists(manifest(name)) && {
+      val m = try Files.readString(manifest(name)) catch { case _: Exception => "" }
+      m.startsWith("{") && m.trim.endsWith("}") && m.contains("\"rows\"")
+    }
 
   /**
    * Run a stage: if committed, reload the snapshot (no recompute); else
    * compute, write, record per-partition counts, commit the manifest
-   * last (write-then-rename ordering makes the commit atomic enough for
-   * a local FS; Iceberg snapshots give this transactionally).
+   * last via temp-file + atomic rename (`Files.move(..., ATOMIC_MOVE)`)
+   * — a crash mid-commit leaves either no manifest or a complete one,
+   * never a truncated record that `isCommitted` would trust (Iceberg
+   * snapshots give the same guarantee transactionally).
    */
   def runStage(name: String)(compute: => DataFrame): DataFrame = {
     if (isCommitted(name)) {
@@ -49,9 +60,12 @@ final class Checkpoints(spark: SparkSession, baseDir: String) {
       val total = counts.length
       val rows = persisted.count()
       Files.createDirectories(Paths.get(stageDir(name)))
-      Files.writeString(manifest(name),
+      val tmp = Paths.get(s"${stageDir(name)}/_MANIFEST.tmp")
+      Files.writeString(tmp,
         s"""{"stage":"$name","rows":$rows,"partitions":$total,
            |"lineage":[${counts.mkString(",")}]}""".stripMargin)
+      Files.move(tmp, manifest(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       persisted
     }
   }

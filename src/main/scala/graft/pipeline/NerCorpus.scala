@@ -212,15 +212,21 @@ object NerCorpus {
     * persist-free stage — same shape as Triples.mentionTriples; see the
     * rationale there. */
   def run(files: Dataset[CodeFile], dictionary: Map[String, String],
-      entityTypes: DataFrame, typeNames: DataFrame): DataFrame = {
+      entityTypes: DataFrame, typeNames: DataFrame,
+      onParse: CodeFile => Unit = _ => ()): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
     val dictB = spark.sparkContext.broadcast(dictionary)
+    // `onParse` lets a caller count parsed files from inside the
+    // flatMap/map that already deserializes each row (Main's
+    // files_parsed counter) — a separate counting `.map` would pay a
+    // whole deserialize+reserialize pass per stage for the side effect
     val aliases = files.filter(col("content").startsWith("#ALIAS [["))
-      .map(f => graft.parse.CodeParser.parse(f, dictB.value))
+      .map { f => onParse(f); graft.parse.CodeParser.parse(f, dictB.value) }
       .flatMap(p => p.aliasTarget.map(t => (p.uri, t)))
       .toDF("src", "dst")
     val mentions = files.flatMap { f =>
+      onParse(f)
       val p = graft.parse.CodeParser.parse(f, dictB.value)
       if (p.aliasTarget.isDefined) Iterator.empty[Mention]
       else graft.parse.Segmenter.sentencesWithMentions(p)

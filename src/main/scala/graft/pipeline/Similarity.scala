@@ -61,22 +61,48 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Fixed seed of the random-projection family: every signer and every
+    * searcher of the same index MUST share it (the same family-match
+    * discipline as Dedup's md5-vs-xxhash64 flag); the DuckDB oracles
+    * restate the seeded arithmetic with this constant inlined. */
+  val ProjSeed: Long = 20260817L
+
   /**
-   * Sign-bit LSH bucket key: the sign pattern of the first `bits`
-   * dimensions (a deterministic axis-aligned hyperplane family; on a
-   * real deployment swap in seeded random projections — same plan shape).
+   * Seeded random-projection sign bucket: `bits` Rademacher (±1)
+   * hyperplanes drawn deterministically from [[ProjSeed]], bit j =
+   * sign of the projection onto hyperplane `first + j` — a true
+   * random-hyperplane SimHash family (Charikar 2002), evaluated by the
+   * codegen `RandProjBitsExpr` (one tight loop per row; the hyperplane
+   * entries are recomputed from 3 integer ops each, cheaper than
+   * loading a broadcast matrix at these widths).
+   *
+   * Every bit mixes ALL embedding dimensions, so bucket recall
+   * survives anisotropic real-world embeddings (correlated dimensions,
+   * leading dims carrying no cluster signal) where an axis-aligned
+   * sign family silently degrades — PipelineSpec measures the gap on
+   * correlated planted clusters. `first` selects the hyperplane block
+   * (band b passes b*bits, making bands independent families);
+   * hyperplane indices are unbounded by the embedding dimension.
    */
-  def signBucket(emb: Column, bits: Int): Column =
-    array_join(transform(slice(emb, 1, bits),
+  def signBucket(emb: Column, bits: Int, first: Int = 0): Column =
+    graft.functions.GraftFunctions.rproj_bits(emb, first, bits, ProjSeed)
+
+  /** The pre-round-4 axis-aligned stand-in (sign pattern of dimensions
+    * [first, first+bits)) — kept ONLY as the comparison baseline for
+    * PipelineSpec's anisotropic-recall test; production paths use the
+    * seeded family above. */
+  private[graft] def axisSignBucket(emb: Column, bits: Int, first: Int = 0): Column =
+    array_join(transform(slice(emb, first + 1, bits),
       v => when(v >= 0, lit("1")).otherwise(lit("0"))), "")
 
   /**
    * Multi-band sign-LSH keys: `bands` hash tables, band b keyed by the
-   * sign pattern of dimensions [b*bits, (b+1)*bits) (disjoint slices =
-   * independent hyperplane families). Two vectors are candidates if ANY
-   * band matches — per-band collision probability for vectors at angle
-   * θ is (1-θ/π)^bits, and the union over bands lifts recall
-   * geometrically while each band's bucket population stays n/2^bits.
+   * sign pattern of seeded hyperplanes [b*bits, (b+1)*bits) (disjoint
+   * hyperplane blocks = independent families). Two vectors are
+   * candidates if ANY band matches — per-band collision probability
+   * for vectors at angle θ is (1-θ/π)^bits, and the union over bands
+   * lifts recall geometrically while each band's bucket population
+   * stays n/2^bits.
    *
    * Scale tuning (the two knobs move independently): `bits` controls
    * in-bucket population (the O(n²/2^bits) verify cost per band) —
@@ -84,23 +110,14 @@ object Similarity {
    * (n/65k per bucket); `bands` buys back the recall that finer
    * buckets cost — at cos≥0.95 duplicates, 16 bits x 8 bands gives
    * ~0.97 candidate recall (asserted against planted clusters in
-   * PipelineSpec). Requires bits*bands <= dim (64 here) — ENFORCED
-   * per row: a slice past the embedding length would yield a short or
-   * empty sign pattern, silently collapsing every vector into one
-   * bucket for the out-of-range band (an O(n²) join of meaningless
-   * candidates), so the key expression asserts the dimension instead.
-   * The `assert_true` rides inside the `concat_ws`, which skips its
-   * NULL (= passed) result — zero change to the key bytes.
+   * PipelineSpec). Hyperplanes are GENERATED from [[ProjSeed]], not
+   * sliced from the embedding, so bits*bands is NOT bounded by the
+   * embedding dimension — wider corpora simply use more hyperplanes.
    */
   def signBandKeys(emb: Column, bits: Int, bands: Int): Column = {
     require(bits > 0 && bands > 0, s"signBandKeys: bits=$bits bands=$bands must be positive")
-    val dimOk = assert_true(size(emb) >= bits * bands,
-      concat(lit(s"signBandKeys: bits*bands = ${bits * bands} exceeds embedding dim "),
-        size(emb).cast("string")))
     array((0 until bands).map { b =>
-      concat_ws("|", lit(b.toString),
-        array_join(transform(slice(emb, b * bits + 1, bits),
-          v => when(v >= 0, lit("1")).otherwise(lit("0"))), ""), dimOk)
+      concat_ws("|", lit(b.toString), signBucket(emb, bits, first = b * bits))
     }: _*)
   }
 
@@ -123,9 +140,17 @@ object Similarity {
    * `bits = 0` (default) derives bucket granularity from the corpus
    * ([[signLshAutoBits]]) so per-bucket population stays ~constant as
    * the corpus grows instead of degrading toward O(n²/2^bits).
+   *
+   * NOTE: auto-sizing runs an EAGER `count()` of `vecs` before the
+   * plan is built — free on a parquet-backed frame (metadata-only) but
+   * a full recompute of an uncached derived lineage, and an error on a
+   * streaming frame. Callers who know the cardinality pass `n` to skip
+   * the extra action (same option on [[semDedup]] / [[lshTopK]]).
    */
-  def signLshPairs(vecs: DataFrame, bits: Int = 0, bands: Int = 4): DataFrame = {
-    val bb = if (bits > 0) bits else signLshAutoBits(vecs.count())
+  def signLshPairs(vecs: DataFrame, bits: Int = 0, bands: Int = 4,
+      n: Long = -1L): DataFrame = {
+    val bb = if (bits > 0) bits
+      else signLshAutoBits(if (n >= 0) n else vecs.count())
     signLshPairsWithBits(vecs, bb, bands)
   }
 
@@ -211,13 +236,14 @@ object Similarity {
    * the cells are what keep the quadratic pairwise step tractable
    * (O(Σ |cell|²) ≪ O(n²)).
    *
-   * Cell key here is the deterministic sign bucket (`signBucket`, the
-   * engine-agnostic stand-in this repo uses everywhere an arbitrary
-   * seeded partitioner would appear); a real deployment uses k-means
-   * cluster ids with k ≈ √n — identical plan shape (cell equi-join),
-   * and `bits` is the cell-granularity knob (cells shrink 2× per bit,
-   * recall across cell boundaries is the price, exactly as k trades
-   * in SemDeDup).
+   * Cell key here is the seeded random-projection sign bucket
+   * ([[signBucket]] — `bits` Rademacher hyperplanes from [[ProjSeed]],
+   * so cells are angular regions, data-independent and deterministic);
+   * SemDeDup proper uses k-means cluster ids with k ≈ √n — identical
+   * plan shape (cell equi-join), data-adapted cells
+   * ([[semDedupKMeans]] provides that form). `bits` is the
+   * cell-granularity knob (cells shrink 2× per bit, recall across cell
+   * boundaries is the price, exactly as k trades in SemDeDup).
    *
    * Keep rule is greedy-by-min-id ("kept iff no LOWER-id cell-mate
    * within τ"), the same deterministic convention as the minhash
@@ -233,8 +259,12 @@ object Similarity {
    *
    * Output: (vec_id, cell, kept 0/1) — one row per input vector.
    */
-  def semDedup(vecs: DataFrame, tau: Double, bits: Int = 0): DataFrame = {
-    val b = if (bits > 0) bits else semDedupAutoBits(vecs.count())
+  def semDedup(vecs: DataFrame, tau: Double, bits: Int = 0,
+      n: Long = -1L): DataFrame = {
+    // bits = 0 auto-sizing pays one eager count() of `vecs` (see the
+    // signLshPairs note); pass `n` when the cardinality is known
+    val b = if (bits > 0) bits
+      else semDedupAutoBits(if (n >= 0) n else vecs.count())
     semDedupWithBits(vecs, tau, b)
   }
 
@@ -247,14 +277,73 @@ object Similarity {
     math.max(4, math.min(16,
       math.ceil(math.log(math.max(n, 1L).toDouble) / math.log(4.0) - 1e-9).toInt))
 
-  private def semDedupWithBits(vecs: DataFrame, tau: Double, bits: Int): DataFrame = {
+  private def semDedupWithBits(vecs: DataFrame, tau: Double, bits: Int): DataFrame =
+    semDedupOverCells(vecs, tau, signBucket(col("embedding"), bits))
+
+  /**
+   * SemDeDup with DATA-ADAPTED cells: k sampled centroids (k ≈ √n by
+   * default, the paper's sizing), every vector assigned to its nearest
+   * centroid (broadcast O(n·k) pass, the `ivfTopK` assignment shape),
+   * pairwise cosine + greedy keep-min-id within each cell. Versus the
+   * angular sign cells of [[semDedup]]: sampled centroids follow the
+   * data density, so on anisotropic embeddings (mass concentrated in a
+   * few directions) near-duplicates co-cell more often at the SAME cell
+   * count — PipelineSpec measures the within-τ recall gap on
+   * correlated planted clusters.
+   *
+   * Seeding is deterministic: centroids are the vectors with
+   * `vec_id % stride == 0`, stride = n/k — a uniform sample under the
+   * synthetic id space, the engine-agnostic analog of k-means++ seeds.
+   * `iters` Lloyd refinements are opt-in: each costs a posexplode
+   * shuffle of n·dim (pos, value) rows — the data-quality/shuffle
+   * trade a 100 TB run must choose explicitly, so the default is 0
+   * (assignment-only, no extra shuffle).
+   */
+  def semDedupKMeans(vecs: DataFrame, tau: Double, k: Int = 0,
+      iters: Int = 0, n: Long = -1L): DataFrame = {
+    val nn = if (n >= 0) n else vecs.count()
+    val kk = if (k > 0) k else math.max(4, math.ceil(math.sqrt(nn.toDouble) - 1e-9).toInt)
+    val stride = math.max(1L, nn / kk)
+    var cents = vecs.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"),
+        col("embedding").cast("array<double>").as("cv"))
+    val l2 = (a: Column, b: Column) => graft.functions.GraftFunctions.vec_l2(a, b)
+    def assign(v: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist").asc, col("cent_id").asc)
+      v.join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          l2(col("embedding"), col("cv")).as("dist"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    }
+    for (_ <- 1 to iters) {
+      // Lloyd step: mean per (cell, dim) — posexplode keeps the mean
+      // exact and engine-reproducible (fixed dim order on rebuild)
+      cents = assign(vecs)
+        .select(col("cell"), posexplode(col("embedding").cast("array<double>")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell")).agg(
+          array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cell").as("cent_id"),
+          transform(col("ps"), p => p.getField("m")).as("cv"))
+    }
+    semDedupOverCells(vecs, tau, cell = null, preAssigned = assign(vecs))
+  }
+
+  /** Shared SemDeDup core: cell the vectors (either by a cell-key
+    * expression over `embedding`, or a pre-assigned (vec_id, embedding,
+    * cell) frame), exact pairwise cosine within cells, keep-min-id. */
+  private def semDedupOverCells(vecs: DataFrame, tau: Double, cell: Column,
+      preAssigned: DataFrame = null): DataFrame = {
     // the celled projection feeds BOTH self-join sides and the final
     // keep join: persist lazily so the scan + norms + cells compute
     // once, release after the verdict table is checkpointed (same
     // discipline as Dedup.lshCandidatesFromSigs)
-    val c = vecs.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"),
-      signBucket(col("embedding"), bits).as("cell"))
+    val base = if (preAssigned != null) preAssigned
+      else vecs.select(col("vec_id"), col("embedding"), cell.as("cell"))
+    val c = base.select(col("vec_id"), col("embedding"), col("cell"),
+      norm(col("embedding")).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cosine computed inside the join projection: the exchange after
     // it carries (id, id) not the embedding arrays (cf. signLshPairs)
@@ -277,10 +366,12 @@ object Similarity {
   }
 
   def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, bits: Int = 0,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, n: Long = -1L): DataFrame = {
     // bits = 0 derives bucket granularity from the CORPUS side (the
-    // side whose per-bucket population the join cost follows)
-    val bb = if (bits > 0) bits else signLshAutoBits(corpus.count())
+    // side whose per-bucket population the join cost follows); the
+    // count is eager — pass `n` when known (see signLshPairs note)
+    val bb = if (bits > 0) bits
+      else signLshAutoBits(if (n >= 0) n else corpus.count())
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
       norm(col("embedding")).as("pn"),
       explode(signBandKeys(col("embedding"), bb, bands)).as("bucket"))

@@ -93,36 +93,145 @@ object TopicGraph {
   }
 
   /**
-   * Connected components by min-label propagation to a fixpoint: every
-   * node starts labeled with itself; each round takes the min of its
-   * own and its neighbors' labels (symmetrized edges). Converges in
-   * O(diameter) rounds — fine for the chain/clique graphs of dedup
-   * components; a graph with huge diameters would want the
-   * large-star/small-star contraction instead (same API, fewer rounds).
-   * Per-round persist + single count, checkpoint every 4 rounds to
-   * truncate the plan (same discipline as Redirects.transitiveClosure).
+   * Connected components: (node, label) with label = the component's
+   * minimum node. The distributed path is the LARGE-STAR/SMALL-STAR
+   * contraction of Kiveris et al. 2014 ("Connected Components in
+   * MapReduce and Beyond", SoCC'14) — each round rewires every node
+   * toward its neighborhood minimum, so the edge relation itself
+   * CONTRACTS toward stars centered at component minima: unlike
+   * min-label propagation (kept as [[connectedComponentsMinLabel]]),
+   * whose every round joins the full original edge set, the per-round
+   * shuffle here shrinks as components collapse, and convergence is
+   * O(log n) rounds on any topology. Small graphs take the driver
+   * union-find fast path (the same judgment that broadcasts a small
+   * join side).
    */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30,
       localThreshold: Long = 4000000L): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(lvl)
+    val nEdges = sym.count()
+    // Adaptive: below the threshold the component graph is a DRIVER
+    // problem — the distributed loop pays seconds of scheduling per
+    // round for microseconds of union-find work (measured 16s for a
+    // 3,209-edge graph vs 0.1s collected); dedup-component graphs are
+    // tiny next to the corpus by construction. The contraction path
+    // handles the genuinely large case (tested with localThreshold = 0).
+    if (nEdges <= localThreshold) {
+      val out = ccLocal(sym)
+      sym.unpersist(false)
+      return out
+    }
+    val out = ccContraction(sym, maxIter, nEdges)
+    sym.unpersist(false)
+    out
+  }
+
+  /**
+   * Alternating large-star/small-star rounds over the (already
+   * symmetrized, persisted) edge relation until the edge multiset is
+   * stable, then read the labels off the final stars.
+   *
+   *  - large-star(u): every neighbor v > u rewires to
+   *    m(u) = min(Γ(u) ∪ {u}) — (v, m) for (u,v) ∈ E, v > u;
+   *  - small-star(u), over edges oriented max→min: every (smaller)
+   *    neighbor AND u itself rewire to m(u) — halving pointer depth.
+   *
+   * Convergence = identical (count, XOR of xxhash64(src,dst)) two
+   * rounds running: exact at a fixpoint, and a false positive needs a
+   * 64-bit hash collision across differing sets (~2⁻⁶⁴ — the check
+   * stays one tiny aggregate instead of a per-round anti-join; XOR,
+   * not sum, because ANSI mode makes a Σ of 2⁶³-scale hashes a runtime
+   * overflow). At the fixpoint
+   * E is a forest of stars (paper, Thm 3.1): every non-minimum node
+   * has exactly the edge (v, component-min), so labels = E itself plus
+   * (center, center) rows.
+   */
+  private[graft] def ccContraction(sym: DataFrame, maxIter: Int,
+      nEdges: Long): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sess = sym.sparkSession
+    val parts = math.max(1, math.min(
+      sess.sparkContext.defaultParallelism, (nEdges / 50000L).toInt))
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbr = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = nbr.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      nbr.join(m, Seq("src"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val m = or.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      or.join(m, Seq("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(m.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // the loop's shuffles run at the graph's own parallelism (rounds
+    // are shuffle-latency-bound at dedup-graph sizes); session setting
+    // restored after — same discipline as the min-label loop
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      var e = sym
+      var eIsLoopOwned = false
+      var it = 0
+      var prevSig: (Long, Long) = null
+      var stable = false
+      while (!stable && it < maxIter) {
+        // checkpoint EVERY round: one round's plan references `e` four
+        // times (two stars × (neighbor union + min join)), so an
+        // unchecked plan multiplies ~16-25× per round — every-4-rounds
+        // lineage cuts (the min-label loop's cadence) left a plan tree
+        // whose explain string alone OOMed the driver
+        val next = smallStar(largeStar(e)).localCheckpoint(true)
+        it += 1
+        val sigRow = next
+          .agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
+        val sig = (sigRow.getLong(0),
+          if (sigRow.isNullAt(1)) 0L else sigRow.getLong(1))
+        stable = sig == prevSig
+        prevSig = sig
+        if (eIsLoopOwned) e.unpersist(false)
+        e = next
+        eIsLoopOwned = true
+      }
+      val out = e.select(col("src").as("node"), col("dst").as("label"))
+        .unionByName(e.select(col("dst").as("node"), col("dst").as("label")).distinct())
+        .distinct()
+        .localCheckpoint(true)
+      if (eIsLoopOwned) e.unpersist(false)
+      out
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /**
+   * Connected components by min-label propagation to a fixpoint: every
+   * node starts labeled with itself; each round takes the min of its
+   * own and its neighbors' labels (symmetrized edges) with pointer
+   * jumping. The pre-round-4 distributed default, kept as the
+   * cross-check twin for [[ccContraction]] (PipelineSpec asserts
+   * equality on chains, cliques, and random graphs): every round here
+   * joins the FULL original edge relation, where contraction's rounds
+   * shrink — the reason contraction is now the default.
+   */
+  private[graft] def connectedComponentsMinLabel(edges: DataFrame,
+      maxIter: Int = 30): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(lvl)
     val nEdges = sym.count()
     val sess = edges.sparkSession
-    // Adaptive: below the threshold the component graph is a DRIVER
-    // problem — the same judgment that broadcasts a small join side.
-    // The distributed loop pays seconds of scheduling per round for
-    // microseconds of actual union-find work (measured 16s for a
-    // 3,209-edge graph vs 0.1s collected); dedup-component graphs are
-    // tiny next to the corpus by construction. The distributed path
-    // below handles the genuinely large case (and is tested by forcing
-    // localThreshold = 0).
-    if (nEdges <= localThreshold) {
-      val out = ccLocal(sym)
-      sym.unpersist(false) // collected inside ccLocal; result is local
-      return out
-    }
     val parts = math.max(1, math.min(
       sess.sparkContext.defaultParallelism, (nEdges / 50000L).toInt))
     val symWide = sym

@@ -11,7 +11,13 @@ import org.apache.spark.sql.functions._
  */
 object Triples {
 
-  def mentionTriples(files: Dataset[CodeFile], dict: Map[String, String]): DataFrame = {
+  /** `recoverStraddlers` opts into the overlap-window segmenter
+    * (Segmenter.sentencesWithMentions): default keeps reference
+    * containment parity (R ≈ 0.988 on the bench corpus — the
+    * window-straddling loss, accounted exactly in CodeParserSpec);
+    * opt-in recovers those mentions (P stays 1.0, R ≥ 0.995). */
+  def mentionTriples(files: Dataset[CodeFile], dict: Map[String, String],
+      recoverStraddlers: Boolean = false): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
     val dictB = spark.sparkContext.broadcast(dict)
@@ -38,7 +44,9 @@ object Triples {
     val mentions = files.flatMap { f =>
       val p = graft.parse.CodeParser.parse(f, dictB.value)
       if (p.aliasTarget.isDefined) Iterator.empty[(String, String)]
-      else graft.parse.Segmenter.sentencesWithMentions(p).iterator.map(m => (m.uri, m.target))
+      else graft.parse.Segmenter
+        .sentencesWithMentions(p, recoverStraddlers = recoverStraddlers)
+        .iterator.map(m => (m.uri, m.target))
     }.toDF("uri", "target")
 
     mentions

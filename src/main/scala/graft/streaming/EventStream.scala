@@ -270,9 +270,15 @@ object EventStream {
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema: StructType = spark.read.parquet(s"$sfDir/events.parquet").schema
     val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    val link = dir.resolve("events.parquet")
     java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+      link, java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    // test-only surface: reap the per-call scratch dir at JVM exit.
+    // deleteOnExit deletes in REVERSE registration order, so register
+    // the dir first and the link second — the link goes first at exit,
+    // leaving the dir empty when its own hook runs
+    dir.toFile.deleteOnExit()
+    link.toFile.deleteOnExit()
     spark.readStream.schema(schema).parquet(dir.toString)
   }
 }

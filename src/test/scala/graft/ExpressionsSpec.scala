@@ -176,4 +176,62 @@ class ExpressionsSpec extends AnyFunSuite {
       .collect().head
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0 && r.getDouble(2) == 5.0)
   }
+
+  test("rproj_bits matches an independent Scala evaluation of the seeded family") {
+    val seed = graft.pipeline.Similarity.ProjSeed
+    val vecs = Seq(
+      (0L, Array(1f, -2f, 3.5f, 0f, -0.25f, 7f, -1f, 2f)),
+      (1L, Array.fill(8)(0f)), // zero vector: every projection sum = 0 -> all '1'
+      (2L, Array(-3f, 1f, 4f, -1f, 5f, -9f, 2f, 6f)))
+    def expected(v: Array[Float], first: Int, bits: Int): String =
+      (0 until bits).map { j =>
+        val acc = v.indices.foldLeft(0.0)((a, d) =>
+          a + GraftFunctions.rademacher(seed, first + j, d) * v(d))
+        if (acc >= 0) '1' else '0'
+      }.mkString
+    val got = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        GraftFunctions.rproj_bits(col("embedding"), 0, 12, seed).as("b0"),
+        GraftFunctions.rproj_bits(col("embedding"), 24, 6, seed).as("b24"))
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id)._1 == expected(v, 0, 12), s"vec $id block0")
+      assert(got(id)._2 == expected(v, 24, 6), s"vec $id block24")
+    }
+    assert(got(1L)._1 == "1" * 12)
+    // hyperplane blocks are independent: block 24 is not a substring
+    // reuse of block 0 for a generic vector
+    assert(got(0L)._2 != got(0L)._1.take(6) || got(2L)._2 != got(2L)._1.take(6))
+  }
+
+  test("rproj_bits runs in codegen, handles nulls, and registers for SQL") {
+    // two consumers of `a` keep CollapseProject from folding the HOF
+    // array build into the rproj Project (as in the vec_* codegen test)
+    val df = spark.range(4).select(
+      transform(sequence(lit(1), lit(16)), i => (i * (col("id") + 1) - 8).cast("float")).as("a"))
+      .select(GraftFunctions.rproj_bits(col("a"), 0, 8, 42L).as("b"),
+        GraftFunctions.rproj_bits(col("a"), 8, 8, 42L).as("b2"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[rproj_bits""".r.findFirstIn(plan).isDefined, plan)
+    assert(df.as[(String, String)].collect()
+      .forall(r => r._1.matches("[01]{8}") && r._2.matches("[01]{8}")))
+    GraftFunctions.register(spark)
+    // null array and null element -> null
+    val nulls = spark.sql(
+      "SELECT rproj_bits(CAST(NULL AS ARRAY<DOUBLE>), 0, 4, 42), " +
+        "rproj_bits(CAST(array(1.0, NULL) AS ARRAY<DOUBLE>), 0, 4, 42)")
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    // SQL form equals the Column form on the same input
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT rproj_bits(CAST(array(1.0,-2.0,3.0) AS ARRAY<DOUBLE>), 2, 6, 7) AS b")
+      .as[String].head()
+    val viaCol = Seq(Tuple1(Array(1.0, -2.0, 3.0))).toDF("a")
+      .select(GraftFunctions.rproj_bits(col("a"), 2, 6, 7L).as("b")).as[String].head()
+    assert(viaSql == viaCol)
+    // non-array input rejected at analysis
+    intercept[Exception] { spark.sql("SELECT rproj_bits('x', 0, 4, 1)").collect() }
+  }
 }

@@ -166,6 +166,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(inter / want.size >= 0.95, "recall")
   }
 
+  test("window-straddling loss is accounted exactly; overlap opt-in recovers it (P=1.0, R>=0.995)") {
+    import graft.functions.TextFunctions
+    val slice = CorpusGen.generate(2048)
+    val files = spark.createDataset(slice.map(_.file))
+    val want = slice.filter(_.aliasTarget.isEmpty).flatMap { g =>
+      g.mentions.map { m =>
+        (TextFunctions.nameToUri(s"${g.file.repo}/${g.file.path}", g.file.lang),
+          TextFunctions.nameToUri(CorpusGen.resolveName(m.label), g.file.lang))
+      }
+    }.distinct.toDF("subj", "obj")
+    val gotDefault = Triples.mentionTriples(files, CorpusGen.dictionary)
+    val gotOverlap = Triples.mentionTriples(files, CorpusGen.dictionary,
+      recoverStraddlers = true)
+    val (pD, rD) = Triples.precisionRecall(gotDefault, want)
+    val (pO, rO) = Triples.precisionRecall(gotOverlap, want)
+    assert(pD == 1.0, f"default precision $pD%.4f")
+    assert(pO == 1.0, f"overlap precision $pO%.4f")
+    assert(rD < 1.0, "corpus must actually plant straddling mentions")
+    assert(rO >= 0.995, f"overlap recall $rO%.4f < 0.995")
+    // EXACT loss accounting: the pairs missing under default windows
+    // are precisely the pairs the overlap segmenter adds back — the
+    // whole 1−R deficit is window straddling, nothing else
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "obj").as[(String, String)].collect().toSet
+    val missing = pairs(want) -- pairs(gotDefault)
+    val added = pairs(gotOverlap) -- pairs(gotDefault)
+    assert(missing == added,
+      s"unaccounted loss: missing-not-added=${(missing -- added).take(3)} " +
+        s"added-not-missing=${(added -- missing).take(3)}")
+    assert(missing.size == math.round((1.0 - rD) * pairs(want).size))
+    // mention-level: the overlap segmenter recovers every straddler
+    // (each planted mention fits a fresh window anchored at its token)
+    val dict = CorpusGen.dictionary
+    slice.filter(_.aliasTarget.isEmpty).take(400).foreach { g =>
+      val p = graft.parse.CodeParser.parse(g.file, dict)
+      val dflt = graft.parse.Segmenter.sentencesWithMentions(p)
+      val ovlp = graft.parse.Segmenter.sentencesWithMentions(p, recoverStraddlers = true)
+      assert(ovlp.map(_.target).toSet == p.mentions.map(_.label).toSet,
+        s"${g.file.path}: overlap mode missed a mention")
+      assert(dflt.map(_.target).toSet.subsetOf(ovlp.map(_.target).toSet))
+    }
+  }
+
   test("alias edges from corpus match planted alias goldens") {
     val corpus = CorpusGen.generate(512)
     val files = spark.createDataset(corpus.map(_.file))
@@ -270,8 +313,13 @@ class PipelineSpec extends AnyFunSuite {
     val bands = 3
     val got = Similarity.signLshPairs(vecs.toDF("vec_id", "embedding"), bits, bands)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // independent JVM restatement of the seeded Rademacher projection
     def key(v: Array[Float], b: Int) =
-      (b * bits until (b + 1) * bits).map(d => if (v(d) >= 0) '1' else '0').mkString
+      (b * bits until (b + 1) * bits).map { h =>
+        val acc = v.indices.foldLeft(0.0)((a, d) =>
+          a + graft.functions.GraftFunctions.rademacher(Similarity.ProjSeed, h, d) * v(d))
+        if (acc >= 0) '1' else '0'
+      }.mkString
     val want = (for {
       (a, va) <- vecs; (b, vb) <- vecs
       if a < b
@@ -541,6 +589,27 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap == want)
   }
 
+  test("star contraction equals min-label propagation and union-find on chain + clique") {
+    // the two topology extremes: a 40-link chain (diameter 40 — where
+    // plain propagation needs the most rounds) and a 12-clique (densest
+    // neighborhoods), plus a union of both and singleton-pair noise
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val clique = for (a <- 100L until 112L; b <- (a + 1) until 112L) yield (a, b)
+    val pairs = Seq((500L, 501L), (601L, 600L))
+    val edges = (chain ++ clique ++ pairs).toDF("src", "dst")
+    val want = (0L to 40L).map(_ -> 0L) ++ (100L until 112L).map(_ -> 100L) ++
+      Seq(500L -> 500L, 501L -> 500L, 600L -> 600L, 601L -> 600L)
+    val contraction = TopicGraph.connectedComponents(edges, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    val minLabel = TopicGraph.connectedComponentsMinLabel(edges)
+      .as[(Long, Long)].collect().toMap
+    val local = TopicGraph.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(contraction == want.toMap, "contraction path")
+    assert(minLabel == want.toMap, "min-label path")
+    assert(local == want.toMap, "driver union-find path")
+  }
+
   test("range join matches a naive theta join on bucket boundaries") {
     import java.sql.Timestamp
     def t(s: String) = Timestamp.valueOf(s)
@@ -727,12 +796,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size == 2)
   }
 
-  test("semDedup: in-cell near-duplicate dropped, cross-cell twin kept") {
-    // v0/v1: same cell (signs ++++), cosine ~1 -> v1 dropped, v0 kept
-    // v2: near-copy of v0 but first sign flipped -> different cell,
-    //     kept even though cosine to v0 is high (the documented
-    //     cell-boundary recall trade, exactly SemDeDup's)
-    // v3: same cell as v0, orthogonal-ish -> kept
+  test("semDedup: in-cell near-duplicate dropped, sub-threshold cell-mates kept") {
+    // seeded-projection cells (4 bits over ProjSeed hyperplanes):
+    // v0/v1: cos ~1, co-celled -> v1 dropped, v0 (min id) kept
+    // v2: cos(v0,v2) = 89/91 ≈ 0.978 < tau -> kept though co-celled
+    //     (the threshold, not the cell boundary, makes this call)
+    // v3: near-orthogonal to v0 -> its own cell, kept
     val vecs = Seq(
       (0L, Array(1f, 2f, 3f, 4f, 5f, 6f)),
       (1L, Array(1.01f, 2f, 3f, 4f, 5f, 6f)),
@@ -742,7 +811,7 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, String, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(got(0L)._2 == 1 && got(1L)._2 == 0)
     assert(got(2L)._2 == 1 && got(3L)._2 == 1)
-    assert(got(0L)._1 == got(1L)._1 && got(0L)._1 != got(2L)._1)
+    assert(got(0L)._1 == got(1L)._1 && got(0L)._1 != got(3L)._1)
   }
 
   test("semDedup auto-bits: cells ≈ √n, clamped [4,16]; max cell population shrinks with bits") {
@@ -753,9 +822,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.semDedupAutoBits(2000) == 6)     // q77 @ sf0.1
     assert(Similarity.semDedupAutoBits(1L << 20) == 10)
     assert(Similarity.semDedupAutoBits(Long.MaxValue / 2) == 16) // clamp
-    // more bits -> strictly finer cells on a sign-diverse corpus: the
-    // scale guarantee the auto default buys (in-cell pairwise is
-    // O(max_pop) per row)
+    // more bits -> finer cells on a sign-diverse corpus: the scale
+    // guarantee the auto default buys (in-cell pairwise is O(max_pop)
+    // per row). Exact populations are family-dependent (seeded random
+    // projections, not axis slices), so assert the shrinkage itself.
     val vecs = (0 until 512).map { i =>
       (i.toLong, (0 until 12).map(j =>
         if (((i >> j) & 1) == 1) 1f else -1f).toArray)
@@ -763,10 +833,11 @@ class PipelineSpec extends AnyFunSuite {
     def maxPop(bits: Int): Long = vecs
       .groupBy(Similarity.signBucket(col("embedding"), bits).as("cell"))
       .agg(count(lit(1)).as("n")).agg(max(col("n"))).as[Long].head()
-    assert(maxPop(4) == 32 && maxPop(8) == 2,
-      "cell granularity must follow bits")
+    val (p4, p8) = (maxPop(4), maxPop(8))
+    assert(p8 < p4, s"cell granularity must follow bits ($p4 -> $p8)")
+    assert(p8 <= 64, s"8 projection bits left a $p8-vector cell on 512 sign-diverse vectors")
     // the auto default picks 5 bits for n=512 (2^5 = 32 >= sqrt(512))
-    assert(Similarity.semDedupAutoBits(512) == 5 && maxPop(5) == 16)
+    assert(Similarity.semDedupAutoBits(512) == 5 && maxPop(5) <= p4)
   }
 
   test("signLshAutoBits: ~8 vectors per bucket per band, clamped [4,16]") {
@@ -832,19 +903,121 @@ class PipelineSpec extends AnyFunSuite {
     assert(agg.values.forall(_.size == 16))
   }
 
-  test("signBandKeys enforces bits*bands <= dim (out-of-range band would collapse buckets)") {
-    val vecs = Seq((1L, Array.fill(8)(1f))).toDF("vec_id", "embedding")
-    // boundary OK: 4 bits x 2 bands = 8 = dim
-    assert(vecs.select(explode(Similarity.signBandKeys(col("embedding"), 4, 2)))
-      .count() == 2)
-    // past the dim: the key expression must FAIL, not degrade to one bucket
-    val ex = intercept[Exception] {
-      vecs.select(explode(Similarity.signBandKeys(col("embedding"), 8, 2))).collect()
-    }
-    assert(ex.getMessage != null)
+  test("signBandKeys: hyperplanes are generated, so bits*bands may exceed dim") {
+    // the pre-round-4 axis-aligned family sliced the embedding and had
+    // to HARD-FAIL past the dimension (a short slice silently collapsed
+    // buckets); the seeded family draws hyperplanes from ProjSeed, so
+    // 8 bits x 2 bands over an 8-dim vector is simply 16 hyperplanes
+    val vecs = Seq((1L, Array.fill(8)(1f)), (2L, Array.fill(8)(-1f)))
+      .toDF("vec_id", "embedding")
+    val keys = vecs.select(col("vec_id"),
+        explode(Similarity.signBandKeys(col("embedding"), 8, 2)).as("k"))
+      .as[(Long, String)].collect()
+    assert(keys.length == 4) // 2 vectors x 2 bands
+    assert(keys.forall { case (_, k) => k.matches("[01]\\|[01]{8}") })
+    // deterministic: a second evaluation emits byte-identical keys
+    val again = vecs.select(col("vec_id"),
+        explode(Similarity.signBandKeys(col("embedding"), 8, 2)).as("k"))
+      .as[(Long, String)].collect()
+    assert(keys.sorted.sameElements(again.sorted))
+    // the two (opposite) vectors do not share every band key: a
+    // projection sum flips sign with the vector except at exact zero
+    val byVec = keys.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byVec(1L) intersect byVec(2L)).size < 2)
     intercept[IllegalArgumentException] {
       Similarity.signBandKeys(col("embedding"), 0, 4)
     }
+  }
+
+  test("seeded family beats axis-aligned signs on ANISOTROPIC planted clusters") {
+    // the round-3 axis-aligned stand-in keyed band b on raw dims
+    // [b*bits, (b+1)*bits) — on real (correlated) embeddings those
+    // leading dims may carry no cluster signal at all, and recall
+    // silently collapses. Planted corpus: dims 0..31 are pure per-member
+    // noise signs (exactly what axis bands 0..3 @ 8 bits read), the
+    // cluster identity lives ONLY in dims 32..63.
+    val rnd = new scala.util.Random(7)
+    def member(center: Array[Float]): Array[Float] = {
+      val v = new Array[Float](64)
+      var d = 0
+      while (d < 32) { v(d) = (if (rnd.nextBoolean()) 0.5f else -0.5f); d += 1 }
+      while (d < 64) { v(d) = center(d - 32) + rnd.nextGaussian().toFloat * 0.3f; d += 1 }
+      v
+    }
+    val clusters = (0 until 20).map { _ =>
+      Array.fill(32)((if (rnd.nextBoolean()) 3f else -3f))
+    }
+    val vecs = clusters.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 10).map(m => ((ci * 10 + m).toLong, member(c)))
+    }.toDF("vec_id", "embedding")
+    val wanted = (0 until 20).flatMap { ci =>
+      val ids = (0 until 10).map(m => (ci * 10 + m).toLong)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    val seeded = Similarity.signLshPairs(vecs, bits = 8, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the axis-aligned baseline, banded exactly as the old family was
+    val axisKeyed = vecs.select(col("vec_id"), explode(array((0 until 4).map(b =>
+        concat_ws("|", lit(b.toString),
+          Similarity.axisSignBucket(col("embedding"), 8, first = b * 8))): _*)).as("bucket"))
+    val axis = axisKeyed.as("a").join(axisKeyed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id")).distinct()
+      .as[(Long, Long)].collect().toSet
+    val rSeeded = wanted.count(seeded.contains).toDouble / wanted.size
+    val rAxis = wanted.count(axis.contains).toDouble / wanted.size
+    assert(rSeeded >= 0.85, f"seeded recall $rSeeded%.3f < 0.85")
+    assert(rAxis <= 0.3, f"axis family unexpectedly strong ($rAxis%.3f) — test corpus broken")
+    assert(rSeeded - rAxis >= 0.4,
+      f"seeded $rSeeded%.3f vs axis $rAxis%.3f: gap not demonstrated")
+  }
+
+  test("semDedupKMeans: data-adapted cells co-cell more within-tau pairs than sign cells") {
+    // tight planted clusters. At EQUAL cell count (16 sign cells =
+    // 4 bits vs k = 16 sampled centroids), Voronoi cells of sampled
+    // seeds keep near-identical mates together (the uniform id-sample
+    // lands ~one seed per dense cluster, and mates only separate
+    // across a Voronoi boundary), while 4 angular projection signs at
+    // cos≈0.97 disagree on ≥1 bit for ~25% of mate pairs.
+    val rnd = new scala.util.Random(11)
+    def member(center: Array[Float]): Array[Float] =
+      center.map(c => c + rnd.nextGaussian().toFloat * 0.35f)
+    val clusters = (0 until 16).map(_ => Array.fill(64)((if (rnd.nextBoolean()) 2f else -2f)))
+    val rows = clusters.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 8).map(m => ((ci * 8 + m).toLong, member(c)))
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val tau = 0.9
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val byId = rows.toMap
+    val truePairs = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      if cos(byId(a), byId(b)) >= tau
+    } yield (a, b)).toSet
+    assert(truePairs.size >= 100, s"corpus too sparse: ${truePairs.size} true pairs")
+    def coCelled(cells: Map[Long, String]): Double =
+      truePairs.count { case (a, b) => cells(a) == cells(b) }.toDouble / truePairs.size
+    val signCells = vecs.select(col("vec_id"),
+        Similarity.signBucket(col("embedding"), 4).as("cell"))
+      .as[(Long, String)].collect().toMap
+    // k-means cells read off the semDedupKMeans output (cell column)
+    val kmCells = Similarity.semDedupKMeans(vecs, tau = tau, k = 16)
+      .select(col("vec_id"), col("cell").cast("string"))
+      .as[(Long, String)].collect().toMap
+    val (rSign, rKm) = (coCelled(signCells), coCelled(kmCells))
+    assert(rKm > rSign,
+      f"k-means cells $rKm%.3f must beat sign cells $rSign%.3f at equal cell count")
+    assert(rKm >= 0.8, f"k-means co-cell recall too low: $rKm%.3f")
+    // and the dedup verdict itself: kmeans drops at least as many
+    // true duplicates' worth of rows as the sign-cell form
+    val keptSign = Similarity.semDedup(vecs, tau = tau, bits = 4)
+      .filter(col("kept") === 0).count()
+    val keptKm = Similarity.semDedupKMeans(vecs, tau = tau, k = 16)
+      .filter(col("kept") === 0).count()
+    assert(keptKm >= keptSign)
   }
 
   test("incremental dedup over two batches equals the one-shot full-corpus search") {

@@ -236,4 +236,29 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 shuffles, got $exchanges:\n$p2")
     assert(!p2.contains("SinglePartition"), p2)
   }
+
+  test("mentions-stage plan has ONE object boundary (no counting-map sandwich)") {
+    // Main used to thread a dedicated counting `.map` between the scan
+    // and every consuming stage — a full DeserializeToObject ->
+    // MapElements -> SerializeFromObject pass per stage just for a
+    // side-effecting counter. The counter now lives inside the parse
+    // flatMap itself; the stage plan must deserialize exactly once.
+    import spark.implicits._
+    val counter = spark.sparkContext.longAccumulator("files_parsed")
+    val dictB = spark.sparkContext.broadcast(graft.fixtures.CorpusGen.dictionary)
+    val files = spark.createDataset(
+      graft.fixtures.CorpusGen.generate(64).map(_.file)).toDF()
+    val stage = files.as[graft.core.CodeFile].flatMap { f =>
+      counter.add(1)
+      val p = graft.parse.CodeParser.parse(f, dictB.value)
+      if (p.aliasTarget.isDefined) Iterator.empty[graft.core.Mention]
+      else graft.parse.Segmenter.sentencesWithMentions(p)
+    }.toDF()
+    assert(stage.count() > 0 && counter.value == 64)
+    val p = stage.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val deser = p.linesIterator.count(_.contains("DeserializeToObject"))
+    val mapEl = p.linesIterator.count(_.contains("MapElements"))
+    assert(deser == 1, s"expected 1 DeserializeToObject, got $deser:\n$p")
+    assert(mapEl == 0, s"counting MapElements crept back into the stage:\n$p")
+  }
 }

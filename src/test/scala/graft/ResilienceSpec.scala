@@ -124,6 +124,28 @@ class ResilienceSpec extends AnyFunSuite {
     assert(manifest.contains("\"lineage\""))
   }
 
+  test("a truncated manifest reads as uncommitted and the stage recomputes") {
+    // a crash mid-commit (or a non-atomic copy from an older writer)
+    // must never let resume trust a garbage lineage record
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-trunc").toString
+    val computeCalls = new AtomicInteger(0)
+    def run(): Long = new Checkpoints(spark, dir).runStage("s") {
+      computeCalls.incrementAndGet()
+      spark.range(50).toDF()
+    }.count()
+    assert(run() == 50 && computeCalls.get() == 1)
+    val mf = java.nio.file.Paths.get(s"$dir/s/_MANIFEST")
+    val full = java.nio.file.Files.readString(mf)
+    // simulate the torn write: first half of the manifest only
+    java.nio.file.Files.writeString(mf, full.take(full.length / 2))
+    assert(!new Checkpoints(spark, dir).isCommitted("s"))
+    assert(run() == 50)
+    assert(computeCalls.get() == 2, "truncated manifest must force recompute")
+    // the recompute recommitted atomically: manifest complete again
+    assert(new Checkpoints(spark, dir).isCommitted("s"))
+    assert(run() == 50 && computeCalls.get() == 2)
+  }
+
   test("dedup stage pair resumes: keep list rebuilt from the committed sig index") {
     // the Main `dedup` stage shape: sign once (index), derive keep list;
     // a crash after the index commit must NOT re-sign the corpus

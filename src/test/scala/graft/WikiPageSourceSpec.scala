@@ -50,6 +50,51 @@ class WikiPageSourceSpec extends AnyFunSuite {
     assert(got.toSet == want.toSet)
   }
 
+  test("gzip dump reads through the codec path with identical records") {
+    // a .gz file gets ONE whole-stream range (no mid-stream entry
+    // points) and must yield exactly the uncompressed multiset
+    val (path, want) = makeDump(400)
+    val gz = java.io.File.createTempFile("graft-dump", ".xml.gz")
+    gz.deleteOnExit()
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(gz))
+    try out.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    finally out.close()
+    val df = spark.read.format(classOf[graft.io.WikiPageSource].getName)
+      .option("splitBytes", 4096).load(gz.getPath)
+    assert(df.rdd.getNumPartitions == 1, "compressed file must not split")
+    val got = df.as[(String, String)].collect()
+    assert(got.length == want.size && got.toSet == want.toSet)
+  }
+
+  test("explicit Hadoop file: URI and a directory of files both read") {
+    val (p1, w1) = makeDump(50)
+    // via an explicit file: scheme (the Hadoop FS routing, not java.io)
+    val viaUri = spark.read.format(classOf[graft.io.WikiPageSource].getName)
+      .load("file:" + p1).as[(String, String)].collect().toSet
+    assert(viaUri == w1.toSet)
+    // a directory input lists its files through the FileSystem API
+    val dir = java.nio.file.Files.createTempDirectory("graft-dumps")
+    dir.toFile.deleteOnExit()
+    val (p2, w2) = makeDump(60)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(p1), dir.resolve("a.xml"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(p2), dir.resolve("b.xml"))
+    val viaDir = spark.read.format(classOf[graft.io.WikiPageSource].getName)
+      .option("splitBytes", 2048).load(dir.toString)
+      .as[(String, String)].collect()
+    assert(viaDir.length == w1.size + w2.size)
+    assert(viaDir.toSet == (w1 ++ w2).toSet)
+  }
+
+  test("a caller-supplied schema that differs from the fixed one is rejected") {
+    val (path, _) = makeDump(5)
+    val ex = intercept[Exception] {
+      spark.read.format(classOf[graft.io.WikiPageSource].getName)
+        .schema("page string, body string").load(path).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("range split equals the single-range read (boundary invariance)") {
     val (path, _) = makeDump(300)
     val one = spark.read.format(classOf[graft.io.WikiPageSource].getName)
