@@ -95,12 +95,12 @@ object Bench {
 
     // triple P/R vs the planted golden oracle (north-rule headline
     // criterion, P/R >= 0.95) on a 4096-file slice of the same corpus
-    val (prP, prR) = {
+    val (prP, prR, prPOv, prROv) = {
       val s = newSession(math.max(cpus / 4, 2))
       import s.implicits._
       val slice = CorpusGen.generate(4096)
-      val got = graft.pipeline.Triples.mentionTriples(
-        s.createDataset(slice.map(_.file)), CorpusGen.dictionary)
+      val files = s.createDataset(slice.map(_.file))
+      val got = graft.pipeline.Triples.mentionTriples(files, CorpusGen.dictionary)
       val want = slice.filter(_.aliasTarget.isEmpty).flatMap { g =>
         g.mentions.map { m =>
           (graft.functions.TextFunctions.nameToUri(s"${g.file.repo}/${g.file.path}", g.file.lang),
@@ -110,8 +110,13 @@ object Bench {
         }
       }.distinct.toDF("subj", "obj")
       val pr = graft.pipeline.Triples.precisionRecall(got, want)
+      // the opt-in overlap segmenter must close the window-straddling
+      // recall gap on this exact slice (P stays 1.0, R >= 0.995)
+      val gotOv = graft.pipeline.Triples.mentionTriples(files,
+        CorpusGen.dictionary, recoverStraddlers = true)
+      val prOv = graft.pipeline.Triples.precisionRecall(gotOv, want)
       s.stop()
-      pr
+      (pr._1, pr._2, prOv._1, prOv._2)
     }
 
     // ---- per-query timings at the requested parallelism ----
@@ -168,7 +173,8 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":""" + qs +
         s""","sf":"$sfDir","throughput":{"files":$nFiles,"triples":$nTriples,""" +
         scalingJson + "}," + sf1Json +
-        f""""triple_precision":$prP%.4f,"triple_recall":$prR%.4f}"""
+        f""""triple_precision":$prP%.4f,"triple_recall":$prR%.4f,""" +
+        f""""triple_precision_overlap":$prPOv%.4f,"triple_recall_overlap":$prROv%.4f}"""
     println(line)
     // the driver tail-captures stdout; persist the full record too so
     // every per-query timing survives (judge round-2 ask)

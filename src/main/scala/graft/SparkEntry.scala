@@ -969,6 +969,15 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"),
           round(col("logprob"), 6).as("logprob_r6"))),
 
+    "q87_semdedup_kmeans" -> ((s, d) =>
+      // SemDeDup with DATA-ADAPTED cells (the paper's own k-means
+      // form): k ≈ √n sampled centroids (deterministic id stride),
+      // broadcast O(n·k) nearest-centroid assignment (the q52 IVF
+      // shape), exact pairwise cosine within cells, greedy
+      // keep-min-id; q77 is the projection-cell (data-independent)
+      // twin — same plan shape, cells trade recall differently
+      Similarity.semDedupKMeans(Tables.embeddings(s, d), tau = 0.25)),
+
     "q83_quality_classifier" -> ((s, d) =>
       // fixed-weight logistic quality filter (fastText-filter stand-in;
       // a trained model is just a different weight vector) over the
@@ -1767,6 +1776,38 @@ object SparkEntry {
          |JOIN m ma ON ma.surface = a.surface
          |JOIN m mb ON mb.surface = b.surface
          |GROUP BY a.surface, b.surface, ma.n, mb.n""".stripMargin,
+
+    "q87_semdedup_kmeans" ->
+      // restates Similarity.semDedupKMeans: k = max(4, ceil(√n)),
+      // centroids = vectors at id stride n/k (integer division),
+      // nearest-centroid assignment (L2 asc, cent_id asc tie-break —
+      // the q52 pattern), then the q77 in-cell drop rule (nrm guards
+      // restate the zero-vector cosine convention)
+      """WITH p AS (
+        | SELECT greatest(4, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)) - 1e-9) AS INT)) AS k,
+        |   CAST(count(*) AS BIGINT) AS c
+        | FROM embeddings),
+        |st AS (SELECT greatest(1, c // k) AS stride FROM p),
+        |cents AS (
+        | SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        | FROM embeddings WHERE vec_id % (SELECT stride FROM st) = 0),
+        |assign AS (
+        | SELECT vec_id, embedding, cell FROM (
+        |  SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+        |   row_number() OVER (PARTITION BY e.vec_id
+        |     ORDER BY list_distance(e.embedding::DOUBLE[], c.cv) ASC, c.cent_id ASC) AS rk
+        |  FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+        |cc AS (
+        | SELECT vec_id, embedding, cell,
+        |  sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v*v))) AS nrm
+        | FROM assign),
+        |drops AS (
+        | SELECT DISTINCT b.vec_id
+        | FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        | WHERE a.nrm > 0 AND b.nrm > 0
+        |   AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25)
+        |SELECT cc.vec_id, cc.cell, CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+        |FROM cc LEFT JOIN drops d ON cc.vec_id = d.vec_id""".stripMargin,
 
     "q77_semdedup" ->
       // the nrm > 0 guards restate the engine's zero-vector convention
