@@ -182,7 +182,13 @@ object TopicGraph {
     val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions", parts)
     try {
-      var e = sym
+      // node universe BEFORE dropping self-loops: a node whose only
+      // edge is (a, a) forms its own component and must appear in the
+      // output (as it does on the union-find and min-label paths), but
+      // the star rounds erase self-loops — restore such nodes at the end
+      val nodes = sym.select(col("src").as("node")).distinct()
+        .localCheckpoint(true)
+      var e = sym.filter(col("src") =!= col("dst"))
       var eIsLoopOwned = false
       var it = 0
       var prevSig: (Long, Long) = null
@@ -205,9 +211,16 @@ object TopicGraph {
         e = next
         eIsLoopOwned = true
       }
-      val out = e.select(col("src").as("node"), col("dst").as("label"))
-        .unionByName(e.select(col("dst").as("node"), col("dst").as("label")).distinct())
-        .distinct()
+      // read labels off the stars; the min-agg guarantees ONE row per
+      // node even if maxIter exhausted before a true fixpoint (then
+      // labels are best-effort minima rather than silently duplicated),
+      // and the anti-join restores isolated (self-loop-only) nodes
+      val star = e.select(col("src").as("node"), col("dst").as("label"))
+        .unionByName(e.select(col("dst").as("node"), col("dst").as("label")))
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+      val out = star
+        .unionByName(nodes.join(star.select(col("node")), Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("label")))
         .localCheckpoint(true)
       if (eIsLoopOwned) e.unpersist(false)
       out

@@ -608,6 +608,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(contraction == want.toMap, "contraction path")
     assert(minLabel == want.toMap, "min-label path")
     assert(local == want.toMap, "driver union-find path")
+    // self-loop-only nodes are their own components on EVERY path (the
+    // star rounds erase self-loops; the node-universe anti-join restores
+    // them), and exactly one row per node comes back
+    val withLoops = (chain ++ Seq((900L, 900L), (901L, 901L))).toDF("src", "dst")
+    val gotLoops = TopicGraph.connectedComponents(withLoops, localThreshold = 0)
+      .as[(Long, Long)].collect()
+    assert(gotLoops.length == gotLoops.map(_._1).distinct.length, "duplicate node rows")
+    val loopMap = gotLoops.toMap
+    assert(loopMap(900L) == 900L && loopMap(901L) == 901L)
+    assert((0L to 40L).forall(loopMap(_) == 0L))
   }
 
   test("range join matches a naive theta join on bucket boundaries") {
@@ -1018,6 +1028,15 @@ class PipelineSpec extends AnyFunSuite {
     val keptKm = Similarity.semDedupKMeans(vecs, tau = tau, k = 16)
       .filter(col("kept") === 0).count()
     assert(keptKm >= keptSign)
+    // opt-in Lloyd refinement: still a valid partition (one verdict row
+    // per vector) and co-cell recall no worse than the raw seed cells
+    val lloyd = Similarity.semDedupKMeans(vecs, tau = tau, k = 16, iters = 1)
+      .select(col("vec_id"), col("cell").cast("string"), col("kept"))
+      .as[(Long, String, Int)].collect()
+    assert(lloyd.length == rows.length)
+    assert(lloyd.map(_._1).distinct.length == rows.length)
+    val lloydCells = lloyd.map(r => r._1 -> r._2).toMap
+    assert(coCelled(lloydCells) >= rKm - 1e-9)
   }
 
   test("incremental dedup over two batches equals the one-shot full-corpus search") {
