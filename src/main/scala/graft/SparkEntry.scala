@@ -183,7 +183,7 @@ object SparkEntry {
   private def rademacherListSql(hExpr: String): String =
     s"""list_transform(
        |   list_transform(range(0, 64),
-       |     d -> ((20260817 + ($hExpr)*4096 + d) * 2654435761) % 2147483648),
+       |     d -> ((${Similarity.ProjSeed} + ($hExpr)*4096 + d) * 2654435761) % 2147483648),
        |   x -> CASE WHEN ((((xor(x, x >> 15)) * 1103515245 + 12345)
        |       % 2147483648) >> 16) & 1 = 1
        |     THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)""".stripMargin

@@ -186,7 +186,7 @@ object Segmenter {
    * `recoverStraddlers = false` (default) keeps the reference's
    * containment semantics exactly: a mention crossing a window
    * boundary is dropped (the measured ~1.2% recall loss of the bench
-   * corpus — CodeParserSpec pins the accounting). The opt-in emits one
+   * corpus — PipelineSpec pins the accounting exactly). The opt-in emits one
    * OVERLAP sentence per straddling mention — a fresh `sentenceTokens`
    * window starting at the token the mention begins in — recovering
    * every straddler that fits a window at all. Overlap sentences take

@@ -176,7 +176,14 @@ object NerCorpus {
     import org.apache.spark.sql.expressions.Window
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val m = mentions.persist(lvl)
-    val wt = winToks.select(col("doc_id"), col("w"), col("token")).distinct()
+    // deliberately NOT distinct'd: this is the one corpus-sized relation
+    // in the chain, and a pre-dedup would be its only corpus-wide
+    // shuffle — every consumer dedups anyway (profile's distinct is
+    // match-sized, the overlap agg is countDistinct), so duplicate
+    // window tokens only thicken the probe side of two broadcast joins
+    // by the in-window repeat rate (~few %), far cheaper than shuffling
+    // the whole relation once
+    val wt = winToks.select(col("doc_id"), col("w"), col("token"))
       .persist(lvl)
     val counts = m.groupBy(col("surface"), col("entity"))
       .agg(count(lit(1)).as("n_se"))

@@ -618,6 +618,17 @@ class PipelineSpec extends AnyFunSuite {
     val loopMap = gotLoops.toMap
     assert(loopMap(900L) == 900L && loopMap(901L) == 901L)
     assert((0L to 40L).forall(loopMap(_) == 0L))
+    // string node labels: min = lexicographic on every path (the
+    // greatest/least orientation in the star rounds must agree with
+    // the min-agg and the driver union-find's Comparable ordering)
+    val sEdges = Seq(("b", "a"), ("c", "b"), ("z", "y"), ("m", "m"))
+      .toDF("src", "dst")
+    val wantS = Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "y" -> "y", "z" -> "y", "m" -> "m")
+    assert(TopicGraph.connectedComponents(sEdges, localThreshold = 0)
+      .as[(String, String)].collect().toMap == wantS)
+    assert(TopicGraph.connectedComponents(sEdges)
+      .as[(String, String)].collect().toMap == wantS)
   }
 
   test("range join matches a naive theta join on bucket boundaries") {
