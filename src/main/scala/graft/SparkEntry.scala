@@ -969,6 +969,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"),
           round(col("logprob"), 6).as("logprob_r6"))),
 
+    "q88_ccnet_buckets" -> ((s, d) =>
+      // CCNet head/middle/tail stratification: per-LANGUAGE terciles of
+      // the unigram-LM score (rounded-then-ranked, doc_id tie-break, so
+      // the tile is engine-deterministic); the per-lang window sorts an
+      // id+score relation only (Curation.ccnetBuckets)
+      Curation.ccnetBuckets(Tables.documents(s, d))),
+
     "q87_semdedup_kmeans" -> ((s, d) =>
       // SemDeDup with DATA-ADAPTED cells (the paper's own k-means
       // form): k ≈ √n sampled centroids (deterministic id stride),
@@ -1912,6 +1919,26 @@ object SparkEntry {
         |   AS logprob_r6
         |FROM tok JOIN lm USING (tok)
         |GROUP BY doc_id""".stripMargin,
+
+    "q88_ccnet_buckets" ->
+      // per-language ntile over the q80 unigram score, rounded BEFORE
+      // ranking and tie-broken by doc_id — rank input identical across
+      // engines, and ntile's equal-population split is SQL-standard in
+      // both
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |lm AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM lm),
+        |sc AS (
+        | SELECT doc_id,
+        |  round(sum(ln(CAST(c AS DOUBLE) / (SELECT t FROM tot))) / count(*), 6)
+        |    AS lp_r6
+        | FROM tok JOIN lm USING (tok)
+        | GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, sc.lp_r6,
+        | ntile(3) OVER (PARTITION BY d.lang
+        |   ORDER BY sc.lp_r6 DESC, d.doc_id ASC) AS bucket
+        |FROM documents d JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
 
     "q86_bigram_logprob" ->
       """WITH bg AS (

@@ -209,4 +209,30 @@ object Curation {
         sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
       .withColumn("dup_rate", round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
   }
+
+  /**
+   * CCNet-style quality stratification (Wenzek et al. 2020: rank every
+   * document by LM score WITHIN its language and cut head/middle/tail
+   * terciles) — the standard recipe for keeping the best slice of a
+   * crawl per language while preserving cross-language balance.
+   *
+   * Deterministic across engines: the score is rounded to 6 places
+   * BEFORE ranking (the q83 discipline) and ties break by doc_id, so
+   * the tile assignment is unique. Scale shape: the window sorts only
+   * (doc_id, lang, score) per language — an id+score relation, exactly
+   * what a 100 TB CCNet pass shuffles; the score itself is
+   * [[TextAnalysis.unigramLogprob]] (map-side-combined corpus aggs).
+   * Swap in [[TextAnalysis.bigramLogprob]] (or a real KenLM column)
+   * for higher-order scoring — the stratification plan is identical.
+   */
+  def ccnetBuckets(docs: DataFrame, buckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.unigramLogprob(docs)
+      .select(col("doc_id"), round(col("logprob"), 6).as("lp_r6"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("lp_r6").desc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("bucket", ntile(buckets).over(w))
+  }
 }

@@ -126,6 +126,37 @@ class CurationSpec extends AnyFunSuite {
     assert(t2._1 == "u9 u10", t2.toString)
   }
 
+  test("ccnetBuckets: per-language equal-population terciles, deterministic ties") {
+    // 9 docs in lang a (3 per tercile), 4 in lang b (ntile 3 over 4 =
+    // sizes 2/1/1); scores are driven by token rarity — doc texts are
+    // built so the unigram LM separates them strictly
+    val rows = (1 to 9).map { i =>
+      // higher i -> rarer tokens -> lower logprob
+      (i.toLong, "a", ((1 to 3).map(_ => "common") ++ (1 to i).map(j => s"rare${i}_$j")).mkString(" "))
+    } ++ (11 to 14).map { i =>
+      (i.toLong, "b", ((1 to 2).map(_ => "common") ++ (1 to (i - 10)).map(j => s"brare${i}_$j")).mkString(" "))
+    }
+    val d = rows.toDF("doc_id", "lang", "text")
+    val got = Curation.ccnetBuckets(d).select("doc_id", "lang", "bucket")
+      .as[(Long, String, Int)].collect()
+    assert(got.length == rows.size, "one row per doc")
+    val aBuckets = got.filter(_._2 == "a").groupBy(_._3).view.mapValues(_.length).toMap
+    assert(aBuckets == Map(1 -> 3, 2 -> 3, 3 -> 3), s"lang a terciles: $aBuckets")
+    val bBuckets = got.filter(_._2 == "b").groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bBuckets == Map(1 -> 2, 2 -> 1, 3 -> 1), s"lang b ntile split: $bBuckets")
+    // determinism: a second evaluation is identical
+    val again = Curation.ccnetBuckets(d).select("doc_id", "lang", "bucket")
+      .as[(Long, String, Int)].collect()
+    assert(got.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // monotone: within a language, a bucket-1 doc never scores below a
+    // bucket-3 doc (head = highest logprob = most-common tokens)
+    val lp = Curation.ccnetBuckets(d).select("doc_id", "lp_r6")
+      .as[(Long, Double)].collect().toMap
+    val a1 = got.filter(g => g._2 == "a" && g._3 == 1).map(g => lp(g._1)).min
+    val a3 = got.filter(g => g._2 == "a" && g._3 == 3).map(g => lp(g._1)).max
+    assert(a1 >= a3)
+  }
+
   test("token chunking is a total segmentation (every token in one chunk)") {
     val d = docs((1L, (1 to 13).map(i => s"t$i").mkString(" ")))
     val chunks = d.select(explode(Curation.tokenChunks(col("text"), 5)).as("c"))
