@@ -31,11 +31,16 @@ object Main {
     val stages = opts.getOrElse("stages", "mentions,aliases,closure,triples")
       .split(",").toSet
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-kg-construct")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
+    // spark-submit provides the master; standalone runs (sbt runMain,
+    // smoke tests) fall back to local — never override a submit-set one
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
