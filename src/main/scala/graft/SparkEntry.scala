@@ -820,11 +820,12 @@ object SparkEntry {
 
     "q52_sim_ivf" -> ((s, d) => {
       // IVF-style ANN (Similarity.ivfTopK): coarse cells = nearest of a
-      // FIXED-k centroid set (k=16 seed vectors — crucially, k does NOT
-      // grow with the corpus: assignment is O(n*k) against a broadcast
-      // of k rows, where a corpus-proportional centroid set would be
-      // O(n^2/c)); probes search their own cell (nprobe=1 here; the
-      // recall knob is tested in PipelineSpec)
+      // FIXED-k centroid set (~16 seed vectors at id stride n/16,
+      // spread across the corpus — crucially, k does NOT grow with the
+      // corpus: assignment is O(n*k) against a broadcast of k rows,
+      // where a corpus-proportional centroid set would be O(n^2/c));
+      // probes search their own cell (nprobe=1 here; the recall knob
+      // is tested in PipelineSpec)
       val emb = Tables.embeddings(s, d)
       val probes = emb.filter(col("vec_id") % 50 === 0)
       Similarity.ivfTopK(probes, emb, 5, kCentroids = 16, nprobe = 1)
@@ -1693,9 +1694,14 @@ object SparkEntry {
         |WHERE cos >= 0.25""".stripMargin),
 
     "q52_sim_ivf" ->
-      ("""WITH cents AS (
+      // centroids = vectors at id stride n/16 (Similarity.ivfTopK's
+      // spread-sampled seeds, the q87 convention)
+      ("""WITH st AS (
+        | SELECT greatest(1, CAST(count(*) AS BIGINT) // 16) AS stride
+        | FROM embeddings),
+        |cents AS (
         | SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
-        | FROM embeddings WHERE vec_id < 16),
+        | FROM embeddings WHERE vec_id % (SELECT stride FROM st) = 0),
         |assign AS (
         | SELECT vec_id, embedding, cell FROM (
         |  SELECT e.vec_id, e.embedding, c.cent_id AS cell,

@@ -176,18 +176,26 @@ object Similarity {
   }
 
   /**
-   * IVF-style ANN: assign every vector to its nearest of `kCentroids`
+   * IVF-style ANN: assign every vector to its nearest of ~`kCentroids`
    * FIXED seed centroids (k independent of corpus size — assignment is
    * an O(n*k) broadcast pass, never O(n²/c)); each probe searches the
    * `nprobe` cells nearest to IT (nprobe > 1 buys recall at cell-count
    * cost, the standard IVF knob), exact cosine + top-k inside.
-   * Centroids here are the first k corpus vectors (deterministic,
-   * engine-agnostic); a real deployment seeds them from a k-means
-   * sample — identical plan shape.
+   * Centroids are the corpus vectors at id stride n/k (deterministic,
+   * engine-agnostic, and SPREAD across the id space — the
+   * [[semDedupKMeans]] seeding convention; the first-k prefix used
+   * before round 4 is biased on any corpus whose ids correlate with
+   * content, e.g. time- or crawl-ordered ingestion); a real deployment
+   * refines them with k-means — identical plan shape. `n` skips the
+   * eager corpus count when the cardinality is known (see
+   * [[signLshPairs]]; on a parquet-backed frame the count is
+   * metadata-only).
    */
   def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
-      kCentroids: Int = 16, nprobe: Int = 1): DataFrame = {
-    val cents = broadcast(corpus.filter(col("vec_id") < kCentroids)
+      kCentroids: Int = 16, nprobe: Int = 1, n: Long = -1L): DataFrame = {
+    val nn = if (n >= 0) n else corpus.count()
+    val stride = math.max(1L, nn / kCentroids)
+    val cents = broadcast(corpus.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv")))
     // codegen tight loop (FloatL2Expr) — the assignment inner loop
     // runs once per (vector, centroid); bit-identical to the HOF form
