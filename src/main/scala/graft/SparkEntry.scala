@@ -970,6 +970,19 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"),
           round(col("logprob"), 6).as("logprob_r6"))),
 
+    "q89_sim_pq" -> ((s, d) => {
+      // product-quantization ANN (Similarity.pqTopK): 8 subspaces x
+      // ~16 stride-sampled codewords -> 8 small ints per vector; ADC
+      // scan over the CODES relation only (per-probe distance table,
+      // codegen lookups), ids-only shortlist, exact-cosine re-rank on
+      // the gathered originals
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.pqTopK(probes, emb, 5)
+        .select(col("probe_id"), col("cand_id"), round(col("cos"), 4).as("cos"),
+          col("rank"))
+    }),
+
     "q88_ccnet_buckets" -> ((s, d) =>
       // CCNet head/middle/tail stratification: per-LANGUAGE terciles of
       // the unigram-LM score (rounded-then-ranked, doc_id tie-break, so
@@ -1925,6 +1938,66 @@ object SparkEntry {
         |   AS logprob_r6
         |FROM tok JOIN lm USING (tok)
         |GROUP BY doc_id""".stripMargin,
+
+    "q89_sim_pq" ->
+      // restates Similarity.pqTopK end-to-end: stride-sampled codebook
+      // (the q52/q87 convention), per-(vector, subspace) nearest
+      // codeword with smallest-index ties (d2 computed in dim order,
+      // bit-identical to the codegen loop), probe distance tables,
+      // ADC = list-ordered sum of table lookups, top-20 shortlist
+      // (adc asc, cand_id asc), exact-cosine re-rank
+      (s"""WITH st AS (
+        | SELECT greatest(1, CAST(count(*) AS BIGINT) // 16) AS stride
+        | FROM embeddings),
+        |cb AS (
+        | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding
+        | FROM embeddings WHERE vec_id % (SELECT stride FROM st) = 0
+        | ORDER BY vec_id LIMIT 16),
+        |ncw AS (SELECT CAST(count(*) AS INT) AS c FROM cb),
+        |enc AS (
+        | SELECT vec_id, s, j AS code FROM (
+        |  SELECT e.vec_id, t.s, cb.j,
+        |   row_number() OVER (PARTITION BY e.vec_id, t.s ORDER BY
+        |     list_sum(list_transform(range(1, 9),
+        |       i -> (e.embedding[t.s*8+i]::DOUBLE - cb.embedding[t.s*8+i]::DOUBLE)
+        |          * (e.embedding[t.s*8+i]::DOUBLE - cb.embedding[t.s*8+i]::DOUBLE))) ASC,
+        |     cb.j ASC) AS rk
+        |  FROM embeddings e, range(0, 8) t(s), cb) WHERE rk = 1),
+        |encv AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM enc GROUP BY vec_id),
+        |dtab AS (
+        | SELECT e.vec_id, t.s, cb.j,
+        |  list_sum(list_transform(range(1, 9),
+        |    i -> (e.embedding[t.s*8+i]::DOUBLE - cb.embedding[t.s*8+i]::DOUBLE)
+        |       * (e.embedding[t.s*8+i]::DOUBLE - cb.embedding[t.s*8+i]::DOUBLE))) AS d2
+        | FROM embeddings e, range(0, 8) t(s), cb
+        | WHERE e.vec_id % 50 = 0),
+        |dtv AS (SELECT vec_id, list(d2 ORDER BY s, j) AS dt FROM dtab GROUP BY vec_id),
+        |adc AS (
+        | -- ncw joined in as a row column: DuckDB lambdas reject
+        | -- subqueries but allow correlated columns
+        | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |  list_sum(list_transform(range(1, 9),
+        |    u -> p.dt[(u-1)*n.c + c.codes[u] + 1])) AS adc
+        | FROM dtv p, encv c, ncw n
+        | WHERE p.vec_id <> c.vec_id),
+        |short AS (
+        | SELECT probe_id, cand_id FROM (
+        |  SELECT probe_id, cand_id,
+        |   row_number() OVER (PARTITION BY probe_id
+        |     ORDER BY adc ASC, cand_id ASC) AS srk
+        |  FROM adc) WHERE srk <= 20),
+        |scored AS (
+        | SELECT short.probe_id, short.cand_id, """.stripMargin +
+      safeCosSql("p", "c") +
+      """ AS cos
+        | FROM short
+        | JOIN embeddings p ON short.probe_id = p.vec_id
+        | JOIN embeddings c ON short.cand_id = c.vec_id)
+        |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank FROM (
+        | SELECT probe_id, cand_id, cos,
+        |  row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cos DESC, cand_id ASC) AS rank
+        | FROM scored) WHERE rank <= 5""".stripMargin),
 
     "q88_ccnet_buckets" ->
       // per-language ntile over the q80 unigram score, rounded BEFORE

@@ -82,6 +82,98 @@ object GraftFunctions {
       graft.pipeline.Dedup.minhashSigArray(text, shingleWords, numHashes)
         .map(s => org.apache.spark.unsafe.types.UTF8String.fromString(s): Any))
 
+  /** PQ codes column (see PqCodesExpr); the codebook is a plan-time
+    * constant, so there is no SQL-literal form — Column API only. */
+  def pq_codes(emb: Column, cbFlat: Array[Double], subspaces: Int): Column =
+    col(PqCodesExpr(expr(emb), cbFlat, subspaces))
+
+  /** PQ per-probe distance table (see PqDtableExpr). */
+  def pq_dtable(emb: Column, cbFlat: Array[Double], subspaces: Int): Column =
+    col(PqDtableExpr(expr(emb), cbFlat, subspaces))
+
+  /** PQ asymmetric distance (see PqAdcExpr). */
+  def pq_adc(codes: Column, dtable: Column, codewords: Int): Column =
+    col(PqAdcExpr(expr(codes), expr(dtable), codewords))
+
+  @inline private def vecElem(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      isFloat: Boolean, i: Int): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Static helper behind PqCodesExpr: per subspace, the index of the
+    * nearest codebook row by squared L2 (ties to the smallest index). */
+  def pqCodesData(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      isFloat: Boolean, cb: Array[Double],
+      subspaces: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val dim = a.numElements()
+    val subDim = dim / subspaces
+    val codewords = cb.length / dim
+    val out = new Array[Any](subspaces)
+    var s = 0
+    while (s < subspaces) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < codewords) {
+        var d2 = 0.0
+        var i = 0
+        while (i < subDim) {
+          val idx = s * subDim + i
+          if (a.isNullAt(idx)) return null
+          val diff = vecElem(a, isFloat, idx) - cb(j * dim + idx)
+          d2 += diff * diff
+          i += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = j }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Static helper behind PqDtableExpr: d(s, j) flat at s·codewords+j. */
+  def pqDtableData(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      isFloat: Boolean, cb: Array[Double],
+      subspaces: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val dim = a.numElements()
+    val subDim = dim / subspaces
+    val codewords = cb.length / dim
+    val out = new Array[Any](subspaces * codewords)
+    var s = 0
+    while (s < subspaces) {
+      var j = 0
+      while (j < codewords) {
+        var d2 = 0.0
+        var i = 0
+        while (i < subDim) {
+          val idx = s * subDim + i
+          if (a.isNullAt(idx)) return null
+          val diff = vecElem(a, isFloat, idx) - cb(j * dim + idx)
+          d2 += diff * diff
+          i += 1
+        }
+        out(s * codewords + j) = d2
+        j += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Static helper behind PqAdcExpr (subspace-order accumulation). */
+  def pqAdc(codes: org.apache.spark.sql.catalyst.util.ArrayData,
+      dt: org.apache.spark.sql.catalyst.util.ArrayData, codewords: Int): Double = {
+    var acc = 0.0
+    var s = 0
+    val n = codes.numElements()
+    while (s < n) {
+      acc += dt.getDouble(s * codewords + codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
   private[functions] def arity(name: String, n: Int)(es: Seq[Expression]): Seq[Expression] = {
     require(es.length == n, s"$name expects $n argument(s), got ${es.length}")
     es

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -302,6 +302,102 @@ case class RandProjBitsExpr(child: Expression, first: Int, bits: Int,
   override protected def withNewChildInternal(newChild: Expression): RandProjBitsExpr =
     copy(child = newChild)
   override def prettyName: String = "rproj_bits"
+}
+
+/**
+ * Product-quantization encode: split the embedding into `subspaces`
+ * contiguous subvectors and emit, per subspace s, the index of the
+ * nearest codebook row (squared L2 over that subspace, ties to the
+ * SMALLEST index — strict `<` in the scan). The codebook is a
+ * plan-time constant (flat row-major `codewords × dim` doubles,
+ * embedded via `addReferenceObj` so codegen reads it directly — it is
+ * sampled rows of the corpus, driver-collected once, ≈ KB-scale).
+ * Output: array<int> of length `subspaces` — the 8-byte-per-vector
+ * compressed representation that makes a 100 TB ANN scan memory-bound
+ * instead of vector-math-bound (Jégou et al. 2011, TPAMI).
+ */
+case class PqCodesExpr(child: Expression, cbFlat: Array[Double],
+    subspaces: Int) extends UnaryExpression {
+  require(subspaces > 0 && cbFlat.nonEmpty, "pq_codes: empty codebook")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input")
+  }
+  override def nullSafeEval(v: Any): Any =
+    GraftFunctions.pqCodesData(v.asInstanceOf[ArrayData],
+      VecExprs.isFloat(child), cbFlat, subspaces)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbFlat, "double[]")
+    val f = VecExprs.isFloat(child)
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = graft.functions.GraftFunctions.pqCodesData(
+       |  $a, $f, $cbRef, $subspaces);
+       |if (${ev.value} == null) ${ev.isNull} = true;
+     """.stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqCodesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "pq_codes"
+}
+
+/** Per-probe PQ distance table: d(s, j) = squared L2 between the
+  * probe's subspace-s subvector and codebook row j's — flat
+  * array<double> of length subspaces × codewords, computed ONCE per
+  * probe so the per-candidate ADC cost is `subspaces` lookups. */
+case class PqDtableExpr(child: Expression, cbFlat: Array[Double],
+    subspaces: Int) extends UnaryExpression {
+  require(subspaces > 0 && cbFlat.nonEmpty, "pq_dtable: empty codebook")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input")
+  }
+  override def nullSafeEval(v: Any): Any =
+    GraftFunctions.pqDtableData(v.asInstanceOf[ArrayData],
+      VecExprs.isFloat(child), cbFlat, subspaces)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbFlat, "double[]")
+    val f = VecExprs.isFloat(child)
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = graft.functions.GraftFunctions.pqDtableData(
+       |  $a, $f, $cbRef, $subspaces);
+       |if (${ev.value} == null) ${ev.isNull} = true;
+     """.stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqDtableExpr =
+    copy(child = newChild)
+  override def prettyName: String = "pq_dtable"
+}
+
+/** Asymmetric-distance computation: Σ_s dtable[s·codewords + codes[s]]
+  * accumulated in subspace order (double) — the innermost loop of the
+  * PQ scan, `subspaces` array lookups and adds per candidate. */
+case class PqAdcExpr(left: Expression, right: Expression,
+    codewords: Int) extends BinaryExpression {
+  require(codewords > 0, "pq_adc: codewords must be positive")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int> codes, array<double> dtable)")
+    }
+  override def nullSafeEval(codes: Any, dt: Any): Any =
+    GraftFunctions.pqAdc(codes.asInstanceOf[ArrayData],
+      dt.asInstanceOf[ArrayData], codewords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, d) =>
+      s"graft.functions.GraftFunctions.pqAdc($c, $d, $codewords)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcExpr = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_adc"
 }
 
 /** 60-bit SimHash of a space-tokenized text (majority vote over

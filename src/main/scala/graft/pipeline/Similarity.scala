@@ -373,6 +373,81 @@ object Similarity {
     out
   }
 
+  /**
+   * Product-quantization ANN (Jégou et al. 2011): the embedding is
+   * split into `subspaces` contiguous subvectors, each encoded as the
+   * index of its nearest codebook row — `subspaces` small ints per
+   * vector instead of `dim` floats (8 bytes vs 256 here), which is what
+   * makes a 100 TB ANN scan memory-bound instead of vector-math-bound.
+   * A probe precomputes its distance TABLE once (`PqDtableExpr`:
+   * d(s, j) for every subspace × codeword), so scoring a candidate is
+   * `subspaces` array lookups (`PqAdcExpr`, codegen) — the asymmetric
+   * distance computation. The ADC top-`shortlist` per probe is then
+   * re-ranked by EXACT cosine on the original vectors (the standard
+   * re-rank stage; `shortlist` is the recall knob).
+   *
+   * Codebook = the corpus vectors at id stride n/`codewords`
+   * (driver-collected once — ≤ codewords rows, the ≤64-row metadata
+   * class — and embedded as a plan constant via `addReferenceObj`);
+   * sampled seeds per the [[semDedupKMeans]]/[[ivfTopK]] convention, a
+   * real deployment k-means-refines per subspace. Plan shape: encode
+   * and dtable are map-side projections; the scan is probe×corpus with
+   * WindowGroupLimit partial top-k (scale-safe map-side shortlist);
+   * the exact re-rank touches `|probes|·shortlist` vectors only.
+   *
+   * Scoring-only method: PQ compresses, it does not prune — compose
+   * with [[ivfTopK]] cells (IVF-PQ) when the scan itself must shrink.
+   */
+  def pqTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+      subspaces: Int = 8, codewords: Int = 16, shortlist: Int = 0,
+      n: Long = -1L): DataFrame = {
+    val gf = graft.functions.GraftFunctions
+    val nn = if (n >= 0) n else corpus.count()
+    val stride = math.max(1L, nn / codewords)
+    val cbRows = corpus.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(col("vec_id")).limit(codewords)
+      .collect()
+    val dim = cbRows.head.getSeq[Double](1).length
+    require(dim % subspaces == 0,
+      s"pqTopK: dim $dim not divisible into $subspaces subspaces")
+    val cbFlat: Array[Double] =
+      cbRows.flatMap(_.getSeq[Double](1)).toArray
+    val nCw = cbRows.length // may be < codewords on tiny corpora
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    // the ADC scan touches CODES only (the compressed relation — in
+    // production a stored table), and the shortlist exchange carries
+    // (probe_id, cand_id, adc) — never an embedding; original vectors
+    // are re-gathered for the |probes|·shortlist exact re-rank, with
+    // the tiny shortlist broadcast against the corpus scan
+    val codes = corpus.select(col("vec_id").as("cand_id"),
+      gf.pq_codes(col("embedding"), cbFlat, subspaces).as("codes"))
+    val pTables = broadcast(probes.select(col("vec_id").as("probe_id"),
+      gf.pq_dtable(col("embedding"), cbFlat, subspaces).as("dt")))
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").asc, col("cand_id").asc)
+    val short = codes.join(pTables, col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        gf.pq_adc(col("codes"), col("dt"), nCw).as("adc"))
+      .withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= sl)
+      .select(col("probe_id"), col("cand_id"))
+    val pVecs = broadcast(probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pv"), norm(col("embedding")).as("pn")))
+    val gathered = corpus
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        norm(col("embedding")).as("cn"))
+      .join(broadcast(short), Seq("cand_id"))
+      .join(pVecs, Seq("probe_id"))
+    val wCos = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    gathered.select(col("probe_id"), col("cand_id"),
+        when(col("pn") * col("cn") === 0, lit(0.0))
+          .otherwise(dot(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("cos"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+  }
+
   def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, bits: Int = 0,
       bands: Int = 4, n: Long = -1L): DataFrame = {
     // bits = 0 derives bucket granularity from the CORPUS side (the

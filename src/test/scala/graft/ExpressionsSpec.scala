@@ -177,6 +177,46 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0 && r.getDouble(2) == 5.0)
   }
 
+  test("pq_codes/pq_dtable/pq_adc match an independent Scala evaluation; adc == exact on codewords") {
+    val dim = 8; val sub = 4; val subDim = dim / sub
+    // 3-row codebook, hand-set
+    val cb: Array[Double] = Array(
+      1, 1, 2, 2, 3, 3, 4, 4,
+      -1, -1, -2, -2, -3, -3, -4, -4,
+      0, 0, 0, 0, 0, 0, 0, 0).map(_.toDouble)
+    val vecs = Seq(
+      (0L, Array(1f, 1f, 2f, 2f, 3f, 3f, 4f, 4f)),   // == codeword 0
+      (1L, Array(-1f, -1f, -2f, -2f, 0f, 0f, 0f, 0f)), // cw1 head, cw2 tail
+      (2L, Array(0.6f, 0.6f, 1.4f, 1.4f, -2f, -2f, 0.1f, 0.1f)))
+    def expCodes(v: Array[Float]): Seq[Int] = (0 until sub).map { s =>
+      (0 until 3).minBy { j =>
+        (0 until subDim).map { i =>
+          val d = v(s * subDim + i).toDouble - cb(j * dim + s * subDim + i)
+          d * d
+        }.sum
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding").select(col("vec_id"),
+      GraftFunctions.pq_codes(col("embedding"), cb, sub).as("codes"),
+      GraftFunctions.pq_dtable(col("embedding"), cb, sub).as("dt"))
+    val got = df.as[(Long, Seq[Int], Seq[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id)._1 == expCodes(v), s"codes for $id")
+      assert(got(id)._2.length == sub * 3)
+    }
+    assert(got(0L)._1 == Seq(0, 0, 0, 0) && got(1L)._1 == Seq(1, 1, 2, 2))
+    // adc of a vector against its own codes == sum of its own table
+    // entries at those codes; for vec 0 (exactly codeword 0) that is 0
+    val adc = df.as("a").join(df.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .select(col("a.vec_id"),
+        GraftFunctions.pq_adc(col("a.codes"), col("b.dt"), 3).as("adc"))
+      .as[(Long, Double)].collect().toMap
+    assert(adc(0L) == 0.0)
+    assert(adc(1L) == 0.0) // vec1's subvectors sit exactly on cw1/cw2
+    assert(adc(2L) > 0.0)
+  }
+
   test("rproj_bits matches an independent Scala evaluation of the seeded family") {
     val seed = graft.pipeline.Similarity.ProjSeed
     val vecs = Seq(

@@ -383,6 +383,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(wanted.count(got8.contains).toDouble / wanted.size >= 0.9)
   }
 
+  test("PQ top-k: high recall vs brute force on clustered vectors; exact on the shortlist") {
+    val rnd = new scala.util.Random(23)
+    // clustered corpus (PQ's ADC approximates well when subvector
+    // structure is shared): 25 clusters x 8 members + jitter
+    val vecs = (0 until 25).flatMap { c =>
+      val base = Array.fill(64)(rnd.nextGaussian().toFloat * 2f)
+      (0 until 8).map { m =>
+        ((c * 8 + m).toLong, base.map(_ + rnd.nextGaussian().toFloat * 0.2f))
+      }
+    }.toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") % 40 === 0) // 5 probes
+    val got = Similarity.pqTopK(probes, vecs, 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val want = Similarity.bruteForceTopK(probes, vecs, 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = want.count(got.contains).toDouble / want.size
+    assert(recall >= 0.8, f"PQ recall vs brute force $recall%.3f < 0.8")
+    // structure: 5 ranked rows per probe, ranks 1..5, cos sorted desc
+    val full = Similarity.pqTopK(probes, vecs, 5)
+      .select("probe_id", "rank", "cos").as[(Long, Int, Double)].collect()
+    assert(full.length == 25)
+    full.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 5))
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-_).toSeq,
+        "exact-cosine re-rank must be descending in rank order")
+    }
+  }
+
   test("IVF top-k: nprobe=2 recall >= nprobe=1, both subsets of brute force") {
     // clustered vectors so cells are meaningful: 4 tight clusters of 30
     // around orthogonal-ish seeds + the k=8 seed region

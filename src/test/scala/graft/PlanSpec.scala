@@ -237,6 +237,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.contains("SinglePartition"), p2)
   }
 
+  test("q89 PQ: the ADC shortlist window carries ids+adc only, never embeddings") {
+    // PQ's point is that the scan touches the compressed codes
+    // relation; if an embedding column rides the shortlist exchange the
+    // compression bought nothing
+    // AQE off for this plan so Window nodes are directly collectible
+    // (the adaptive wrapper hides materialized stages from collect)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val windowInputs = try {
+      val df = SparkEntry.queries("q89_sim_pq")(spark, sfDir)
+      df.collect()
+      import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+      df.queryExecution.executedPlan.collect {
+        case w: WindowExec => w.child.output.map(_.name)
+        case w: WindowGroupLimitExec => w.child.output.map(_.name)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(windowInputs.nonEmpty, "expected window operators in the PQ plan")
+    // the ADC shortlist windows must not see any vector column; the
+    // exact re-rank window sees only (ids, cos)
+    windowInputs.foreach { cols =>
+      assert(!cols.exists(c => c.contains("embedding") || c == "pv" || c == "cv"
+        || c == "dt" || c == "codes"),
+        s"vector-sized column through a window exchange: $cols")
+    }
+  }
+
   test("mentions-stage plan has ONE object boundary (no counting-map sandwich)") {
     // Main used to thread a dedicated counting `.map` between the scan
     // and every consuming stage — a full DeserializeToObject ->
