@@ -218,6 +218,60 @@ object SparkEntry {
       | FROM embeddings e, hp h
       | GROUP BY e.vec_id, h.b)""".stripMargin
 
+  /** Shared q89/q90 PQ oracle fragments: stride CTE, codebook +
+    * encode + distance-table chain, and the shortlist → exact-re-rank
+    * tail (both queries differ only in the `adc` relation — q90
+    * constrains it to co-celled pairs). */
+  private val pqStrideCte: String =
+    """st AS (
+      | SELECT greatest(1, CAST(count(*) AS BIGINT) // 16) AS stride
+      | FROM embeddings)""".stripMargin
+
+  private val pqCodebookCtes: String =
+    """cb AS (
+      | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding
+      | FROM embeddings WHERE vec_id % (SELECT stride FROM st) = 0
+      | ORDER BY vec_id LIMIT 16),
+      |ncw AS (SELECT CAST(count(*) AS INT) AS c FROM cb),
+      |enc AS (
+      | SELECT vec_id, s, j AS code FROM (
+      |  SELECT e.vec_id, t.s, cb.j,
+      |   row_number() OVER (PARTITION BY e.vec_id, t.s ORDER BY
+      |     list_sum(list_transform(range(1, 9),
+      |       i -> (e.embedding[t.s*8+i]::DOUBLE - cb.embedding[t.s*8+i]::DOUBLE)
+      |          * (e.embedding[t.s*8+i]::DOUBLE - cb.embedding[t.s*8+i]::DOUBLE))) ASC,
+      |     cb.j ASC) AS rk
+      |  FROM embeddings e, range(0, 8) t(s), cb) WHERE rk = 1),
+      |encv AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM enc GROUP BY vec_id),
+      |dtab AS (
+      | SELECT e.vec_id, t.s, cb.j,
+      |  list_sum(list_transform(range(1, 9),
+      |    i -> (e.embedding[t.s*8+i]::DOUBLE - cb.embedding[t.s*8+i]::DOUBLE)
+      |       * (e.embedding[t.s*8+i]::DOUBLE - cb.embedding[t.s*8+i]::DOUBLE))) AS d2
+      | FROM embeddings e, range(0, 8) t(s), cb
+      | WHERE e.vec_id % 50 = 0),
+      |dtv AS (SELECT vec_id, list(d2 ORDER BY s, j) AS dt FROM dtab GROUP BY vec_id)""".stripMargin
+
+  private lazy val pqTailSql: String =
+    """short AS (
+      | SELECT probe_id, cand_id FROM (
+      |  SELECT probe_id, cand_id,
+      |   row_number() OVER (PARTITION BY probe_id
+      |     ORDER BY adc ASC, cand_id ASC) AS srk
+      |  FROM adc) WHERE srk <= 20),
+      |scored AS (
+      | SELECT short.probe_id, short.cand_id, """.stripMargin +
+      safeCosSql("p", "c") +
+      """ AS cos
+      | FROM short
+      | JOIN embeddings p ON short.probe_id = p.vec_id
+      | JOIN embeddings c ON short.cand_id = c.vec_id)
+      |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank FROM (
+      | SELECT probe_id, cand_id, cos,
+      |  row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY cos DESC, cand_id ASC) AS rank
+      | FROM scored) WHERE rank <= 5""".stripMargin
+
   /** Zero-guarded cosine for the DuckDB oracles: restates the engine's
     * "cosine = 0 for zero vectors" convention (Similarity.cosine) —
     * DuckDB's `list_cosine_similarity` yields NaN there, and NaN sorts
@@ -979,6 +1033,19 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val probes = emb.filter(col("vec_id") % 50 === 0)
       Similarity.pqTopK(probes, emb, 5)
+        .select(col("probe_id"), col("cand_id"), round(col("cos"), 4).as("cos"),
+          col("rank"))
+    }),
+
+    "q90_sim_ivf_pq" -> ((s, d) => {
+      // IVF-PQ (Similarity.ivfPqTopK): cells PRUNE the scan (probe
+      // touches its nearest cell only), PQ codes COMPRESS what it
+      // reads, exact re-rank restores precision — the composition a
+      // web-scale ANN deploys; cells and codebook share the
+      // stride-sample convention (q52/q89)
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.ivfPqTopK(probes, emb, 5)
         .select(col("probe_id"), col("cand_id"), round(col("cos"), 4).as("cos"),
           col("rank"))
     }),
@@ -1946,32 +2013,8 @@ object SparkEntry {
       // bit-identical to the codegen loop), probe distance tables,
       // ADC = list-ordered sum of table lookups, top-20 shortlist
       // (adc asc, cand_id asc), exact-cosine re-rank
-      (s"""WITH st AS (
-        | SELECT greatest(1, CAST(count(*) AS BIGINT) // 16) AS stride
-        | FROM embeddings),
-        |cb AS (
-        | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding
-        | FROM embeddings WHERE vec_id % (SELECT stride FROM st) = 0
-        | ORDER BY vec_id LIMIT 16),
-        |ncw AS (SELECT CAST(count(*) AS INT) AS c FROM cb),
-        |enc AS (
-        | SELECT vec_id, s, j AS code FROM (
-        |  SELECT e.vec_id, t.s, cb.j,
-        |   row_number() OVER (PARTITION BY e.vec_id, t.s ORDER BY
-        |     list_sum(list_transform(range(1, 9),
-        |       i -> (e.embedding[t.s*8+i]::DOUBLE - cb.embedding[t.s*8+i]::DOUBLE)
-        |          * (e.embedding[t.s*8+i]::DOUBLE - cb.embedding[t.s*8+i]::DOUBLE))) ASC,
-        |     cb.j ASC) AS rk
-        |  FROM embeddings e, range(0, 8) t(s), cb) WHERE rk = 1),
-        |encv AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM enc GROUP BY vec_id),
-        |dtab AS (
-        | SELECT e.vec_id, t.s, cb.j,
-        |  list_sum(list_transform(range(1, 9),
-        |    i -> (e.embedding[t.s*8+i]::DOUBLE - cb.embedding[t.s*8+i]::DOUBLE)
-        |       * (e.embedding[t.s*8+i]::DOUBLE - cb.embedding[t.s*8+i]::DOUBLE))) AS d2
-        | FROM embeddings e, range(0, 8) t(s), cb
-        | WHERE e.vec_id % 50 = 0),
-        |dtv AS (SELECT vec_id, list(d2 ORDER BY s, j) AS dt FROM dtab GROUP BY vec_id),
+      (s"""WITH $pqStrideCte,
+        |$pqCodebookCtes,
         |adc AS (
         | -- ncw joined in as a row column: DuckDB lambdas reject
         | -- subqueries but allow correlated columns
@@ -1980,24 +2023,32 @@ object SparkEntry {
         |    u -> p.dt[(u-1)*n.c + c.codes[u] + 1])) AS adc
         | FROM dtv p, encv c, ncw n
         | WHERE p.vec_id <> c.vec_id),
-        |short AS (
-        | SELECT probe_id, cand_id FROM (
-        |  SELECT probe_id, cand_id,
-        |   row_number() OVER (PARTITION BY probe_id
-        |     ORDER BY adc ASC, cand_id ASC) AS srk
-        |  FROM adc) WHERE srk <= 20),
-        |scored AS (
-        | SELECT short.probe_id, short.cand_id, """.stripMargin +
-      safeCosSql("p", "c") +
-      """ AS cos
-        | FROM short
-        | JOIN embeddings p ON short.probe_id = p.vec_id
-        | JOIN embeddings c ON short.cand_id = c.vec_id)
-        |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank FROM (
-        | SELECT probe_id, cand_id, cos,
-        |  row_number() OVER (PARTITION BY probe_id
-        |    ORDER BY cos DESC, cand_id ASC) AS rank
-        | FROM scored) WHERE rank <= 5""".stripMargin),
+        |$pqTailSql""".stripMargin),
+
+    "q90_sim_ivf_pq" ->
+      // the q52 (IVF cell prune) ∘ q89 (PQ compress) composition —
+      // Similarity.ivfPqTopK: identical codebook/encode/ADC chain, but
+      // the adc relation is constrained to co-celled (probe, candidate)
+      // pairs via the stride-centroid assignment
+      (s"""WITH $pqStrideCte,
+        |cents AS (
+        | SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        | FROM embeddings WHERE vec_id % (SELECT stride FROM st) = 0),
+        |assign AS (
+        | SELECT vec_id, cell FROM (
+        |  SELECT e.vec_id, c.cent_id AS cell,
+        |   row_number() OVER (PARTITION BY e.vec_id
+        |     ORDER BY list_distance(e.embedding::DOUBLE[], c.cv) ASC, c.cent_id ASC) AS rk
+        |  FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+        |$pqCodebookCtes,
+        |adc AS (
+        | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |  list_sum(list_transform(range(1, 9),
+        |    u -> p.dt[(u-1)*n.c + c.codes[u] + 1])) AS adc
+        | FROM dtv p, encv c, ncw n, assign pa, assign ca
+        | WHERE pa.vec_id = p.vec_id AND ca.vec_id = c.vec_id
+        |   AND pa.cell = ca.cell AND p.vec_id <> c.vec_id),
+        |$pqTailSql""".stripMargin),
 
     "q88_ccnet_buckets" ->
       // per-language ntile over the q80 unigram score, rounded BEFORE

@@ -194,22 +194,8 @@ object Similarity {
   def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
       kCentroids: Int = 16, nprobe: Int = 1, n: Long = -1L): DataFrame = {
     val nn = if (n >= 0) n else corpus.count()
-    val stride = math.max(1L, nn / kCentroids)
-    val cents = broadcast(corpus.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv")))
-    // codegen tight loop (FloatL2Expr) — the assignment inner loop
-    // runs once per (vector, centroid); bit-identical to the HOF form
-    val l2 = (a: Column, b: Column) => graft.functions.GraftFunctions.vec_l2(a, b)
-    def cells(vecs: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist").asc, col("cent_id").asc)
-      vecs.join(cents)
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-          l2(col("embedding"), col("cv")).as("dist"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= n)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-    }
+    val cents = strideCentroids(corpus, kCentroids, nn)
+    def cells(vecs: DataFrame, n: Int): DataFrame = ivfCells(vecs, cents, n)
     val cands = cells(corpus, 1)
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
         norm(col("embedding")).as("cn"), col("cell"))
@@ -228,6 +214,31 @@ object Similarity {
           .otherwise(dot(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Broadcast centroid set: the corpus vectors at id stride n/k (the
+    * deterministic spread sample shared by [[ivfTopK]] /
+    * [[semDedupKMeans]] / [[pqTopK]] / [[ivfPqTopK]]). */
+  private def strideCentroids(corpus: DataFrame, kCentroids: Int,
+      nn: Long): DataFrame = {
+    val stride = math.max(1L, nn / kCentroids)
+    broadcast(corpus.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv")))
+  }
+
+  /** Nearest-`n` centroid assignment (codegen FloatL2Expr inner loop —
+    * once per (vector, centroid), bit-identical to the HOF form; ties
+    * to the smallest cent_id). Output: (vec_id, embedding, cell). */
+  private def ivfCells(vecs: DataFrame, cents: DataFrame, n: Int): DataFrame = {
+    val l2 = (a: Column, b: Column) => graft.functions.GraftFunctions.vec_l2(a, b)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("cent_id").asc)
+    vecs.join(cents)
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        l2(col("embedding"), col("cv")).as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
   }
 
   /**
@@ -427,6 +438,71 @@ object Similarity {
     val wAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").asc, col("cand_id").asc)
     val short = codes.join(pTables, col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        gf.pq_adc(col("codes"), col("dt"), nCw).as("adc"))
+      .withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= sl)
+      .select(col("probe_id"), col("cand_id"))
+    val pVecs = broadcast(probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pv"), norm(col("embedding")).as("pn")))
+    val gathered = corpus
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        norm(col("embedding")).as("cn"))
+      .join(broadcast(short), Seq("cand_id"))
+      .join(pVecs, Seq("probe_id"))
+    val wCos = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    gathered.select(col("probe_id"), col("cand_id"),
+        when(col("pn") * col("cn") === 0, lit(0.0))
+          .otherwise(dot(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("cos"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+  }
+
+  /**
+   * IVF-PQ: the composition a web-scale ANN actually deploys — IVF
+   * cells PRUNE the scan (each probe touches only its `nprobe` nearest
+   * cells, O(n/cells) candidates instead of O(n)), PQ codes COMPRESS
+   * what the scan reads (`subspaces` small ints per candidate, ADC
+   * lookups instead of vector math), and the exact-cosine re-rank on
+   * the gathered originals restores precision on the shortlist.
+   *
+   * This is the flat-codebook variant (one global PQ codebook, the
+   * [[pqTopK]] one): production IVF-PQ usually encodes per-cell
+   * RESIDUALS (vector − centroid), which tightens the quantization at
+   * the cost of a per-cell codebook — same plan shape, a different
+   * constant in the encode expression; documented, not implemented.
+   * Cells and codebook share the stride-sampled seed convention.
+   */
+  def ivfPqTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+      kCentroids: Int = 16, nprobe: Int = 1, subspaces: Int = 8,
+      codewords: Int = 16, shortlist: Int = 0, n: Long = -1L): DataFrame = {
+    val gf = graft.functions.GraftFunctions
+    val nn = if (n >= 0) n else corpus.count()
+    val cents = strideCentroids(corpus, kCentroids, nn)
+    val stride = math.max(1L, nn / codewords)
+    val cbRows = corpus.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(col("vec_id")).limit(codewords)
+      .collect()
+    val dim = cbRows.head.getSeq[Double](1).length
+    require(dim % subspaces == 0,
+      s"ivfPqTopK: dim $dim not divisible into $subspaces subspaces")
+    val cbFlat: Array[Double] = cbRows.flatMap(_.getSeq[Double](1)).toArray
+    val nCw = cbRows.length
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    // celled + coded candidates: both are map-side projections over the
+    // assignment join; the ADC join carries (cell, cand_id, codes)
+    val codes = ivfCells(corpus, cents, 1)
+      .select(col("cell"), col("vec_id").as("cand_id"),
+        gf.pq_codes(col("embedding"), cbFlat, subspaces).as("codes"))
+    val pTables = broadcast(ivfCells(probes, cents, nprobe)
+      .select(col("cell"), col("vec_id").as("probe_id"),
+        gf.pq_dtable(col("embedding"), cbFlat, subspaces).as("dt")))
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").asc, col("cand_id").asc)
+    val short = codes.join(pTables, Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
         gf.pq_adc(col("codes"), col("dt"), nCw).as("adc"))
       .withColumn("srk", row_number().over(wAdc))

@@ -412,6 +412,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: results are co-celled and near-match exact within-cell search") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (0 until 20).flatMap { c =>
+      val base = Array.fill(64)(rnd.nextGaussian().toFloat * 2f)
+      (0 until 10).map { m =>
+        ((c * 10 + m).toLong, base.map(_ + rnd.nextGaussian().toFloat * 0.2f))
+      }
+    }.toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") % 40 === 0)
+    val got = Similarity.ivfPqTopK(probes, vecs, 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    // the cell prune: every returned pair must also be reachable by the
+    // exact IVF search over the same cells (k large = all co-celled)
+    val coCell = Similarity.ivfTopK(probes, vecs, 1000)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(coCell), s"IVF-PQ returned a cross-cell pair: ${(got -- coCell).take(3)}")
+    // and the PQ shortlist + exact re-rank nearly matches the exact
+    // within-cell top-5 (ADC approximation only reorders the shortlist)
+    val exact = Similarity.ivfTopK(probes, vecs, 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.8, f"IVF-PQ vs exact-IVF recall $recall%.3f < 0.8")
+  }
+
   test("IVF top-k: nprobe=2 recall >= nprobe=1, both subsets of brute force") {
     // clustered vectors so cells are meaningful: 4 tight clusters of 30
     // around orthogonal-ish seeds + the k=8 seed region
