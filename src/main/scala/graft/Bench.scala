@@ -158,7 +158,7 @@ object Bench {
     // 2.9x on identical sf1 work across host windows, round-3 verdict
     // #2) — fresh-credit placement plus a per-query median of 3 passes
     // makes the block comparable round-over-round ----
-    val sf1Json = runHeavy10x(spark, sfDir)
+    val sf1Json = runHeavy10x(spark, sfDir) + runHeavyEmb10x(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -262,6 +262,71 @@ object Bench {
         s""""passes":$passJson},"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] sf1 block failed: ${e.getMessage}")
+      ""
+    }
+  }
+
+  /** The ANN/embedding twin of [[runHeavy10x]]: a deterministic 10x
+    * embeddings slice (copy k shifts vec_id by k·n and ROTATES the
+    * embedding by 6k dims — rotation preserves every in-copy cosine
+    * exactly while cross-copy pairs decorrelate on the near-random
+    * synthetic vectors; 6k mod 64 ≠ 0 for k in 1..9, so no copy is
+    * verbatim), timing the similarity tier whose auto-sized buckets /
+    * cells / codebooks are exactly what 10x must exercise (the text
+    * sf1 block never grows the embeddings table). Same protocol:
+    * runs before the sweep, median of 3 passes, −1 sentinel. */
+  private def runHeavyEmb10x(spark: SparkSession, sfDir: String): String = {
+    val heavy = Seq("q43_sim_topk", "q44_sim_lsh", "q53_emb_neardup",
+      "q77_semdedup", "q87_semdedup_kmeans", "q89_sim_pq", "q90_sim_ivf_pq")
+    try {
+      val srcDir = new java.io.File(s"$sfDir/embeddings.parquet")
+      val srcTag = (if (srcDir.isDirectory)
+        Option(srcDir.listFiles()).map(_.map(_.lastModified).max).getOrElse(0L)
+        else srcDir.lastModified).toHexString
+      val dir10 = s"/tmp/graft-sf1emb-v1-$srcTag"
+      if (!new java.io.File(s"$dir10/embeddings.parquet/_SUCCESS").exists()) {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val n = emb.count()
+        val cols = emb.columns
+        val copies = (0 until 10).map { k =>
+          val rot = (6 * k) % 64
+          val rotated =
+            if (rot == 0) col("embedding")
+            else concat(slice(col("embedding"), rot + 1, 64 - rot),
+              slice(col("embedding"), 1, rot))
+          emb.select((col("vec_id") + lit(k * n)).as("vec_id") +:
+            rotated.as("embedding") +:
+            cols.filter(c => c != "vec_id" && c != "embedding").map(col): _*)
+        }
+        copies.reduce(_ unionByName _)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir10/embeddings.parquet")
+      }
+      val nVecs = spark.read.parquet(s"$dir10/embeddings.parquet").count()
+      def onePass(): Seq[(String, Double)] = heavy.map { q =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(q)(spark, dir10).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] sf1_emb $q failed: ${e.getMessage}")
+            false
+          }
+        q -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      val passes = (1 to 3).map(_ => onePass())
+      val med = heavy.map { q =>
+        val ts = passes.map(_.toMap.apply(q))
+        q -> (if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(ts.length / 2))
+      }
+      val errs = med.collect { case (q, -1.0) => "\"" + q + "\"" }
+      val qj = med.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString(",")
+      val passJson = passes.map(p =>
+        p.map { case (_, v) => f"$v%.3f" }.mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      s""""sf1_emb":{"vectors":$nVecs,$qj,"errs":[${errs.mkString(",")}],""" +
+        s""""passes":$passJson},"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sf1_emb block failed: ${e.getMessage}")
       ""
     }
   }
