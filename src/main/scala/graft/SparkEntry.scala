@@ -227,10 +227,15 @@ object SparkEntry {
       | SELECT greatest(1, CAST(count(*) AS BIGINT) // 16) AS stride
       | FROM embeddings)""".stripMargin
 
-  private val pqCodebookCtes: String =
-    """cb AS (
-      | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding
-      | FROM embeddings WHERE vec_id % (SELECT stride FROM st) = 0
+  /** The codebook → encode → distance-table chain over a source
+    * relation `(vec_id, <vcol>)`; `cbPred` selects the codebook sample
+    * rows (q89/q90 sample the raw embeddings at stride-0 offset; q91
+    * samples RESIDUALS at the half-stride offset so the codebook is
+    * disjoint from the centroids — a centroid's own residual is 0). */
+  private def pqChainCtes(src: String, vcol: String, cbPred: String): String =
+    s"""cb AS (
+      | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, $vcol AS cw
+      | FROM $src WHERE $cbPred
       | ORDER BY vec_id LIMIT 16),
       |ncw AS (SELECT CAST(count(*) AS INT) AS c FROM cb),
       |enc AS (
@@ -238,19 +243,22 @@ object SparkEntry {
       |  SELECT e.vec_id, t.s, cb.j,
       |   row_number() OVER (PARTITION BY e.vec_id, t.s ORDER BY
       |     list_sum(list_transform(range(1, 9),
-      |       i -> (e.embedding[t.s*8+i]::DOUBLE - cb.embedding[t.s*8+i]::DOUBLE)
-      |          * (e.embedding[t.s*8+i]::DOUBLE - cb.embedding[t.s*8+i]::DOUBLE))) ASC,
+      |       i -> (e.$vcol[t.s*8+i]::DOUBLE - cb.cw[t.s*8+i]::DOUBLE)
+      |          * (e.$vcol[t.s*8+i]::DOUBLE - cb.cw[t.s*8+i]::DOUBLE))) ASC,
       |     cb.j ASC) AS rk
-      |  FROM embeddings e, range(0, 8) t(s), cb) WHERE rk = 1),
+      |  FROM $src e, range(0, 8) t(s), cb) WHERE rk = 1),
       |encv AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM enc GROUP BY vec_id),
       |dtab AS (
       | SELECT e.vec_id, t.s, cb.j,
       |  list_sum(list_transform(range(1, 9),
-      |    i -> (e.embedding[t.s*8+i]::DOUBLE - cb.embedding[t.s*8+i]::DOUBLE)
-      |       * (e.embedding[t.s*8+i]::DOUBLE - cb.embedding[t.s*8+i]::DOUBLE))) AS d2
-      | FROM embeddings e, range(0, 8) t(s), cb
+      |    i -> (e.$vcol[t.s*8+i]::DOUBLE - cb.cw[t.s*8+i]::DOUBLE)
+      |       * (e.$vcol[t.s*8+i]::DOUBLE - cb.cw[t.s*8+i]::DOUBLE))) AS d2
+      | FROM $src e, range(0, 8) t(s), cb
       | WHERE e.vec_id % 50 = 0),
       |dtv AS (SELECT vec_id, list(d2 ORDER BY s, j) AS dt FROM dtab GROUP BY vec_id)""".stripMargin
+
+  private val pqCodebookCtes: String = pqChainCtes("embeddings", "embedding",
+    "vec_id % (SELECT stride FROM st) = 0")
 
   private lazy val pqTailSql: String =
     """short AS (
@@ -1046,6 +1054,19 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val probes = emb.filter(col("vec_id") % 50 === 0)
       Similarity.ivfPqTopK(probes, emb, 5)
+        .select(col("probe_id"), col("cand_id"), round(col("cos"), 4).as("cos"),
+          col("rank"))
+    }),
+
+    "q91_sim_ivf_pq_res" -> ((s, d) => {
+      // residual-encoded IVF-PQ (Similarity.ivfPqResidualTopK): the
+      // production refinement q90 documents — vectors PQ-encoded as
+      // residuals against their own cell centroid, probe tables from
+      // probe residuals, codebook = half-stride-offset residual sample
+      // (the stride-0 sample IS the centroid set, residuals ≡ 0)
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.ivfPqResidualTopK(probes, emb, 5)
         .select(col("probe_id"), col("cand_id"), round(col("cos"), 4).as("cos"),
           col("rank"))
     }),
@@ -2046,6 +2067,38 @@ object SparkEntry {
         |  list_sum(list_transform(range(1, 9),
         |    u -> p.dt[(u-1)*n.c + c.codes[u] + 1])) AS adc
         | FROM dtv p, encv c, ncw n, assign pa, assign ca
+        | WHERE pa.vec_id = p.vec_id AND ca.vec_id = c.vec_id
+        |   AND pa.cell = ca.cell AND p.vec_id <> c.vec_id),
+        |$pqTailSql""".stripMargin),
+
+    "q91_sim_ivf_pq_res" ->
+      // q90's cell prune, but the PQ chain runs over RESIDUAL lists
+      // (elementwise double subtraction — exact, so restated verbatim)
+      // with the half-stride-offset residual codebook
+      (s"""WITH $pqStrideCte,
+        |cents AS (
+        | SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        | FROM embeddings WHERE vec_id % (SELECT stride FROM st) = 0),
+        |assign AS (
+        | SELECT vec_id, cell FROM (
+        |  SELECT e.vec_id, c.cent_id AS cell,
+        |   row_number() OVER (PARTITION BY e.vec_id
+        |     ORDER BY list_distance(e.embedding::DOUBLE[], c.cv) ASC, c.cent_id ASC) AS rk
+        |  FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+        |resv AS (
+        | SELECT e.vec_id, a.cell,
+        |  list_transform(range(1, len(e.embedding)+1),
+        |    i -> e.embedding[i]::DOUBLE - c.cv[i]) AS res
+        | FROM embeddings e
+        | JOIN assign a ON e.vec_id = a.vec_id
+        | JOIN cents c ON a.cell = c.cent_id),
+        |${pqChainCtes("resv", "res",
+             "vec_id % (SELECT stride FROM st) = (SELECT stride FROM st) // 2")},
+        |adc AS (
+        | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |  list_sum(list_transform(range(1, 9),
+        |    u -> p.dt[(u-1)*n.c + c.codes[u] + 1])) AS adc
+        | FROM dtv p, encv c, ncw n, resv pa, resv ca
         | WHERE pa.vec_id = p.vec_id AND ca.vec_id = c.vec_id
         |   AND pa.cell = ca.cell AND p.vec_id <> c.vec_id),
         |$pqTailSql""".stripMargin),

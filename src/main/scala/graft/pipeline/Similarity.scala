@@ -524,6 +524,79 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * Residual-encoded IVF-PQ — the production refinement [[ivfPqTopK]]
+   * documents: every vector is PQ-encoded as its RESIDUAL against its
+   * own cell centroid (v − c(cell(v))), and a probe's distance table is
+   * built from ITS residual — within a cell both sides share the
+   * centroid, so ADC approximates the true residual distance with the
+   * cell's mean already removed (the quantizer spends its codewords on
+   * fine structure, not on inter-cell offsets; Jégou et al. 2011 §IV).
+   *
+   * The residual codebook samples residuals at the HALF-STRIDE offset
+   * (vec_id ≡ stride/2): the stride-0 sample is the centroid set
+   * itself, whose residuals are identically zero — a degenerate
+   * codebook. Residual subtraction is elementwise double arithmetic
+   * (exact, no accumulation), so the oracle restates it verbatim.
+   * Everything else — cell prune, ids-only shortlist, exact-cosine
+   * re-rank on the ORIGINAL vectors — is [[ivfPqTopK]]'s plan.
+   */
+  def ivfPqResidualTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+      kCentroids: Int = 16, nprobe: Int = 1, subspaces: Int = 8,
+      codewords: Int = 16, shortlist: Int = 0, n: Long = -1L): DataFrame = {
+    val gf = graft.functions.GraftFunctions
+    val nn = if (n >= 0) n else corpus.count()
+    val cents = strideCentroids(corpus, kCentroids, nn)
+    val stride = math.max(1L, nn / codewords)
+    def residuals(vecs: DataFrame, np: Int): DataFrame =
+      ivfCells(vecs, cents, np)
+        .join(cents, col("cell") === col("cent_id"))
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("embedding").cast("array<double>"),
+            col("cv").cast("array<double>"), (a, b) => a - b).as("res"))
+    val resCorpus = residuals(corpus, 1)
+    val cbRows = resCorpus.filter(col("vec_id") % stride === stride / 2)
+      .select(col("vec_id"), col("res"))
+      .orderBy(col("vec_id")).limit(codewords)
+      .collect()
+    require(cbRows.nonEmpty, "ivfPqResidualTopK: empty residual codebook sample")
+    val dim = cbRows.head.getSeq[Double](1).length
+    require(dim % subspaces == 0,
+      s"ivfPqResidualTopK: dim $dim not divisible into $subspaces subspaces")
+    val cbFlat: Array[Double] = cbRows.flatMap(_.getSeq[Double](1)).toArray
+    val nCw = cbRows.length
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    val codes = resCorpus
+      .select(col("cell"), col("vec_id").as("cand_id"),
+        gf.pq_codes(col("res"), cbFlat, subspaces).as("codes"))
+    val pTables = broadcast(residuals(probes, nprobe)
+      .select(col("cell"), col("vec_id").as("probe_id"),
+        gf.pq_dtable(col("res"), cbFlat, subspaces).as("dt")))
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").asc, col("cand_id").asc)
+    val short = codes.join(pTables, Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        gf.pq_adc(col("codes"), col("dt"), nCw).as("adc"))
+      .withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= sl)
+      .select(col("probe_id"), col("cand_id"))
+    val pVecs = broadcast(probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pv"), norm(col("embedding")).as("pn")))
+    val gathered = corpus
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        norm(col("embedding")).as("cn"))
+      .join(broadcast(short), Seq("cand_id"))
+      .join(pVecs, Seq("probe_id"))
+    val wCos = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    gathered.select(col("probe_id"), col("cand_id"),
+        when(col("pn") * col("cn") === 0, lit(0.0))
+          .otherwise(dot(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("cos"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+  }
+
   def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, bits: Int = 0,
       bands: Int = 4, n: Long = -1L): DataFrame = {
     // bits = 0 derives bucket granularity from the CORPUS side (the

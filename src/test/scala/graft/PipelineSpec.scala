@@ -434,6 +434,17 @@ class PipelineSpec extends AnyFunSuite {
       .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
     val recall = exact.count(got.contains).toDouble / exact.size
     assert(recall >= 0.8, f"IVF-PQ vs exact-IVF recall $recall%.3f < 0.8")
+    // the residual-encoded refinement: same cell prune (subset of the
+    // co-celled relation), and on clustered data — where cell means
+    // carry most of the magnitude — residual ADC must do at least as
+    // well against the exact within-cell search
+    val gotRes = Similarity.ivfPqResidualTopK(probes, vecs, 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(gotRes.subsetOf(coCell),
+      s"residual IVF-PQ returned a cross-cell pair: ${(gotRes -- coCell).take(3)}")
+    val recallRes = exact.count(gotRes.contains).toDouble / exact.size
+    assert(recallRes >= recall - 1e-9,
+      f"residual recall $recallRes%.3f below flat-codebook $recall%.3f on clustered data")
   }
 
   test("IVF top-k: nprobe=2 recall >= nprobe=1, both subsets of brute force") {
