@@ -277,7 +277,8 @@ object Bench {
     * runs before the sweep, median of 3 passes, −1 sentinel. */
   private def runHeavyEmb10x(spark: SparkSession, sfDir: String): String = {
     val heavy = Seq("q43_sim_topk", "q44_sim_lsh", "q53_emb_neardup",
-      "q77_semdedup", "q87_semdedup_kmeans", "q89_sim_pq", "q90_sim_ivf_pq")
+      "q77_semdedup", "q87_semdedup_kmeans", "q89_sim_pq", "q90_sim_ivf_pq",
+      "q91_sim_ivf_pq_res")
     try {
       val srcDir = new java.io.File(s"$sfDir/embeddings.parquet")
       val srcTag = (if (srcDir.isDirectory)

@@ -508,9 +508,17 @@ object SparkEntry {
 
     "q14_window_running" -> ((s, d) => {
       // running aggregate over an ordered frame (O1-adjacent; the
-      // idiomatic replacement for the reference's in-UDF counters)
+      // idiomatic replacement for the reference's in-UDF counters).
+      // l_extendedprice is the FINAL tiebreaker: (orderkey, linenumber)
+      // is not unique in the synthetic table (sf0.1 carries one
+      // colliding pair), and a ROWS frame over a non-total order emits
+      // an order-dependent multiset of prefix sums — DuckDB's parallel
+      // window then flips values run to run. With the price in the
+      // order, tied rows have equal addends, so the prefix multiset is
+      // order-invariant even for exact duplicates.
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, d)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -1396,9 +1404,13 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q14_window_running" ->
+      // l_extendedprice tiebreaker == the engine's (total order; see
+      // the query comment — without it the one colliding key pair at
+      // sf0.1 makes the prefix multiset order-dependent)
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | round(sum(l_extendedprice) OVER (
-        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
         |FROM lineitem""".stripMargin,
 

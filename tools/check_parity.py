@@ -37,6 +37,11 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # allow spilling: an in-memory duckdb under transient host memory
+    # pressure (e.g. a 10g sbt JVM still unwinding) otherwise OOMs one
+    # heavy oracle ~1 run in 20, which reads as a phantom FAIL
+    con.execute("SET temp_directory='/tmp/duckdb_parity_spill'")
+    con.execute("SET max_temp_directory_size='8GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
