@@ -217,6 +217,21 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(adc(2L) > 0.0)
   }
 
+  test("pq expressions run inside WholeStageCodegen (no fallback)") {
+    val cb = Array.fill(2 * 16)(0.5) // 2 codewords x 16 dims
+    val df = spark.range(4).select(
+      transform(sequence(lit(1), lit(16)), i => (i + col("id")).cast("float")).as("a"))
+      .select(GraftFunctions.pq_codes(col("a"), cb, 4).as("codes"),
+        GraftFunctions.pq_dtable(col("a"), cb, 4).as("dt"))
+      .select(GraftFunctions.pq_adc(col("codes"), col("dt"), 2).as("adc"),
+        col("codes"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[pq_adc""".r.findFirstIn(plan).isDefined, plan)
+    // adc of a vector's own codes against its own table = the minimal
+    // per-subspace distances, strictly positive off-codebook
+    assert(df.collect().forall(r => r.getDouble(0) > 0.0))
+  }
+
   test("rproj_bits matches an independent Scala evaluation of the seeded family") {
     val seed = graft.pipeline.Similarity.ProjSeed
     val vecs = Seq(
