@@ -289,11 +289,15 @@ object Bench {
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         val n = emb.count()
         val cols = emb.columns
+        // derive the dimension from the data — hardcoding it would
+        // silently truncate/garble the rotated copies if the testdata
+        // generator ever changes the embedding width
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
         val copies = (0 until 10).map { k =>
-          val rot = (6 * k) % 64
+          val rot = (6 * k) % dim
           val rotated =
             if (rot == 0) col("embedding")
-            else concat(slice(col("embedding"), rot + 1, 64 - rot),
+            else concat(slice(col("embedding"), rot + 1, dim - rot),
               slice(col("embedding"), 1, rot))
           emb.select((col("vec_id") + lit(k * n)).as("vec_id") +:
             rotated.as("embedding") +:

@@ -19,6 +19,33 @@ object GraftFunctions {
   /** Codegen NTriples escape (see NtEscapeExpr). */
   def nt_escape(c: Column): Column = col(NtEscapeExpr(expr(c)))
 
+  /** Pure-Column form of [[TextFunctions.checkText]] (CheckAbstract,
+    * U5): non-null, non-empty, ≥ `minWords` single-space-separated
+    * words, no blacklisted fingerprint. Word counting replicates
+    * Java's `split(" ")` TRAILING-empty removal exactly (Spark's
+    * `split` maps limit 0 to −1 and keeps trailing empties, so the
+    * trailing spaces are stripped first; an all-space text counts 0
+    * words, as Java's all-trailing-empties split does). Stays inside
+    * WholeStageCodegen — no UDF serialization wall. */
+  def check_text(c: Column, minWords: Int = 30,
+      blacklist: Seq[String] = TextFunctions.defaultBlacklist): Column = {
+    import org.apache.spark.sql.functions._
+    val stripped = regexp_replace(c, " +$", "")
+    val nWords = when(stripped === "", lit(0))
+      .otherwise(size(split(stripped, " ", -1)))
+    val base = c.isNotNull && length(c) > 0 && nWords >= minWords
+    blacklist.foldLeft(base)((acc, b) => acc && !c.contains(b))
+  }
+
+  /** Pure-Column form of [[TextFunctions.tsvSafe]] (SafeTsvText, U7):
+    * tabs/newlines to spaces, quotes doubled, wrapped in quotes. */
+  def tsv_safe(c: Column): Column = {
+    import org.apache.spark.sql.functions._
+    concat(lit("\""),
+      regexp_replace(regexp_replace(c, "[\\t\\n]", " "), "\"", "\"\""),
+      lit("\""))
+  }
+
   /** Codegen 60-bit SimHash (see SimHash64Expr). */
   def simhash64(c: Column): Column = col(SimHash64Expr(expr(c)))
 
@@ -57,6 +84,16 @@ object GraftFunctions {
       isFloat: Boolean, first: Int, bits: Int,
       seed: Long): org.apache.spark.unsafe.types.UTF8String = {
     val n = a.numElements()
+    // the hyperplane index is strided by 4096 in the seed formula
+    // (s = seed + h*4096 + d), so entry r(h, d) would alias
+    // r(h+1, d-4096) on wider embeddings: 'independent' bands become
+    // correlated SILENTLY, degrading recall with no error. Widening
+    // the stride would change the family (and every oracle that
+    // restates it verbatim), so wide embeddings fail loudly instead.
+    if (n > 4096) throw new IllegalArgumentException(
+      s"rproj_bits: embedding dim $n exceeds the 4096 hyperplane stride " +
+        "(r(h,d) would alias r(h+1,d-4096) and correlate bands); " +
+        "PCA/slice the embedding below 4096 dims or define a wider family")
     val out = new Array[Byte](bits)
     var j = 0
     while (j < bits) {
@@ -83,13 +120,18 @@ object GraftFunctions {
         .map(s => org.apache.spark.unsafe.types.UTF8String.fromString(s): Any))
 
   /** PQ codes column (see PqCodesExpr); the codebook is a plan-time
-    * constant, so there is no SQL-literal form — Column API only. */
+    * constant, so there is no SQL-literal form — Column API only.
+    * The array is wrapped (zero-copy) in an immutable ArraySeq so the
+    * expression compares structurally (semanticEquals/CSE; callers
+    * must not mutate the array after handing it over). */
   def pq_codes(emb: Column, cbFlat: Array[Double], subspaces: Int): Column =
-    col(PqCodesExpr(expr(emb), cbFlat, subspaces))
+    col(PqCodesExpr(expr(emb),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(cbFlat), subspaces))
 
   /** PQ per-probe distance table (see PqDtableExpr). */
   def pq_dtable(emb: Column, cbFlat: Array[Double], subspaces: Int): Column =
-    col(PqDtableExpr(expr(emb), cbFlat, subspaces))
+    col(PqDtableExpr(expr(emb),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(cbFlat), subspaces))
 
   /** PQ asymmetric distance (see PqAdcExpr). */
   def pq_adc(codes: Column, dtable: Column, codewords: Int): Column =

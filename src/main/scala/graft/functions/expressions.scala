@@ -315,10 +315,22 @@ case class RandProjBitsExpr(child: Expression, first: Int, bits: Int,
  * Output: array<int> of length `subspaces` — the 8-byte-per-vector
  * compressed representation that makes a 100 TB ANN scan memory-bound
  * instead of vector-math-bound (Jégou et al. 2011, TPAMI).
+ *
+ * The codebook parameter is an immutable ArraySeq (NOT a raw Array):
+ * Array equality is reference-based, so an Array param would make two
+ * structurally identical expressions never semanticEquals — silently
+ * defeating canonicalization and common-subexpression elimination.
+ * `cbArr` unwraps back to the underlying double[] zero-copy for
+ * codegen/eval.
  */
-case class PqCodesExpr(child: Expression, cbFlat: Array[Double],
+case class PqCodesExpr(child: Expression,
+    cbFlat: scala.collection.immutable.ArraySeq[Double],
     subspaces: Int) extends UnaryExpression {
   require(subspaces > 0 && cbFlat.nonEmpty, "pq_codes: empty codebook")
+  private def cbArr: Array[Double] = cbFlat.unsafeArray match {
+    case d: Array[Double] => d // ofDouble: zero-copy unwrap
+    case _ => cbFlat.toArray // boxed ofRef construction: copy once
+  }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -328,9 +340,9 @@ case class PqCodesExpr(child: Expression, cbFlat: Array[Double],
   }
   override def nullSafeEval(v: Any): Any =
     GraftFunctions.pqCodesData(v.asInstanceOf[ArrayData],
-      VecExprs.isFloat(child), cbFlat, subspaces)
+      VecExprs.isFloat(child), cbArr, subspaces)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cbRef = ctx.addReferenceObj("pqCodebook", cbFlat, "double[]")
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[]")
     val f = VecExprs.isFloat(child)
     nullSafeCodeGen(ctx, ev, a => s"""
        |${ev.value} = graft.functions.GraftFunctions.pqCodesData(
@@ -346,10 +358,16 @@ case class PqCodesExpr(child: Expression, cbFlat: Array[Double],
 /** Per-probe PQ distance table: d(s, j) = squared L2 between the
   * probe's subspace-s subvector and codebook row j's — flat
   * array<double> of length subspaces × codewords, computed ONCE per
-  * probe so the per-candidate ADC cost is `subspaces` lookups. */
-case class PqDtableExpr(child: Expression, cbFlat: Array[Double],
+  * probe so the per-candidate ADC cost is `subspaces` lookups.
+  * Codebook as ArraySeq for structural equality (see [[PqCodesExpr]]). */
+case class PqDtableExpr(child: Expression,
+    cbFlat: scala.collection.immutable.ArraySeq[Double],
     subspaces: Int) extends UnaryExpression {
   require(subspaces > 0 && cbFlat.nonEmpty, "pq_dtable: empty codebook")
+  private def cbArr: Array[Double] = cbFlat.unsafeArray match {
+    case d: Array[Double] => d // ofDouble: zero-copy unwrap
+    case _ => cbFlat.toArray // boxed ofRef construction: copy once
+  }
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -359,9 +377,9 @@ case class PqDtableExpr(child: Expression, cbFlat: Array[Double],
   }
   override def nullSafeEval(v: Any): Any =
     GraftFunctions.pqDtableData(v.asInstanceOf[ArrayData],
-      VecExprs.isFloat(child), cbFlat, subspaces)
+      VecExprs.isFloat(child), cbArr, subspaces)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cbRef = ctx.addReferenceObj("pqCodebook", cbFlat, "double[]")
+    val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[]")
     val f = VecExprs.isFloat(child)
     nullSafeCodeGen(ctx, ev, a => s"""
        |${ev.value} = graft.functions.GraftFunctions.pqDtableData(

@@ -227,9 +227,13 @@ object NerCorpus {
     // `onParse` lets a caller count parsed files from inside the
     // flatMap/map that already deserializes each row (Main's
     // files_parsed counter) — a separate counting `.map` would pay a
-    // whole deserialize+reserialize pass per stage for the side effect
+    // whole deserialize+reserialize pass per stage for the side effect.
+    // It fires ONLY in the mentions pass below (which scans every file
+    // exactly once, alias files included); hooking the alias branch too
+    // would double-count alias files — the counter means "files", not
+    // "parse invocations"
     val aliases = files.filter(col("content").startsWith("#ALIAS [["))
-      .map { f => onParse(f); graft.parse.CodeParser.parse(f, dictB.value) }
+      .map(f => graft.parse.CodeParser.parse(f, dictB.value))
       .flatMap(p => p.aliasTarget.map(t => (p.uri, t)))
       .toDF("src", "dst")
     val mentions = files.flatMap { f =>

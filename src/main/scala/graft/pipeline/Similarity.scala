@@ -546,6 +546,14 @@ object Similarity {
       codewords: Int = 16, shortlist: Int = 0, n: Long = -1L): DataFrame = {
     val gf = graft.functions.GraftFunctions
     val nn = if (n >= 0) n else corpus.count()
+    // stride 1 is degenerate: every vector is a centroid, all residuals
+    // are zero, the half-stride offset is 0 — an all-zero codebook ties
+    // every ADC score and the shortlist becomes smallest-cand_id order.
+    // Tiny corpora should use the flat [[pqTopK]] (or brute force).
+    require(nn > codewords,
+      s"ivfPqResidualTopK: corpus size $nn must exceed codewords=$codewords " +
+        "(stride-1 residual sampling yields an all-zero codebook and an " +
+        "id-ordered shortlist); use pqTopK or bruteForceTopK for tiny corpora")
     val cents = strideCentroids(corpus, kCentroids, nn)
     val stride = math.max(1L, nn / codewords)
     def residuals(vecs: DataFrame, np: Int): DataFrame =

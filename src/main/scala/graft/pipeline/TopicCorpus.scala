@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.functions.{Aggregators, TextFunctions}
+import graft.functions.Aggregators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,13 +35,15 @@ object TopicCorpus {
    */
   def groundedTopics(topics: DataFrame, grounding: DataFrame,
       abstracts: DataFrame, minWords: Int = 30): DataFrame = {
-    val checkUdf = udf((s: String) => s != null && TextFunctions.checkText(s, minWords))
+    // pure-Column quality gate (GraftFunctions.check_text) — codegen'd
+    // word count + blacklist, no UDF serialization wall
     val counts = grounding.groupBy(col("topic"))
       .agg(count(lit(1)).as("entityCount"))
     topics.select(col("node").as("topic"))
       .join(counts, Seq("topic"), "left_outer")
       .join(abstracts.select(col("subject").as("topic"),
-        checkUdf(col("object")).as("goodAbstract")), Seq("topic"), "left_outer")
+        graft.functions.GraftFunctions.check_text(col("object"), minWords)
+          .as("goodAbstract")), Seq("topic"), "left_outer")
       .select(col("topic"),
         coalesce(col("entityCount"), lit(0L)).as("entityCount"),
         coalesce(col("goodAbstract"), lit(false)).cast("int").as("hasGoodAbstract"))
@@ -67,7 +69,6 @@ object TopicCorpus {
       sizeLimit: Int = 100000, minAbstracts: Long = 1): DataFrame = {
     val capped = udaf(new Aggregators.CappedConcat(sizeLimit))
     val distinctJoin = udaf(new Aggregators.ConcatDistinct(" "))
-    val tsvSafeUdf = udf((s: String) => TextFunctions.tsvSafe(s))
     grounding
       .join(abstracts.withColumnRenamed("subject", "entity"), Seq("entity"))
       .groupBy(col("topic"))
@@ -77,7 +78,8 @@ object TopicCorpus {
         distinctJoin(xxhash64(col("entity")), col("entity")).as("entities"))
       .filter(col("abstractCount") >= minAbstracts)
       .select(col("topic"), col("abstractCount"),
-        tsvSafeUdf(col("aggText")).as("safeText"), col("entities"))
+        graft.functions.GraftFunctions.tsv_safe(col("aggText")).as("safeText"),
+        col("entities"))
   }
 
   /**

@@ -289,4 +289,71 @@ class ExpressionsSpec extends AnyFunSuite {
     // non-array input rejected at analysis
     intercept[Exception] { spark.sql("SELECT rproj_bits('x', 0, 4, 1)").collect() }
   }
+
+  test("rproj_bits rejects embeddings wider than the 4096 hyperplane stride") {
+    // r(h, d) strides hyperplanes by 4096 in the seed formula, so a
+    // dim-4097 embedding would alias r(h, 4096) with r(h+1, 0) and
+    // silently correlate 'independent' bands — must fail loudly
+    val wide = Seq((0L, Array.fill(4097)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      wide.select(GraftFunctions.rproj_bits(col("embedding"), 0, 4, 1L)).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" "))
+    assert(rootMsg(e).contains("4096"), s"unexpected error: $e")
+    // 4096 exactly is the last safe width (d in [0, 4096))
+    val ok = Seq((0L, Array.fill(4096)(1.0f))).toDF("vec_id", "embedding")
+    assert(ok.select(GraftFunctions.rproj_bits(col("embedding"), 0, 4, 1L))
+      .as[String].head().length == 4)
+  }
+
+  test("check_text Column form matches TextFunctions.checkText on edge inputs") {
+    val words30 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val words29 = (1 to 29).map(i => s"w$i").mkString(" ")
+    val samples: Seq[String] = Seq(
+      null, "", "   ", "a", words30, words29,
+      words30 + " ", words29 + "   ", // trailing spaces: Java split drops them
+      words29 + "  x", // interior double space inflates the Java count too
+      "a  b   c", // runs of spaces = empty tokens, counted (reference quirk)
+      words30 + " A B C D E F G H I J K L M N O P Q R S T U V W X Y Z tail")
+    val got = samples.zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("i", "s")
+      .select(col("i"), GraftFunctions.check_text(col("s"), 30).as("ok"))
+      .as[(Int, Boolean)].collect().toMap
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val want = s != null && TextFunctions.checkText(s, 30)
+      assert(got(i) == want, s"checkText mismatch on sample $i: ${Option(s).map(_.take(40))}")
+    }
+  }
+
+  test("tsv_safe Column form matches TextFunctions.tsvSafe") {
+    val samples = Seq("plain", "tab\there", "line\nbreak", "q\"q\"", "", "a\t\n\"b")
+    val got = samples.toDF("s")
+      .select(GraftFunctions.tsv_safe(col("s")).as("t"))
+      .as[String].collect().toSeq
+    assert(got == samples.map(TextFunctions.tsvSafe))
+  }
+
+  test("pq expressions with structurally equal codebooks are semantically equal") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // two SEPARATE but element-equal arrays: with a raw Array param the
+    // case-class equality would be reference-based and CSE would
+    // silently miss — the ArraySeq param restores structural equality
+    val cb1 = Array(1.0, 2.0, 3.0, 4.0)
+    val cb2 = Array(1.0, 2.0, 3.0, 4.0)
+    // one shared child Column: the unresolved attribute node carries
+    // call-site Origin metadata that differs per `col(...)` call — the
+    // codebook is the equality axis under test here
+    val emb = col("embedding")
+    val e1 = ColumnBridge.expression(GraftFunctions.pq_codes(emb, cb1, 2))
+    val e2 = ColumnBridge.expression(GraftFunctions.pq_codes(emb, cb2, 2))
+    assert(e1 == e2, "PqCodesExpr equality must be structural over the codebook")
+    val d1 = ColumnBridge.expression(GraftFunctions.pq_dtable(emb, cb1, 2))
+    val d2 = ColumnBridge.expression(GraftFunctions.pq_dtable(emb, cb2, 2))
+    assert(d1 == d2, "PqDtableExpr equality must be structural over the codebook")
+    val other = ColumnBridge.expression(
+      GraftFunctions.pq_codes(emb, Array(9.0, 2.0, 3.0, 4.0), 2))
+    assert(e1 != other, "different codebooks must not compare equal")
+  }
 }

@@ -447,6 +447,19 @@ class PipelineSpec extends AnyFunSuite {
       f"residual recall $recallRes%.3f below flat-codebook $recall%.3f on clustered data")
   }
 
+  test("residual IVF-PQ refuses tiny corpora (degenerate all-zero codebook)") {
+    // n <= codewords makes the residual stride 1: every vector is a
+    // centroid, all residuals are zero, ADC ties everywhere and the
+    // shortlist would be picked purely by smallest cand_id — refuse
+    // loudly instead of returning id-ordered 'neighbors'
+    val vecs = (0 until 12).map(i => (i.toLong, Array.fill(8)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqResidualTopK(vecs, vecs, 3, codewords = 16)
+    }
+    assert(e.getMessage.contains("codewords"))
+  }
+
   test("IVF top-k: nprobe=2 recall >= nprobe=1, both subsets of brute force") {
     // clustered vectors so cells are meaningful: 4 tight clusters of 30
     // around orthogonal-ish seeds + the k=8 seed region

@@ -172,6 +172,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("UDF"), s"ScalaUDF fences codegen:\n$p")
   }
 
+  test("TopicCorpus quality gate runs with no Scala UDF (check_text stays in codegen)") {
+    // the last scalar UDFs in the engine lived here (checkUdf /
+    // tsvSafeUdf wrapping TextFunctions); the Column forms replace
+    // them — only the holistic bag UDAFs (G1, documented necessity)
+    // may remain as typed aggregates
+    import spark.implicits._
+    val topics = Seq("t1", "t2").toDF("node")
+    val grounding = Seq(("t1", "e1")).toDF("topic", "entity")
+    val abstracts = Seq(("t1", (1 to 31).map(i => s"w$i").mkString(" ")))
+      .toDF("subject", "object")
+    val df = graft.pipeline.TopicCorpus.groundedTopics(topics, grounding, abstracts)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("UDF"), s"ScalaUDF fences codegen:\n$p")
+  }
+
   test("q52 IVF assignment joins against a broadcast of fixed k, not a corpus-sized set") {
     val df = SparkEntry.queries("q52_sim_ivf")(spark, sfDir)
     df.collect() // finalize AQE
