@@ -218,6 +218,32 @@ object SparkEntry {
       | FROM embeddings e, hp h
       | GROUP BY e.vec_id, h.b)""".stripMargin
 
+  /** q93's hot-cell re-split chain (restates Similarity.SplitBits=4 /
+    * SplitMaxDepth=3 / SplitFirstPlane=2048 verbatim): `hs` holds the
+    * fresh split hyperplanes (index 2048 + lvl·4 + j), `sb` the 4-bit
+    * split keys per (vector, level), and cells0→cells3 apply the
+    * conditional extension — a cell is extended with '#'+bits iff its
+    * CURRENT population exceeds the cap, exactly the engine's
+    * per-level broadcast-join rule. */
+  private def semDedupSplitCtes(cap: Int): String = {
+    val levels = (0 until 3).map { l =>
+      s"""cnt$l AS (SELECT cell, count(*) AS n FROM cells$l GROUP BY 1),
+         |cells${l + 1} AS (
+         | SELECT c.vec_id,
+         |  CASE WHEN t.n > $cap THEN c.cell || '#' || s.sbits ELSE c.cell END AS cell
+         | FROM cells$l c JOIN cnt$l t USING (cell)
+         | JOIN sb s ON s.vec_id = c.vec_id AND s.lvl = $l)""".stripMargin
+    }.mkString(",\n")
+    s"""hs AS (
+       | SELECT lvl, j, ${rademacherListSql("2048 + lvl*4 + j")} AS r
+       | FROM range(0, 3) v(lvl), range(0, 4) u(j)),
+       |sb AS (
+       | SELECT e.vec_id, h.lvl, string_agg($projBitSql, '' ORDER BY h.j) AS sbits
+       | FROM embeddings e, hs h GROUP BY e.vec_id, h.lvl),
+       |cells0 AS (SELECT vec_id, cell FROM cb),
+       |$levels""".stripMargin
+  }
+
   /** Shared q89/q90 PQ oracle fragments: stride CTE, codebook +
     * encode + distance-table chain, and the shortlist → exact-re-rank
     * tail (both queries differ only in the `adc` relation — q90
@@ -1079,6 +1105,32 @@ object SparkEntry {
           col("rank"))
     }),
 
+    "q92_sim_lsh_capped" -> ((s, d) =>
+      // hot-BUCKET-capped near-dup pairs (q53 + the skew guard): a
+      // band bucket holding more than `maxBucketSize` vectors is
+      // dropped as non-discriminative BEFORE the pair join — the
+      // embedding twin of the simhash flooded-bucket cap. A
+      // template-family corpus puts m near-identical vectors into one
+      // bucket in EVERY band; without the cap that band join pays
+      // O(m²) pair rows (the skew shape AQE can spread but not
+      // shrink). Pairs in rare buckets are untouched; with the cap on
+      // the result is a deliberate, oracle-restated subset
+      Similarity.signLshPairs(Tables.embeddings(s, d), bands = 4,
+          maxBucketSize = 12)
+        .filter(col("cos") >= 0.25)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))),
+
+    "q93_semdedup_capped" -> ((s, d) =>
+      // hot-CELL re-split SemDeDup (q77 + the skew guard): cells whose
+      // population exceeds `maxCellSize` are subdivided by 4 FRESH
+      // seeded sign bits per level (up to 3 levels, '#'-marked in the
+      // cell key) — SemDeDup emits a verdict per vector, so hot cells
+      // split rather than drop; near-duplicates agree on every sign
+      // bit and stay co-celled at every level, only cross-subcell
+      // recall inside the hub cell is traded for the O(m²) bound
+      Similarity.semDedup(Tables.embeddings(s, d), tau = 0.25,
+        maxCellSize = 16)),
+
     "q88_ccnet_buckets" -> ((s, d) =>
       // CCNet head/middle/tail stratification: per-LANGUAGE terciles of
       // the unigram-LM score (rounded-then-ranked, doc_id tie-break, so
@@ -1806,6 +1858,28 @@ object SparkEntry {
         |SELECT id_a, id_b, round(cos, 4) AS cos FROM scored
         |WHERE cos >= 0.25""".stripMargin),
 
+    "q92_sim_lsh_capped" ->
+      // q53 + the hot-bucket cap: band buckets holding more than 12
+      // vectors are excluded from the pair join (restates
+      // Similarity.signLshPairs maxBucketSize — count per exploded
+      // band key, keep <= cap, join back)
+      (s"""WITH $signLshBkCte,
+        |cnt AS (SELECT bucket, count(*) AS n FROM bk GROUP BY 1),
+        |ok AS (SELECT bucket FROM cnt WHERE n <= 12),
+        |cand AS (
+        | SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        | FROM bk a JOIN ok USING (bucket)
+        | JOIN bk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+        |scored AS (
+        | SELECT cand.id_a, cand.id_b, """.stripMargin +
+      safeCosSql("a", "c") +
+      """ AS cos
+        |FROM cand
+        |JOIN embeddings a ON cand.id_a = a.vec_id
+        |JOIN embeddings c ON cand.id_b = c.vec_id)
+        |SELECT id_a, id_b, round(cos, 4) AS cos FROM scored
+        |WHERE cos >= 0.25""".stripMargin),
+
     "q52_sim_ivf" ->
       // centroids = vectors at id stride n/16 (Similarity.ivfTopK's
       // spread-sampled seeds, the q87 convention)
@@ -1958,6 +2032,35 @@ object SparkEntry {
         |  sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v*v))) AS nrm,
         |  cb.cell
         | FROM embeddings e JOIN cb ON e.vec_id = cb.vec_id),
+        |drops AS (
+        | SELECT DISTINCT b.vec_id
+        | FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        | WHERE a.nrm > 0 AND b.nrm > 0
+        |   AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25)
+        |SELECT c.vec_id, c.cell, CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+        |FROM c LEFT JOIN drops d ON c.vec_id = d.vec_id""".stripMargin,
+
+    "q93_semdedup_capped" ->
+      // q77 + the hot-cell re-split: cells0..cells3 apply up to three
+      // conditional 4-bit extensions with fresh hyperplanes (index
+      // 2048 + lvl*4 + j); pairwise cosine + keep-min-id then run on
+      // the FINAL (split) cells
+      s"""WITH p AS (
+        | SELECT greatest(4, least(16,
+        |   CAST(ceil(ln(count(*)) / ln(4) - 1e-9) AS INT))) AS bits
+        | FROM embeddings),
+        |hp AS (
+        | SELECT j, ${rademacherListSql("j")} AS r
+        | FROM range(0, 16) u(j), p WHERE u.j < p.bits),
+        |cb AS (
+        | SELECT e.vec_id, string_agg($projBitSql, '' ORDER BY h.j) AS cell
+        | FROM embeddings e, hp h GROUP BY e.vec_id),
+        |${semDedupSplitCtes(16)},
+        |c AS (
+        | SELECT e.vec_id, e.embedding,
+        |  sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v*v))) AS nrm,
+        |  k.cell
+        | FROM embeddings e JOIN cells3 k ON e.vec_id = k.vec_id),
         |drops AS (
         | SELECT DISTINCT b.vec_id
         | FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id

@@ -148,31 +148,62 @@ object Similarity {
    * the extra action (same option on [[semDedup]] / [[lshTopK]]).
    */
   def signLshPairs(vecs: DataFrame, bits: Int = 0, bands: Int = 4,
-      n: Long = -1L): DataFrame = {
+      n: Long = -1L, maxBucketSize: Long = 0L): DataFrame = {
     val bb = if (bits > 0) bits
       else signLshAutoBits(if (n >= 0) n else vecs.count())
-    signLshPairsWithBits(vecs, bb, bands)
+    signLshPairsWithBits(vecs, bb, bands, maxBucketSize)
   }
 
-  private def signLshPairsWithBits(vecs: DataFrame, bits: Int, bands: Int): DataFrame = {
-    val keyed = vecs.select(col("vec_id"), col("embedding"),
+  private def signLshPairsWithBits(vecs: DataFrame, bits: Int, bands: Int,
+      maxBucketSize: Long = 0L): DataFrame = {
+    val allKeyed = vecs.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"),
       explode(signBandKeys(col("embedding"), bits, bands)).as("bucket"))
-    val a = keyed.select(col("bucket"), col("vec_id").as("id_a"),
+    // optional hot-bucket cap (maxBucketSize > 0): auto-sizing fixes
+    // the EXPECTED per-bucket population (~8/√n), but a template-family
+    // corpus drops m near-identical vectors into ONE bucket and the
+    // band join pays O(m²) pair rows — the exact skew shape
+    // Dedup.simhashCandidates already caps in the text tier. Buckets
+    // past the cap are dropped as non-discriminative (pairs in rare
+    // buckets are untouched, and a pair can still surface through its
+    // other bands); run EXACT dedup first so verbatim-duplicate
+    // families never reach the banding. Off by default — with the cap
+    // on the result is a deliberate subset, so cap mode persists the
+    // keyed relation (it feeds the count AND both join sides) and
+    // checkpoints the ids-only output eagerly.
+    val keyed =
+      if (maxBucketSize <= 0L) allKeyed
+      else allKeyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped =
+      if (maxBucketSize <= 0L) keyed
+      else {
+        val ok = keyed.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBucketSize)
+          .select(col("bucket"))
+        keyed.join(ok, Seq("bucket"))
+      }
+    val a = capped.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
-    val b = keyed.select(col("bucket"), col("vec_id").as("id_b"),
+    val b = capped.select(col("bucket"), col("vec_id").as("id_b"),
       col("embedding").as("eb"), col("nrm").as("nb"))
     // cosine computed BEFORE the dedup: a pair matching in k bands costs
     // k cheap vector ops map-side, and the dedup shuffle then carries
     // only (id, id, cos) — deduping first would drag the embedding
     // arrays themselves through the exchange
-    a.join(b, Seq("bucket"))
+    val pairs = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         when(col("na") * col("nb") === 0, lit(0.0))
           .otherwise(dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("cos")).as("cos")) // identical across band matches
+    if (maxBucketSize <= 0L) pairs
+    else {
+      val out = pairs.localCheckpoint(true) // ids+cos only; frees the cache
+      keyed.unpersist(false)
+      out
+    }
   }
 
   /**
@@ -279,12 +310,12 @@ object Similarity {
    * Output: (vec_id, cell, kept 0/1) — one row per input vector.
    */
   def semDedup(vecs: DataFrame, tau: Double, bits: Int = 0,
-      n: Long = -1L): DataFrame = {
+      n: Long = -1L, maxCellSize: Long = 0L): DataFrame = {
     // bits = 0 auto-sizing pays one eager count() of `vecs` (see the
     // signLshPairs note); pass `n` when the cardinality is known
     val b = if (bits > 0) bits
       else semDedupAutoBits(if (n >= 0) n else vecs.count())
-    semDedupWithBits(vecs, tau, b)
+    semDedupWithBits(vecs, tau, b, maxCellSize)
   }
 
   /** Smallest `bits` with 2^bits ≥ √n, i.e. ceil(log4 n), clamped to
@@ -296,8 +327,21 @@ object Similarity {
     math.max(4, math.min(16,
       math.ceil(math.log(math.max(n, 1L).toDouble) / math.log(4.0) - 1e-9).toInt))
 
-  private def semDedupWithBits(vecs: DataFrame, tau: Double, bits: Int): DataFrame =
-    semDedupOverCells(vecs, tau, signBucket(col("embedding"), bits))
+  private def semDedupWithBits(vecs: DataFrame, tau: Double, bits: Int,
+      maxCellSize: Long = 0L): DataFrame =
+    semDedupOverCells(vecs, tau, signBucket(col("embedding"), bits),
+      maxCellSize = maxCellSize)
+
+  /** Hot-cell re-split constants (shared by the engine and the q93
+    * oracle restatement): a cell whose population exceeds the cap is
+    * re-split by [[SplitBits]] FRESH seeded hyperplanes per level
+    * (16-way), up to [[SplitMaxDepth]] levels (4096-way for one
+    * pathological cell). Split planes start at hyperplane index
+    * [[SplitFirstPlane]] — far above any production band/cell plane
+    * (bands·bits ≤ 128), so split bits never reuse a bucketing plane. */
+  val SplitBits = 4
+  val SplitMaxDepth = 3
+  val SplitFirstPlane = 2048
 
   /**
    * SemDeDup with DATA-ADAPTED cells: k sampled centroids (k ≈ √n by
@@ -319,7 +363,7 @@ object Similarity {
    * (assignment-only, no extra shuffle).
    */
   def semDedupKMeans(vecs: DataFrame, tau: Double, k: Int = 0,
-      iters: Int = 0, n: Long = -1L): DataFrame = {
+      iters: Int = 0, n: Long = -1L, maxCellSize: Long = 0L): DataFrame = {
     val nn = if (n >= 0) n else vecs.count()
     val kk = if (k > 0) k else math.max(4, math.ceil(math.sqrt(nn.toDouble) - 1e-9).toInt)
     val stride = math.max(1L, nn / kk)
@@ -347,20 +391,68 @@ object Similarity {
         .select(col("cell").as("cent_id"),
           transform(col("ps"), p => p.getField("m")).as("cv"))
     }
-    semDedupOverCells(vecs, tau, cell = null, preAssigned = assign(vecs))
+    semDedupOverCells(vecs, tau, cell = null, preAssigned = assign(vecs),
+      maxCellSize = maxCellSize)
   }
 
   /** Shared SemDeDup core: cell the vectors (either by a cell-key
     * expression over `embedding`, or a pre-assigned (vec_id, embedding,
-    * cell) frame), exact pairwise cosine within cells, keep-min-id. */
+    * cell) frame), exact pairwise cosine within cells, keep-min-id.
+    *
+    * `maxCellSize > 0` enables the hot-cell RE-SPLIT: cells whose
+    * population exceeds the cap are subdivided by [[SplitBits]] fresh
+    * seeded sign bits (appended to the cell key as `#bbbb`), up to
+    * [[SplitMaxDepth]] levels. Auto-sizing fixes the EXPECTED cell
+    * population; a template-family corpus drops m near-identical
+    * vectors into ONE cell and the within-cell pair join pays O(m²) —
+    * the embedding analog of the simhash flooded bucket. Unlike the
+    * pair generator (which can DROP hot buckets — other bands still
+    * cover the pair), SemDeDup emits a verdict per vector, so hot
+    * cells are split, not dropped: every vector keeps a cell and a
+    * kept flag, near-duplicates that land in the same SUBcell are
+    * still caught, and only cross-subcell recall inside the hot cell
+    * is traded for the bound. VERBATIM-identical vectors share every
+    * sign bit and can never be split apart — run exact dedup first
+    * (the simhashCandidates guidance) so the residual worst case after
+    * [[SplitMaxDepth]] levels is a genuinely near-duplicate family,
+    * counted by the `#` markers in the output cell keys. */
   private def semDedupOverCells(vecs: DataFrame, tau: Double, cell: Column,
-      preAssigned: DataFrame = null): DataFrame = {
+      preAssigned: DataFrame = null, maxCellSize: Long = 0L): DataFrame = {
+    val base0 = if (preAssigned != null) preAssigned
+      else vecs.select(col("vec_id"), col("embedding"), cell.as("cell"))
+    var splitSrc: DataFrame = null // persisted split source, released below
+    val base =
+      if (maxCellSize <= 0L) base0
+      else {
+        // split levels are LAZY plan transforms: per level one tiny
+        // (cell, count) aggregation, a broadcast of the ≤ n/cap hot
+        // cells, and a conditional key extension — the vectors
+        // themselves never shuffle. base0 is persisted because each
+        // level's count subplan re-reads it.
+        val b0 = base0.select(col("vec_id"), col("embedding"),
+          col("cell").cast("string").as("cell"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        splitSrc = b0
+        var cur = b0
+        for (level <- 0 until SplitMaxDepth) {
+          val hot = cur.groupBy(col("cell"))
+            .agg(count(lit(1)).as("_n"))
+            .filter(col("_n") > maxCellSize)
+            .select(col("cell"), lit(1).as("_hot"))
+          cur = cur.join(broadcast(hot), Seq("cell"), "left_outer")
+            .select(col("vec_id"), col("embedding"),
+              when(col("_hot").isNotNull,
+                concat(col("cell"), lit("#"),
+                  signBucket(col("embedding"), SplitBits,
+                    first = SplitFirstPlane + level * SplitBits)))
+                .otherwise(col("cell")).as("cell"))
+        }
+        cur
+      }
     // the celled projection feeds BOTH self-join sides and the final
     // keep join: persist lazily so the scan + norms + cells compute
     // once, release after the verdict table is checkpointed (same
     // discipline as Dedup.lshCandidatesFromSigs)
-    val base = if (preAssigned != null) preAssigned
-      else vecs.select(col("vec_id"), col("embedding"), cell.as("cell"))
     val c = base.select(col("vec_id"), col("embedding"), col("cell"),
       norm(col("embedding")).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -381,6 +473,7 @@ object Similarity {
         when(col("drop").isNull, lit(1)).otherwise(lit(0)).as("kept"))
       .localCheckpoint(true)
     c.unpersist(false)
+    if (splitSrc != null) splitSrc.unpersist(false)
     out
   }
 

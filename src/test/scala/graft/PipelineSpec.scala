@@ -460,6 +460,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("codewords"))
   }
 
+  test("sign-LSH hot-bucket cap bounds template-family pair blowup, keeps rare pairs") {
+    // the embedding analog of the simhash flooded-bucket test: 64
+    // IDENTICAL template vectors co-bucket in EVERY band (their sign
+    // bits agree exactly) — uncapped, the band join pays the full
+    // 64·63/2 in-family pairs; capped, the flooded buckets drop while
+    // a rare near-dup pair in its own buckets survives
+    val rnd = new scala.util.Random(7)
+    val template = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rareA = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rareB = rareA.map(_ + rnd.nextGaussian().toFloat * 0.02f)
+    val background = (0 until 100).map(i =>
+      (1000L + i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val vecs = ((0 until 64).map(i => (i.toLong, template)) ++
+      Seq((500L, rareA), (501L, rareB)) ++ background)
+      .toDF("vec_id", "embedding")
+    val uncapped = Similarity.signLshPairs(vecs, bits = 6, bands = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(uncapped.count(p => p._1 < 64 && p._2 < 64) == 64 * 63 / 2,
+      "expected the full in-family pair blowup without a cap")
+    val capped = Similarity.signLshPairs(vecs, bits = 6, bands = 4,
+      maxBucketSize = 16)
+    val cp = capped.as[(Long, Long, Double)].collect()
+    assert(!cp.exists(p => p._1 < 64 && p._2 < 64), "flooded bucket not dropped")
+    assert(cp.exists(p => p._1 == 500L && p._2 == 501L && p._3 > 0.9),
+      "rare near-dup pair lost to the cap")
+  }
+
+  test("semDedup hot-cell re-split bounds cell population; verdicts survive the split") {
+    // a 2-bit cell layout packs ~75 DISSIMILAR vectors per cell (the
+    // hub-cell shape: the O(m²) within-cell join is pure waste on
+    // non-duplicates); the cap re-splits hot cells with fresh seeded
+    // sign bits. Planted EXACT duplicates agree on every sign bit, so
+    // they can never be split apart — their keep/drop verdicts are
+    // identical with and without the cap.
+    val rnd = new scala.util.Random(13)
+    val baseVecs = (0 until 300).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val dups = (0 until 10).map(i => (1000L + i, baseVecs(i * 7)._2))
+    val vecs = (baseVecs ++ dups).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, tau = 0.95, bits = 2, maxCellSize = 20)
+      .as[(Long, String, Int)].collect()
+    assert(out.length == 310, "one verdict row per vector")
+    // every planted duplicate (higher id) must be dropped: its original
+    // shares every split-plane sign, so they co-cell at every level
+    dups.indices.foreach { i =>
+      val row = out.find(_._1 == 1000L + i).get
+      assert(row._3 == 0, s"duplicate ${1000 + i} not dropped after re-split")
+    }
+    // the split fired (hot cells carry '#'-extended keys) and bounded
+    // every final cell at the cap (deterministic under the fixed seed)
+    val cellPops = out.groupBy(_._2).map(_._2.length)
+    assert(out.exists(_._2.contains("#")), "no cell was re-split")
+    assert(cellPops.max <= 20, s"a final cell still exceeds the cap: ${cellPops.max}")
+    // cap off: verdicts for the planted duplicates are the same
+    val un = Similarity.semDedup(vecs, tau = 0.95, bits = 2)
+      .selectExpr("vec_id", "cast(kept as int)").as[(Long, Int)].collect().toMap
+    dups.indices.foreach(i => assert(un(1000L + i) == 0))
+  }
+
   test("IVF top-k: nprobe=2 recall >= nprobe=1, both subsets of brute force") {
     // clustered vectors so cells are meaningful: 4 tight clusters of 30
     // around orthogonal-ish seeds + the k=8 seed region
