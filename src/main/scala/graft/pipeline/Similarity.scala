@@ -493,8 +493,11 @@ object Similarity {
    * Codebook = the corpus vectors at id stride n/`codewords`
    * (driver-collected once — ≤ codewords rows, the ≤64-row metadata
    * class — and embedded as a plan constant via `addReferenceObj`);
-   * sampled seeds per the [[semDedupKMeans]]/[[ivfTopK]] convention, a
-   * real deployment k-means-refines per subspace. Plan shape: encode
+   * sampled seeds per the [[semDedupKMeans]]/[[ivfTopK]] convention;
+   * `refineIters > 0` Lloyd-refines them per subspace over a bounded
+   * training sample ([[refinePqCodebook]] — the production step, off
+   * by default so the oracle-restated stride codebook is untouched).
+   * Plan shape: encode
    * and dtable are map-side projections; the scan is probe×corpus with
    * WindowGroupLimit partial top-k (scale-safe map-side shortlist);
    * the exact re-rank touches `|probes|·shortlist` vectors only.
@@ -504,7 +507,7 @@ object Similarity {
    */
   def pqTopK(probes: DataFrame, corpus: DataFrame, k: Int,
       subspaces: Int = 8, codewords: Int = 16, shortlist: Int = 0,
-      n: Long = -1L): DataFrame = {
+      n: Long = -1L, refineIters: Int = 0, trainSample: Int = 1024): DataFrame = {
     val gf = graft.functions.GraftFunctions
     val nn = if (n >= 0) n else corpus.count()
     val stride = math.max(1L, nn / codewords)
@@ -515,9 +518,13 @@ object Similarity {
     val dim = cbRows.head.getSeq[Double](1).length
     require(dim % subspaces == 0,
       s"pqTopK: dim $dim not divisible into $subspaces subspaces")
-    val cbFlat: Array[Double] =
+    val cbStride: Array[Double] =
       cbRows.flatMap(_.getSeq[Double](1)).toArray
     val nCw = cbRows.length // may be < codewords on tiny corpora
+    val cbFlat =
+      if (refineIters <= 0) cbStride
+      else refinePqCodebook(pqTrainSample(corpus, "embedding", nn, trainSample),
+        cbStride, subspaces, nCw, refineIters)
     val sl = if (shortlist > 0) shortlist else 4 * k
     // the ADC scan touches CODES only (the compressed relation — in
     // production a stored table), and the shortlist exchange carries
@@ -569,7 +576,8 @@ object Similarity {
    */
   def ivfPqTopK(probes: DataFrame, corpus: DataFrame, k: Int,
       kCentroids: Int = 16, nprobe: Int = 1, subspaces: Int = 8,
-      codewords: Int = 16, shortlist: Int = 0, n: Long = -1L): DataFrame = {
+      codewords: Int = 16, shortlist: Int = 0, n: Long = -1L,
+      refineIters: Int = 0, trainSample: Int = 1024): DataFrame = {
     val gf = graft.functions.GraftFunctions
     val nn = if (n >= 0) n else corpus.count()
     val cents = strideCentroids(corpus, kCentroids, nn)
@@ -581,8 +589,12 @@ object Similarity {
     val dim = cbRows.head.getSeq[Double](1).length
     require(dim % subspaces == 0,
       s"ivfPqTopK: dim $dim not divisible into $subspaces subspaces")
-    val cbFlat: Array[Double] = cbRows.flatMap(_.getSeq[Double](1)).toArray
+    val cbStride: Array[Double] = cbRows.flatMap(_.getSeq[Double](1)).toArray
     val nCw = cbRows.length
+    val cbFlat =
+      if (refineIters <= 0) cbStride
+      else refinePqCodebook(pqTrainSample(corpus, "embedding", nn, trainSample),
+        cbStride, subspaces, nCw, refineIters)
     val sl = if (shortlist > 0) shortlist else 4 * k
     // celled + coded candidates: both are map-side projections over the
     // assignment join; the ADC join carries (cell, cand_id, codes)
@@ -636,7 +648,8 @@ object Similarity {
    */
   def ivfPqResidualTopK(probes: DataFrame, corpus: DataFrame, k: Int,
       kCentroids: Int = 16, nprobe: Int = 1, subspaces: Int = 8,
-      codewords: Int = 16, shortlist: Int = 0, n: Long = -1L): DataFrame = {
+      codewords: Int = 16, shortlist: Int = 0, n: Long = -1L,
+      refineIters: Int = 0, trainSample: Int = 1024): DataFrame = {
     val gf = graft.functions.GraftFunctions
     val nn = if (n >= 0) n else corpus.count()
     // stride 1 is degenerate: every vector is a centroid, all residuals
@@ -664,8 +677,12 @@ object Similarity {
     val dim = cbRows.head.getSeq[Double](1).length
     require(dim % subspaces == 0,
       s"ivfPqResidualTopK: dim $dim not divisible into $subspaces subspaces")
-    val cbFlat: Array[Double] = cbRows.flatMap(_.getSeq[Double](1)).toArray
+    val cbStride: Array[Double] = cbRows.flatMap(_.getSeq[Double](1)).toArray
     val nCw = cbRows.length
+    val cbFlat =
+      if (refineIters <= 0) cbStride
+      else refinePqCodebook(pqTrainSample(resCorpus, "res", nn, trainSample),
+        cbStride, subspaces, nCw, refineIters)
     val sl = if (shortlist > 0) shortlist else 4 * k
     val codes = resCorpus
       .select(col("cell"), col("vec_id").as("cand_id"),
@@ -696,6 +713,83 @@ object Similarity {
           .otherwise(dot(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("cos"))
       .withColumn("rank", row_number().over(wCos))
       .filter(col("rank") <= k)
+  }
+
+  /** Bounded PQ training sample: ≤ `trainN` vectors at id stride
+    * n/trainN, in id order — deterministic and spread across the id
+    * space (the codebook-seed convention). Collected to the driver:
+    * PQ codebook training is a bounded-SAMPLE job in every production
+    * system (a 100 TB corpus trains its quantizer on thousands of
+    * vectors, not the corpus), so the collect is O(trainN·dim)
+    * regardless of corpus size — ~0.5 MB at the 1024×64 default. */
+  private def pqTrainSample(src: DataFrame, vcol: String, nn: Long,
+      trainN: Int): Array[Array[Double]] = {
+    val ts = math.max(1L, nn / math.max(trainN, 1))
+    src.filter(col("vec_id") % ts === 0)
+      .select(col("vec_id"), col(vcol).cast("array<double>"))
+      .orderBy(col("vec_id")).limit(trainN)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Per-subspace Lloyd refinement of a flat PQ codebook (the
+    * production step the stride-sampled seeds approximate; Jégou 2011
+    * §III trains each subquantizer by k-means). Deterministic end to
+    * end: seeds are the stride codebook rows, assignment ties break to
+    * the SMALLEST codeword index (strict `<`, the pqCodesData rule),
+    * sums accumulate in training-sample (id) order, and a codeword
+    * that attracts no training vectors keeps its current position.
+    * Pure driver-side arithmetic over the bounded sample — the
+    * refined codebook ships to executors exactly like the stride one
+    * (an `addReferenceObj` plan constant), so the PLAN is identical;
+    * only the constant improves. */
+  private[pipeline] def refinePqCodebook(train: Array[Array[Double]],
+      cb0: Array[Double], subspaces: Int, nCw: Int, iters: Int): Array[Double] = {
+    if (iters <= 0 || train.isEmpty) return cb0
+    val dim = train(0).length
+    val sub = dim / subspaces
+    val cb = cb0.clone()
+    var it = 0
+    while (it < iters) {
+      var s = 0
+      while (s < subspaces) {
+        val sums = Array.ofDim[Double](nCw, sub)
+        val counts = new Array[Int](nCw)
+        train.foreach { v =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < nCw) {
+            var d2 = 0.0
+            var i = 0
+            while (i < sub) {
+              val diff = v(s * sub + i) - cb(j * dim + s * sub + i)
+              d2 += diff * diff
+              i += 1
+            }
+            if (d2 < bestD) { bestD = d2; best = j }
+            j += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += v(s * sub + i); i += 1 }
+          counts(best) += 1
+        }
+        var j = 0
+        while (j < nCw) {
+          if (counts(j) > 0) {
+            var i = 0
+            while (i < sub) {
+              cb(j * dim + s * sub + i) = sums(j)(i) / counts(j)
+              i += 1
+            }
+          }
+          j += 1
+        }
+        s += 1
+      }
+      it += 1
+    }
+    cb
   }
 
   def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, bits: Int = 0,

@@ -238,6 +238,82 @@ object EventStream {
       explode(graft.pipeline.Dedup.lshBandKeys(col("sig"), bands, numHashes / bands))
         .as("bucket"))
 
+  /** Band-keyed sign-LSH view of a (vec_id, embedding) table — the
+    * static side [[annStream]] joins against (build once over the
+    * committed corpus, snapshot it). The index CARRIES ITS FAMILY as
+    * metadata columns (`_bits`, `_bands`, `_seed`): a stream keyed
+    * with different bucket granularity — or an index built by an
+    * engine with a different projection seed — would miss every
+    * bucket SILENTLY (the md5-vs-xxhash64 signature-family hazard of
+    * [[incrementalDedupStream]], in LSH form), so [[annStream]] reads
+    * the family from the index instead of trusting the caller, and
+    * refuses a foreign seed loudly. */
+  def signLshIndex(vecs: DataFrame, bits: Int, bands: Int = 4): DataFrame = {
+    require(bits > 0 && bands > 0, s"signLshIndex: bits=$bits bands=$bands")
+    val sim = graft.pipeline.Similarity
+    vecs.select(col("vec_id"), col("embedding"),
+      sim.norm(col("embedding")).as("nrm"),
+      explode(sim.signBandKeys(col("embedding"), bits, bands)).as("bucket"),
+      lit(bits).as("_bits"), lit(bands).as("_bands"),
+      lit(sim.ProjSeed).as("_seed"))
+  }
+
+  /**
+   * Streaming ANN against a static sign-LSH index — the embedding twin
+   * of [[incrementalDedupStream]]: each arriving probe vector is
+   * band-keyed in the micro-batch (map-side seeded projections, the
+   * `RandProjBitsExpr` codegen path) and joined against the
+   * pre-exploded [[signLshIndex]] snapshot; candidates above `tau`
+   * exact cosine are emitted. Stream-static joins keep NO state for
+   * the static side, so per-trigger cost is O(|batch| · bucket
+   * population) regardless of index size — the same scaling as the
+   * batch band search.
+   *
+   * Bucket granularity and bands are read FROM the index metadata
+   * (mismatch impossible by construction); the projection seed must
+   * equal this engine's [[graft.pipeline.Similarity.ProjSeed]] or the
+   * join is refused — a foreign-seed index hashes every vector into
+   * unrelated buckets and would return zero candidates silently.
+   *
+   * Output: append stream (probe_id, cand_id, cos, ts), one row per
+   * above-threshold candidate; multi-band duplicate hits are evicted
+   * by `dropDuplicatesWithinWatermark` as event time advances. A
+   * top-k per probe is a BATCH shape (global sort per key is not
+   * expressible in append mode) — downstream consumers rank the
+   * threshold matches per micro-batch if they need k-best.
+   */
+  def annStream(probes: DataFrame, lshIndex: DataFrame, tau: Double,
+      tsCol: String = "ts"): DataFrame = {
+    val sim = graft.pipeline.Similarity
+    val meta = lshIndex.select(col("_bits"), col("_bands"), col("_seed"))
+      .limit(1).collect()
+    require(meta.nonEmpty, "annStream: empty LSH index (no family metadata)")
+    val bits = meta(0).getInt(0)
+    val bands = meta(0).getInt(1)
+    val seed = meta(0).getLong(2)
+    require(seed == sim.ProjSeed,
+      s"annStream: index projection seed $seed != engine seed ${sim.ProjSeed} " +
+        "(a foreign-seed index buckets every vector differently — zero " +
+        "candidates, silently); rebuild the index with this engine")
+    val marked = probes
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, "10 minutes")
+    val keyed = marked.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pv"), sim.norm(col("embedding")).as("pn"), col(tsCol),
+      explode(sim.signBandKeys(col("embedding"), bits, bands)).as("bucket"))
+    val idx = lshIndex.select(col("bucket"), col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), col("nrm").as("cn"))
+    keyed.join(idx, Seq("bucket"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        when(col("pn") * col("cn") === 0, lit(0.0))
+          .otherwise(sim.dot(col("pv"), col("cv")) / (col("pn") * col("cn")))
+          .as("cos"),
+        col(tsCol))
+      .filter(col("cos") >= tau)
+      .dropDuplicatesWithinWatermark("probe_id", "cand_id")
+  }
+
   /**
    * Stream-stream interval join — the streaming twin of the batch
    * range join (Temporal.rangeJoin / q63): clicks landing within 30

@@ -233,6 +233,61 @@ class StreamingSpec extends AnyFunSuite {
       "md5 stream against an xxhash64 index cannot legitimately match")
   }
 
+  test("streaming ANN against a static sign-LSH index equals the batch band search") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(29)
+    // clustered corpus so band buckets carry signal; probes = jittered
+    // copies of two corpus vectors + one unrelated vector
+    val corpus = (0 until 60).map { i =>
+      val c = i % 6
+      val base = Array.tabulate(64)(j => if (j % 6 == c) 1.0f else 0.0f)
+      (i.toLong, base.map(_ + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val idx = EventStream.signLshIndex(corpusDf, bits = 4, bands = 4)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val probeRows = Seq(
+      (1000L, corpus(0)._2.map(_ + 0.01f), t0),
+      (1001L, corpus(7)._2.map(_ + 0.01f), t0),
+      (1002L, Array.fill(64)(rnd.nextGaussian().toFloat), t0))
+    val in = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+    in.addData(probeRows: _*)
+    val q = EventStream.annStream(
+        in.toDF.toDF("vec_id", "embedding", "ts"), idx, tau = 0.8)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ann_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ann_out")
+        .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+      // batch reference: the same banding via lshTopK with k covering
+      // every candidate, thresholded identically
+      val want = graft.pipeline.Similarity.lshTopK(
+          probeRows.map(p => (p._1, p._2)).toDF("vec_id", "embedding"),
+          corpusDf, k = 1000, bits = 4, bands = 4)
+        .filter(col("cos") >= 0.8)
+        .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+      assert(got == want, s"stream $got vs batch $want")
+      assert(got.exists(_._1 == 1000L), s"planted near-dup probe found nothing: $got")
+    } finally q.stop()
+  }
+
+  test("streaming ANN refuses a foreign-seed index (family guard)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = (0 until 8).map(i => (i.toLong, Array.fill(8)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val foreign = EventStream.signLshIndex(vecs, bits = 4)
+      .withColumn("_seed", lit(999L)) // an index built by another engine
+    val e = intercept[IllegalArgumentException] {
+      EventStream.annStream(vecs.withColumn("ts", current_timestamp()), foreign, 0.9)
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
   test("streaming triple extraction equals the batch flagship pipeline") {
     // stream the corpus files against the closure snapshot a batch job
     // maintains; the (subj, obj) set must equal Triples.mentionTriples
