@@ -159,11 +159,38 @@ object Bench {
     // #2) — fresh-credit placement plus a per-query median of 3 passes
     // makes the block comparable round-over-round ----
     val sf1Json = runHeavy10x(spark, sfDir) + runHeavyEmb10x(spark, sfDir)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // the sweep runs LAST, i.e. entirely inside the post-sf1 throttle
+    // window (round-4 verdict #2: sweep q64 recorded 6.0 s at sf0.1
+    // while the SAME operator on 10x data, measured on fresh credits,
+    // took 4.7 s — a host artifact, not a plan property). Two
+    // defenses: (a) the shuffle-heavy rows — the ones that absorb
+    // burst-credit decay hardest — are timed three times and MEDIANed;
+    // (b) a fixed machine probe brackets the sweep so round-over-round
+    // comparisons can deflate by host state (probe ratio ≈ how
+    // throttled this window was).
+    def sweepProbe(): Double = {
+      import spark.implicits._
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      spark.range(500000L).repartition(64)
+        .map(i => CorpusGen.file(i, scale = 4).content.length).reduce(_ + _)
+      (System.nanoTime() - t0) / 1e9
     }
+    val heavySweep = Set("q41_dedup_jaccard", "q50_dedup_simhash_pairs",
+      "q64_connected_components", "q65_closure_doubling",
+      "q70_dedup_keep_list", "q85_disambiguation")
+    val probePre = sweepProbe()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def onePass(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = onePass()
+      val t = if (!heavySweep(name)) t1
+        else Seq(t1, onePass(), onePass()).sorted.apply(1)
+      name -> t
+    }
+    val probePost = sweepProbe()
     spark.stop()
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
@@ -171,7 +198,8 @@ object Bench {
 
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":""" + qs +
-        s""","sf":"$sfDir","throughput":{"files":$nFiles,"triples":$nTriples,""" +
+        f""","sweep_probe_pre":$probePre%.2f,"sweep_probe_post":$probePost%.2f,""" +
+        s""""sf":"$sfDir","throughput":{"files":$nFiles,"triples":$nTriples,""" +
         scalingJson + "}," + sf1Json +
         f""""triple_precision":$prP%.4f,"triple_recall":$prR%.4f,""" +
         f""""triple_precision_overlap":$prPOv%.4f,"triple_recall_overlap":$prROv%.4f}"""
@@ -400,12 +428,58 @@ object Bench {
       val sHi = math.max(cpus / 4, 2)
       if (sHi <= sLo) ""
       else {
-        val tL = timed(sLo); val cpuL = lastCpu
-        val tH = timed(sHi); val cpuH = lastCpu
-        val eff = (tL / tH) / (sHi.toDouble / sLo)
-        f""""pair_small":{"cores_lo":$sLo,"sec_lo":$tL%.2f,"cores_hi":$sHi,""" +
-          f""""sec_hi":$tH%.2f,"eff":$eff%.3f,""" +
-          f""""cpu_sec_lo":$cpuL%.1f,"cpu_sec_hi":$cpuH%.1f},"""
+        // each leg carries its own machine probe (a quarter-size
+        // ceiling job at the SAME core count, adjacent in time):
+        // round-4 recorded pair_small eff = 1.431 because the
+        // low-occupancy leg ran in a throttle pocket — super-linear
+        // 'efficiency' that is pure host noise. Protocol (round-4
+        // verdict #5): an attempt whose probes diverge > 1.5x from
+        // the best probes seen this round is DISCARDED (not medianed
+        // in) and re-measured, up to 3 attempts; the published eff is
+        // the median clean attempt, clamped to 1.05 with the raw
+        // value and every attempt's probes attached.
+        def probe(n: Int): Double = {
+          val s = newSession(n)
+          import s.implicits._
+          val t0 = System.nanoTime()
+          s.range(250000L).repartition(64)
+            .map(i => CorpusGen.file(i, scale = 4).content.length).reduce(_ + _)
+          val dt = (System.nanoTime() - t0) / 1e9
+          s.stop(); dt
+        }
+        final case class SPass(pLo: Double, tL: Double, cpuL: Double,
+            pHi: Double, tH: Double, cpuH: Double) {
+          def eff: Double = (tL / tH) / (sHi.toDouble / sLo)
+        }
+        def onePass(): SPass = {
+          val pLo = probe(sLo); val tL = timed(sLo); val cpuL = lastCpu
+          val pHi = probe(sHi); val tH = timed(sHi); val cpuH = lastCpu
+          SPass(pLo, tL, cpuL, pHi, tH, cpuH)
+        }
+        val attempts = scala.collection.mutable.ArrayBuffer(onePass())
+        def bestPLo = attempts.map(_.pLo).min
+        def bestPHi = attempts.map(_.pHi).min
+        def isClean(a: SPass): Boolean =
+          a.pLo <= 1.5 * bestPLo && a.pHi <= 1.5 * bestPHi
+        // retry while the latest attempt is dirty OR the only clean
+        // evidence is super-linear (a throttled lo leg the probe
+        // missed) — both are window artifacts, not engine properties
+        while (attempts.size < 3 &&
+          !(isClean(attempts.last) && attempts.last.eff <= 1.05))
+          attempts += onePass()
+        val clean = attempts.filter(isClean)
+        val chosen = clean.sortBy(_.eff).apply(clean.size / 2)
+        val effPub = math.min(chosen.eff, 1.05)
+        val attJson = attempts.map(a =>
+          f"""{"probe_lo":${a.pLo}%.2f,"sec_lo":${a.tL}%.2f,""" +
+            f""""probe_hi":${a.pHi}%.2f,"sec_hi":${a.tH}%.2f,""" +
+            f""""eff":${a.eff}%.3f,"clean":${isClean(a)}}""")
+          .mkString("[", ",", "]")
+        f""""pair_small":{"cores_lo":$sLo,"sec_lo":${chosen.tL}%.2f,"cores_hi":$sHi,""" +
+          f""""sec_hi":${chosen.tH}%.2f,"eff":$effPub%.3f,"eff_raw":${chosen.eff}%.3f,""" +
+          f""""probe_lo":${chosen.pLo}%.2f,"probe_hi":${chosen.pHi}%.2f,""" +
+          f""""cpu_sec_lo":${chosen.cpuL}%.1f,"cpu_sec_hi":${chosen.cpuH}%.1f,""" +
+          s""""attempts":$attJson},"""
       }
     }
     final case class Pass(cLo: Double, tLo: Double, cHi: Double, tHi: Double,
@@ -420,18 +494,24 @@ object Bench {
       val cH = ceiling(cpus); val tH = timed(cpus); val pcH = lastCpu
       Pass(cL, tL, cH, tH, pcL, pcH)
     }
-    // ONE pass supplies every headline field — the MEDIAN pass by
-    // clamped normalized efficiency (clamped at 1.0: a ratio above 1
-    // only means the adjacent ceiling probe caught a worse host window
-    // than the pipeline run, never super-linear scaling; the median is
-    // robust to a throttle pocket hitting one run AND to a lucky or
-    // unlucky ceiling probe). The RAW N->4N efficiency of that pass is
-    // the lead number; the ceiling-normalized and cpu-normalized forms
-    // are the documented defense, not the headline. Best-observed
-    // throughput across passes is reported separately under best_*
-    // (capability under identical input) — never mixed into the
-    // headline pass's fields. All raw pass values are in `passes`.
-    val med = passes.sortBy(p => math.min(p.normEff, 1.0)).apply(passes.length / 2)
+    // ONE pass supplies every headline field — the MEDIAN of the CLEAN
+    // passes by clamped normalized efficiency. Clean = the pass's
+    // interleaved ceiling probes are within 1.5x of the round's best
+    // probe at the same level; a dirtier pass ran in a throttle pocket
+    // and is DISCARDED from headline selection (round-4 verdict #5 —
+    // medianing a poisoned pass in still skews the middle), though
+    // every pass stays in `passes` with its probes. Clamping at 1.0:
+    // a normalized ratio above 1 only means the probe caught a worse
+    // window than the pipeline run, never super-linear scaling. The
+    // RAW N->4N efficiency of the chosen pass is the lead number
+    // (clamped to 1.05 with the raw value alongside); best-observed
+    // throughput across passes is reported separately under best_*.
+    val bestCLo = passes.map(_.cLo).min
+    val bestCHi = passes.map(_.cHi).min
+    val cleanPasses = passes.filter(p =>
+      p.cLo <= 1.5 * bestCLo && p.cHi <= 1.5 * bestCHi)
+    val med = cleanPasses.sortBy(p => math.min(p.normEff, 1.0))
+      .apply(cleanPasses.length / 2)
     val passJson = passes.map(p =>
       f"""{"sec_lo":${p.tLo}%.2f,"sec_hi":${p.tHi}%.2f,"eff":${p.eff}%.3f,""" +
         f""""ceil_eff":${p.ceilEff}%.3f,"norm_eff":${p.normEff}%.3f,""" +
@@ -441,7 +521,9 @@ object Bench {
     val json = smallJson +
       f""""cores_lo":$lo,"sec_lo":${med.tLo}%.3f,"files_per_sec_lo":${nFiles / med.tLo}%.1f,""" +
         f""""cores_hi":$cpus,"sec_hi":${med.tHi}%.3f,"files_per_sec_hi":${nFiles / med.tHi}%.1f,""" +
-        f""""scaling_efficiency":${med.eff}%.3f,""" +
+        f""""scaling_efficiency":${math.min(med.eff, 1.05)}%.3f,""" +
+        f""""scaling_efficiency_raw":${med.eff}%.3f,""" +
+        s""""passes_discarded":${passes.length - cleanPasses.length},""" +
         f""""cpu_sec_lo":${med.cpuLo}%.1f,"cpu_sec_hi":${med.cpuHi}%.1f,""" +
         f""""machine_ceiling_efficiency":${med.ceilEff}%.3f,""" +
         f""""normalized_scaling_efficiency":${math.min(med.normEff, 1.0)}%.3f,""" +

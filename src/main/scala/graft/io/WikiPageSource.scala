@@ -46,12 +46,18 @@ import org.apache.spark.unsafe.types.UTF8String
  * Listing and reads go through the Hadoop FileSystem API (the
  * reference's FileInputFormat heritage, WikipediaPageInputFormat
  * .java:24-34), so file:/, hdfs:/, s3a:/ … paths all split and read
- * identically. Files with a registered compression suffix (`.gz`,
- * `.bz2`, …) are read as ONE whole-stream range through the codec —
- * correct but unsplit (a gzip stream has no mid-file entry points);
- * splittable-bzip2 sub-ranges are intentionally NOT implemented, so a
- * compressed dump parallelizes per FILE, as the upstream dumps (which
- * ship in ~100-file multistream parts) expect.
+ * identically. Compression routes by suffix: a SPLITTABLE codec
+ * (bzip2 — the format the upstream dumps actually ship) fans out to
+ * sub-ranges in COMPRESSED offsets, each reader entering at the first
+ * compression block at/after its range start via the codec's BYBLOCK
+ * mode (the same splittable-bz2 capability the reference inherits
+ * from TextInputFormat); ownership generalizes to "the record's
+ * marker starts in a compression block owned by this range" — blocks
+ * are the only mid-stream entry points, so block ownership is the
+ * exact analog of byte ownership, and adjacent readers agree on it
+ * because both see the identical block-start offsets from getPos().
+ * A non-splittable codec (gzip) reads as ONE whole-stream range —
+ * correct but unsplit, parallel per file.
  */
 class WikiPageSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-wikidump"
@@ -173,15 +179,22 @@ private final class WikiPageScan(path: String, splitBytes: Long)
     val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
     files.flatMap { st =>
       val p = st.getPath.toString
-      if (codecs.getCodec(st.getPath) != null) {
-        // compressed: one whole-stream range (no mid-stream seek);
-        // positions are DECOMPRESSED offsets, end = ∞ claims every record
-        Seq(PageRange(p, 0L, Long.MaxValue))
-      } else {
+      val codec = codecs.getCodec(st.getPath)
+      if (codec == null ||
+          codec.isInstanceOf[org.apache.hadoop.io.compress.SplittableCompressionCodec]) {
+        // plain files split on byte offsets; splittable-codec files
+        // (bzip2) split on COMPRESSED offsets — each reader enters at
+        // the first compression block at/after its start (BYBLOCK),
+        // and ownership compares block starts to the range end
         val len = st.getLen
         val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
         (0L until n).map(i =>
           PageRange(p, i * splitBytes, math.min((i + 1) * splitBytes, len)))
+      } else {
+        // non-splittable compression (gzip): one whole-stream range
+        // (no mid-stream entry points); positions are DECOMPRESSED
+        // offsets, end = ∞ claims every record
+        Seq(PageRange(p, 0L, Long.MaxValue))
       }
     }.toArray
   }
@@ -203,36 +216,73 @@ private final class WikiPageScan(path: String, splitBytes: Long)
  * end) is exact; the body read past the range end is unbounded-buffered
  * exactly like the reference's DataOutputBuffer.
  *
- * IO is Hadoop-FS (open + seek), so any FileSystem scheme works; a
- * registered compression suffix routes through the codec stream
- * (positions then count DECOMPRESSED bytes, and the planner hands such
- * files a single [0, ∞) range — see planInputPartitions).
+ * IO is Hadoop-FS (open + seek), so any FileSystem scheme works.
+ * Compression routing: a SPLITTABLE codec range (bzip2) opens the
+ * codec's BYBLOCK split stream at the first compression block
+ * at/after `rangeStart`, and the ownership position is `getPos()` —
+ * the COMPRESSED start offset of the block currently being delivered
+ * (verified empirically: it flips exactly at block boundaries), so
+ * "marker starts in a block before rangeEnd" is the exact
+ * block-granular analog of the byte-ownership contract and adjacent
+ * readers partition records exactly-once. Split-codec reads are
+ * SINGLE-BYTE against the codec stream: a read-ahead buffer would
+ * advance getPos() past a block boundary before the automaton
+ * consumed the boundary bytes, and a boundary record could be lost by
+ * this range without ever being seen by the next. A non-splittable
+ * codec gets a single [0, ∞) range (positions count DECOMPRESSED
+ * bytes — see planInputPartitions).
  */
 private final class WikiPageReader(path: String, rangeStart: Long, rangeEnd: Long)
     extends PartitionReader[InternalRow] {
   import WikiPageSource._
 
+  private var decompressor: org.apache.hadoop.io.compress.Decompressor = _
+  private var splitIn: org.apache.hadoop.io.compress.SplitCompressionInputStream = _
   private val in: java.io.InputStream = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val p = new org.apache.hadoop.fs.Path(path)
-    val raw = p.getFileSystem(conf).open(p)
+    val fs = p.getFileSystem(conf)
+    val raw = fs.open(p)
     val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
       .getCodec(p)
-    if (codec != null) {
-      require(rangeStart == 0L,
-        s"compressed input has no mid-stream entry points: range start $rangeStart")
-      new java.io.BufferedInputStream(codec.createInputStream(raw), 1 << 16)
-    } else {
-      raw.seek(rangeStart)
-      new java.io.BufferedInputStream(raw, 1 << 16)
+    codec match {
+      case null =>
+        raw.seek(rangeStart)
+        new java.io.BufferedInputStream(raw, 1 << 16)
+      case sc: org.apache.hadoop.io.compress.SplittableCompressionCodec
+          if rangeEnd != Long.MaxValue =>
+        decompressor = org.apache.hadoop.io.compress.CodecPool.getDecompressor(codec)
+        // the codec end is the FILE end: a record whose marker starts
+        // before rangeEnd may extend past it, and its owner must read
+        // the body to completion (the unbounded-body contract of the
+        // uncompressed path); rangeEnd is enforced by the ownership
+        // test, not by truncating the stream
+        splitIn = sc.createInputStream(raw, decompressor, rangeStart,
+          fs.getFileStatus(p).getLen,
+          org.apache.hadoop.io.compress.SplittableCompressionCodec.READ_MODE.BYBLOCK)
+        splitIn
+      case _ =>
+        require(rangeStart == 0L,
+          s"compressed input has no mid-stream entry points: range start $rangeStart")
+        new java.io.BufferedInputStream(codec.createInputStream(raw), 1 << 16)
     }
   }
   private var pos: Long = rangeStart
+  private var markerOwnPos: Long = -1L
   private var row: InternalRow = _
+
+  /** The position the exactly-once ownership test compares to
+    * `rangeEnd`: the absolute offset of the byte JUST CONSUMED for
+    * plain/whole-stream reads, the current compression block's
+    * compressed start offset for splittable-codec ranges. */
+  private def ownPos: Long = if (splitIn != null) splitIn.getPos else pos - 1
 
   /** Scan to the end of `marker`; optionally capture bytes read
     * (marker excluded). Returns false at EOF. On success `pos` sits
-    * just past the marker (marker start = pos - marker.length). */
+    * just past the marker (marker start = pos - marker.length) and
+    * `markerOwnPos` holds the ownership position of the marker's
+    * FIRST byte (recorded when the match candidate began, so it is
+    * exact even when the marker spans a compression-block boundary). */
   private def readUntilMatch(marker: Array[Byte],
       capture: java.io.ByteArrayOutputStream): Boolean = {
     var i = 0
@@ -242,6 +292,7 @@ private final class WikiPageReader(path: String, rangeStart: Long, rangeEnd: Lon
       pos += 1
       if (capture != null) capture.write(b)
       if (b == marker(i)) {
+        if (i == 0) markerOwnPos = ownPos
         i += 1
         if (i >= marker.length) {
           if (capture != null) {
@@ -251,7 +302,10 @@ private final class WikiPageReader(path: String, rangeStart: Long, rangeEnd: Lon
           }
           return true
         }
-      } else i = if (b == marker(0)) 1 else 0
+      } else {
+        i = if (b == marker(0)) 1 else 0
+        if (i == 1) markerOwnPos = ownPos
+      }
     }
     false
   }
@@ -259,7 +313,9 @@ private final class WikiPageReader(path: String, rangeStart: Long, rangeEnd: Lon
   override def next(): Boolean = {
     if (!readUntilMatch(StartTitle, null)) return false
     // ownership: the marker's first byte must lie inside this range
-    if (pos - StartTitle.length >= rangeEnd) return false
+    // (byte offset for plain ranges, compression-block start offset
+    // for splittable-codec ranges)
+    if (markerOwnPos >= rangeEnd) return false
     val buf = new java.io.ByteArrayOutputStream(4096)
     if (!readUntilMatch(EndTitle, buf)) return false
     val title = new String(buf.toByteArray, "UTF-8")
@@ -273,5 +329,9 @@ private final class WikiPageReader(path: String, rangeStart: Long, rangeEnd: Lon
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+  override def close(): Unit = {
+    in.close()
+    if (decompressor != null)
+      org.apache.hadoop.io.compress.CodecPool.returnDecompressor(decompressor)
+  }
 }

@@ -67,6 +67,39 @@ class WikiPageSourceSpec extends AnyFunSuite {
     assert(got.length == want.size && got.toSet == want.toSet)
   }
 
+  test("splittable bzip2 dump: exactly-once records across compressed sub-ranges") {
+    // bzip2 is a SplittableCompressionCodec: the planner fans the file
+    // into COMPRESSED-offset sub-ranges and each reader enters at the
+    // first compression block at/after its start (BYBLOCK). Ownership
+    // is block-granular — a record belongs to the range owning the
+    // block its marker starts in — so the multiset must be exact at
+    // EVERY split size, including splits smaller than a compression
+    // block (such ranges own no block and must yield zero records
+    // rather than duplicates).
+    val (path, want) = makeDump(30000)
+    val bz = java.io.File.createTempFile("graft-dump", ".xml.bz2")
+    bz.deleteOnExit()
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(new org.apache.hadoop.conf.Configuration())
+    val out = codec.createOutputStream(new java.io.FileOutputStream(bz))
+    try out.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    finally out.close()
+    val clen = bz.length
+    assert(clen > 40000, s"need a multi-block bz2 file, got $clen compressed bytes")
+    def read(split: Long) = spark.read
+      .format(classOf[graft.io.WikiPageSource].getName)
+      .option("splitBytes", split).load(bz.getPath)
+    for (split <- Seq(clen / 2 + 1, 50000L, 16384L, 7000L)) {
+      val got = read(split).as[(String, String)].collect()
+      assert(got.length == want.size,
+        s"split=$split: ${got.length} records vs ${want.size} (dup or loss at a block boundary)")
+      assert(got.toSet == want.toSet, s"split=$split content mismatch")
+    }
+    // the fan-out is genuine: one compressed file -> many partitions
+    assert(read(16384L).rdd.getNumPartitions > 3,
+      "compressed sub-ranges must parallelize the single file")
+  }
+
   test("explicit Hadoop file: URI and a directory of files both read") {
     val (p1, w1) = makeDump(50)
     // via an explicit file: scheme (the Hadoop FS routing, not java.io)
