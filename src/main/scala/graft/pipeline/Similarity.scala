@@ -793,7 +793,7 @@ object Similarity {
   }
 
   def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, bits: Int = 0,
-      bands: Int = 4, n: Long = -1L): DataFrame = {
+      bands: Int = 4, n: Long = -1L, maxBucketSize: Long = 0L): DataFrame = {
     // bits = 0 derives bucket granularity from the CORPUS side (the
     // side whose per-bucket population the join cost follows); the
     // count is eager — pass `n` when known (see signLshPairs note)
@@ -802,9 +802,23 @@ object Similarity {
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
       norm(col("embedding")).as("pn"),
       explode(signBandKeys(col("embedding"), bb, bands)).as("bucket"))
-    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+    val c0 = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
       norm(col("embedding")).as("cn"),
       explode(signBandKeys(col("embedding"), bb, bands)).as("bucket"))
+    // optional hot-bucket cap on the CORPUS side (the side whose
+    // population multiplies every probe that lands in the bucket):
+    // a template-family bucket of m vectors costs m rows PER PROBE —
+    // dropped as non-discriminative past the cap, same rule and
+    // trade as signLshPairs (other bands still cover)
+    val c =
+      if (maxBucketSize <= 0L) c0
+      else {
+        val ok = c0.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBucketSize)
+          .select(col("bucket"))
+        c0.join(ok, Seq("bucket"))
+      }
     // cosine before dedup (see signLshPairs): the exchange carries
     // (probe_id, cand_id, cos), never the embedding arrays
     val scored = p.join(c, Seq("bucket"))

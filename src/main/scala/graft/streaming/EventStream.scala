@@ -248,14 +248,27 @@ object EventStream {
     * [[incrementalDedupStream]], in LSH form), so [[annStream]] reads
     * the family from the index instead of trusting the caller, and
     * refuses a foreign seed loudly. */
-  def signLshIndex(vecs: DataFrame, bits: Int, bands: Int = 4): DataFrame = {
+  def signLshIndex(vecs: DataFrame, bits: Int, bands: Int = 4,
+      maxBucketSize: Long = 0L): DataFrame = {
     require(bits > 0 && bands > 0, s"signLshIndex: bits=$bits bands=$bands")
     val sim = graft.pipeline.Similarity
-    vecs.select(col("vec_id"), col("embedding"),
+    val keyed = vecs.select(col("vec_id"), col("embedding"),
       sim.norm(col("embedding")).as("nrm"),
       explode(sim.signBandKeys(col("embedding"), bits, bands)).as("bucket"),
       lit(bits).as("_bits"), lit(bands).as("_bands"),
       lit(sim.ProjSeed).as("_seed"))
+    // optional hot-bucket cap, applied at INDEX BUILD time (the index
+    // is built once and snapshotted, so the cap costs nothing per
+    // trigger): a flooded bucket would otherwise multiply every
+    // arriving probe that lands in it — the lshTopK corpus-side rule
+    if (maxBucketSize <= 0L) keyed
+    else {
+      val ok = keyed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") <= maxBucketSize)
+        .select(col("bucket"))
+      keyed.join(ok, Seq("bucket"))
+    }
   }
 
   /**

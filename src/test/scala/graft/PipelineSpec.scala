@@ -518,6 +518,29 @@ class PipelineSpec extends AnyFunSuite {
       "rare near-dup pair lost to the cap")
   }
 
+  test("lshTopK corpus-side hot-bucket cap drops template-family candidates, keeps rare hits") {
+    // the SEARCH-path twin of the signLshPairs cap: a flooded corpus
+    // bucket multiplies every probe landing in it, so the cap drops it
+    // from the index side; a probe near a RARE corpus vector still
+    // finds it through uncapped buckets
+    val rnd = new scala.util.Random(17)
+    val template = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rare = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val corpus = ((0 until 64).map(i => (i.toLong, template)) :+ (500L, rare))
+      .toDF("vec_id", "embedding")
+    val probes = Seq((1000L, template.map(_ + 0.01f)), (1001L, rare.map(_ + 0.01f)))
+      .toDF("vec_id", "embedding")
+    val un = Similarity.lshTopK(probes, corpus, 5, bits = 6)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect()
+    assert(un.count(p => p._1 == 1000L && p._2 < 64) == 5,
+      "template family must dominate the uncapped search")
+    val cp = Similarity.lshTopK(probes, corpus, 5, bits = 6, maxBucketSize = 16)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect()
+    assert(!cp.exists(p => p._1 == 1000L && p._2 < 64),
+      "flooded family must be dropped from the capped search")
+    assert(cp.contains((1001L, 500L)), "rare candidate lost to the cap")
+  }
+
   test("semDedup hot-cell re-split bounds cell population; verdicts survive the split") {
     // a 2-bit cell layout packs ~75 DISSIMILAR vectors per cell (the
     // hub-cell shape: the O(m²) within-cell join is pure waste on

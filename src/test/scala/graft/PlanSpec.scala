@@ -172,6 +172,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("UDF"), s"ScalaUDF fences codegen:\n$p")
   }
 
+  test("semDedup split level: hot list broadcasts; no shuffle carries the vectors") {
+    // the q93 result is localCheckpointed, so (pageRank-test pattern)
+    // one split level is rebuilt here in the engine's exact shape and
+    // audited: the hot-cell COUNT aggregation must exchange (cell)
+    // rows only, and the conditional key extension must join the hot
+    // list as a broadcast — the vectors themselves never shuffle
+    // during splitting
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val vecs = (0 until 200).map(i => (i.toLong,
+        Array.tabulate(16)(j => ((i * 7 + j) % 5).toFloat)))
+        .toDF("vec_id", "embedding")
+      val cells = vecs.select(col("vec_id"), col("embedding"),
+        graft.pipeline.Similarity.signBucket(col("embedding"), 2).as("cell"))
+      val hot = cells.groupBy(col("cell")).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 20).select(col("cell"), lit(1).as("_hot"))
+      val stepped = cells.join(broadcast(hot), Seq("cell"), "left_outer")
+        .select(col("vec_id"), col("embedding"),
+          when(col("_hot").isNotNull,
+            concat(col("cell"), lit("#"),
+              graft.pipeline.Similarity.signBucket(col("embedding"), 4, first = 2048)))
+            .otherwise(col("cell")).as("cell"))
+      stepped.collect()
+      val plan = stepped.queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"hot-cell list must broadcast:\n$plan")
+      val shuffled = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.output.map(_.name)
+      }
+      shuffled.foreach(cols =>
+        assert(!cols.contains("embedding"),
+          s"vectors shuffled during cell splitting: $cols"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("TopicCorpus quality gate runs with no Scala UDF (check_text stays in codegen)") {
     // the last scalar UDFs in the engine lived here (checkUdf /
     // tsvSafeUdf wrapping TextFunctions); the Column forms replace
