@@ -1131,6 +1131,21 @@ object SparkEntry {
       Similarity.semDedup(Tables.embeddings(s, d), tau = 0.25,
         maxCellSize = 16)),
 
+    "q94_incremental_ann" -> ((s, d) => {
+      // batch incremental ANN (the embedding twin of q82's
+      // incremental dedup): a NEW batch of vectors (vec_id % 10 = 0)
+      // searched against the committed sign-LSH index of the REST of
+      // the corpus — O(|new| · bucket population), the corpus is
+      // never re-keyed; family (bits/bands/seed) rides the index
+      // metadata and is read back, never trusted from the caller
+      val emb = Tables.embeddings(s, d)
+      val idx = Similarity.signLshIndex(emb.filter(col("vec_id") % 10 =!= 0),
+        bits = 8, bands = 4)
+      Similarity.incrementalAnnCandidates(
+          emb.filter(col("vec_id") % 10 === 0), idx, tau = 0.25)
+        .select(col("vec_id"), col("cand_id"), round(col("cos"), 4).as("cos"))
+    }),
+
     "q88_ccnet_buckets" -> ((s, d) =>
       // CCNet head/middle/tail stratification: per-LANGUAGE terciles of
       // the unigram-LM score (rounded-then-ranked, doc_id tie-break, so
@@ -2068,6 +2083,34 @@ object SparkEntry {
         |   AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25)
         |SELECT c.vec_id, c.cell, CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
         |FROM c LEFT JOIN drops d ON c.vec_id = d.vec_id""".stripMargin,
+
+    "q94_incremental_ann" ->
+      // new batch (vec_id % 10 = 0) vs the banded index of the rest:
+      // 4 bands × 8 fixed bits of the seeded family, exact cosine ≥
+      // 0.25, pair dedup across bands (max is a no-op: cos is
+      // band-independent)
+      (s"""WITH hp AS (
+        | SELECT b, j, ${rademacherListSql("b*8 + j")} AS r
+        | FROM range(0, 4) t(b), range(0, 8) u(j)),
+        |bk AS (
+        | SELECT e.vec_id,
+        |  h.b || '|' || string_agg($projBitSql, '' ORDER BY h.j) AS bucket
+        | FROM embeddings e, hp h
+        | GROUP BY e.vec_id, h.b),
+        |cand AS (
+        | SELECT DISTINCT n.vec_id AS vec_id, i.vec_id AS cand_id
+        | FROM bk n JOIN bk i ON n.bucket = i.bucket
+        | WHERE n.vec_id % 10 = 0 AND i.vec_id % 10 <> 0
+        |   AND n.vec_id <> i.vec_id),
+        |scored AS (
+        | SELECT cand.vec_id, cand.cand_id, """.stripMargin +
+      safeCosSql("p", "c") +
+      """ AS cos
+        |FROM cand
+        |JOIN embeddings p ON cand.vec_id = p.vec_id
+        |JOIN embeddings c ON cand.cand_id = c.vec_id)
+        |SELECT vec_id, cand_id, round(cos, 4) AS cos FROM scored
+        |WHERE cos >= 0.25""".stripMargin),
 
     "q78_source_prior" ->
       """WITH base AS (

@@ -715,6 +715,86 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * Band-keyed sign-LSH index of a (vec_id, embedding) corpus — the
+   * committed search structure the INCREMENTAL paths join against
+   * (batch: [[incrementalAnnCandidates]]; streaming:
+   * `EventStream.annStream`). Pre-exploded once and snapshotted rather
+   * than re-keyed per batch. The index CARRIES ITS FAMILY as metadata
+   * columns (`_bits`, `_bands`, `_seed`): a consumer keyed with
+   * different bucket granularity — or an index from a different
+   * projection seed — would miss every bucket SILENTLY (the
+   * md5-vs-xxhash64 signature-family hazard in LSH form), so
+   * consumers read the family FROM the index and refuse a foreign
+   * seed. `maxBucketSize > 0` applies the hot-bucket cap at BUILD
+   * time (costs nothing per search; the lshTopK corpus-side rule).
+   */
+  def signLshIndex(vecs: DataFrame, bits: Int, bands: Int = 4,
+      maxBucketSize: Long = 0L): DataFrame = {
+    require(bits > 0 && bands > 0, s"signLshIndex: bits=$bits bands=$bands")
+    val keyed = vecs.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      explode(signBandKeys(col("embedding"), bits, bands)).as("bucket"),
+      lit(bits).as("_bits"), lit(bands).as("_bands"),
+      lit(ProjSeed).as("_seed"))
+    if (maxBucketSize <= 0L) keyed
+    else {
+      val ok = keyed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") <= maxBucketSize)
+        .select(col("bucket"))
+      keyed.join(ok, Seq("bucket"))
+    }
+  }
+
+  /** Read (bits, bands) from a [[signLshIndex]] frame, refusing an
+    * index whose projection seed is not this engine's — a foreign-seed
+    * index buckets every vector differently and would return zero
+    * candidates with no error. */
+  private[graft] def signLshIndexMeta(index: DataFrame): (Int, Int) = {
+    val meta = index.select(col("_bits"), col("_bands"), col("_seed"))
+      .limit(1).collect()
+    require(meta.nonEmpty, "sign-LSH index is empty (no family metadata)")
+    val seed = meta(0).getLong(2)
+    require(seed == ProjSeed,
+      s"index projection seed $seed != engine seed $ProjSeed " +
+        "(a foreign-seed index buckets every vector differently — zero " +
+        "candidates, silently); rebuild the index with this engine")
+    (meta(0).getInt(0), meta(0).getInt(1))
+  }
+
+  /**
+   * Batch incremental ANN — the embedding twin of
+   * `Dedup.incrementalCandidates` (q82): each vector of a NEW batch is
+   * band-keyed map-side and joined against the committed
+   * [[signLshIndex]]; candidates at exact cosine ≥ `tau` are emitted
+   * as (vec_id, cand_id, cos), deduplicated across bands. Cost is
+   * O(|new| · bucket population) regardless of corpus size — the
+   * corpus is never re-keyed or re-scanned, which is what makes a
+   * continuous-ingest dedup/linking loop O(batch) instead of
+   * O(corpus). Bucket granularity and bands are read FROM the index
+   * ([[signLshIndexMeta]] — mismatch impossible by construction,
+   * foreign seed refused loudly).
+   */
+  def incrementalAnnCandidates(newVecs: DataFrame, index: DataFrame,
+      tau: Double): DataFrame = {
+    val (bits, bands) = signLshIndexMeta(index)
+    val keyed = newVecs.select(col("vec_id"), col("embedding").as("pv"),
+      norm(col("embedding")).as("pn"),
+      explode(signBandKeys(col("embedding"), bits, bands)).as("bucket"))
+    val idx = index.select(col("bucket"), col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), col("nrm").as("cn"))
+    keyed.join(idx, Seq("bucket"))
+      .filter(col("vec_id") =!= col("cand_id"))
+      .select(col("vec_id"), col("cand_id"),
+        when(col("pn") * col("cn") === 0, lit(0.0))
+          .otherwise(dot(col("pv"), col("cv")) / (col("pn") * col("cn")))
+          .as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"), col("cand_id"))
+      .agg(max(col("cos")).as("cos")) // identical across band matches
+  }
+
   /** Bounded PQ training sample: ≤ `trainN` vectors at id stride
     * n/trainN, in id order — deterministic and spread across the id
     * space (the codebook-seed convention). Collected to the driver:

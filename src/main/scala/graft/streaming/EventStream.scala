@@ -249,27 +249,8 @@ object EventStream {
     * the family from the index instead of trusting the caller, and
     * refuses a foreign seed loudly. */
   def signLshIndex(vecs: DataFrame, bits: Int, bands: Int = 4,
-      maxBucketSize: Long = 0L): DataFrame = {
-    require(bits > 0 && bands > 0, s"signLshIndex: bits=$bits bands=$bands")
-    val sim = graft.pipeline.Similarity
-    val keyed = vecs.select(col("vec_id"), col("embedding"),
-      sim.norm(col("embedding")).as("nrm"),
-      explode(sim.signBandKeys(col("embedding"), bits, bands)).as("bucket"),
-      lit(bits).as("_bits"), lit(bands).as("_bands"),
-      lit(sim.ProjSeed).as("_seed"))
-    // optional hot-bucket cap, applied at INDEX BUILD time (the index
-    // is built once and snapshotted, so the cap costs nothing per
-    // trigger): a flooded bucket would otherwise multiply every
-    // arriving probe that lands in it — the lshTopK corpus-side rule
-    if (maxBucketSize <= 0L) keyed
-    else {
-      val ok = keyed.groupBy(col("bucket"))
-        .agg(count(lit(1)).as("_n"))
-        .filter(col("_n") <= maxBucketSize)
-        .select(col("bucket"))
-      keyed.join(ok, Seq("bucket"))
-    }
-  }
+      maxBucketSize: Long = 0L): DataFrame =
+    graft.pipeline.Similarity.signLshIndex(vecs, bits, bands, maxBucketSize)
 
   /**
    * Streaming ANN against a static sign-LSH index — the embedding twin
@@ -298,16 +279,7 @@ object EventStream {
   def annStream(probes: DataFrame, lshIndex: DataFrame, tau: Double,
       tsCol: String = "ts"): DataFrame = {
     val sim = graft.pipeline.Similarity
-    val meta = lshIndex.select(col("_bits"), col("_bands"), col("_seed"))
-      .limit(1).collect()
-    require(meta.nonEmpty, "annStream: empty LSH index (no family metadata)")
-    val bits = meta(0).getInt(0)
-    val bands = meta(0).getInt(1)
-    val seed = meta(0).getLong(2)
-    require(seed == sim.ProjSeed,
-      s"annStream: index projection seed $seed != engine seed ${sim.ProjSeed} " +
-        "(a foreign-seed index buckets every vector differently — zero " +
-        "candidates, silently); rebuild the index with this engine")
+    val (bits, bands) = sim.signLshIndexMeta(lshIndex)
     val marked = probes
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
       .withWatermark(tsCol, "10 minutes")

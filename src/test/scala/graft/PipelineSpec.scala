@@ -518,6 +518,37 @@ class PipelineSpec extends AnyFunSuite {
       "rare near-dup pair lost to the cap")
   }
 
+  test("batch incremental ANN equals the banded search; foreign-seed index refused") {
+    // the embedding twin of incrementalCandidates: a new batch against
+    // the committed index must equal the direct banded search over the
+    // same family — and an index stamped with a foreign projection
+    // seed must be refused loudly (it would silently match nothing)
+    val rnd = new scala.util.Random(37)
+    val corpus = (0 until 80).map { i =>
+      val c = i % 8
+      val base = Array.tabulate(64)(j => if (j % 8 == c) 1.0f else 0.0f)
+      (i.toLong, base.map(_ + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val newVecs = Seq(
+      (1000L, corpus(3)._2.map(_ + 0.01f)),
+      (1001L, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.signLshIndex(corpusDf, bits = 4)
+    val got = Similarity.incrementalAnnCandidates(newVecs, idx, tau = 0.8)
+      .select("vec_id", "cand_id").as[(Long, Long)].collect().toSet
+    val want = Similarity.lshTopK(newVecs, corpusDf, k = 1000, bits = 4)
+      .filter(col("cos") >= 0.8)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(got == want, s"incremental $got vs direct $want")
+    assert(got.exists(_._1 == 1000L), "planted near-dup not found")
+    val foreign = idx.withColumn("_seed", lit(999L))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.incrementalAnnCandidates(newVecs, foreign, tau = 0.8)
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
   test("lshTopK corpus-side hot-bucket cap drops template-family candidates, keeps rare hits") {
     // the SEARCH-path twin of the signLshPairs cap: a flooded corpus
     // bucket multiplies every probe landing in it, so the cap drops it
