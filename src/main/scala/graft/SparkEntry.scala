@@ -1146,6 +1146,24 @@ object SparkEntry {
         .select(col("vec_id"), col("cand_id"), round(col("cos"), 4).as("cos"))
     }),
 
+    "q95_repeated_passages" -> ((s, d) =>
+      // cross-document repeated-PASSAGE detection (the substring-level
+      // dedup signal of Lee et al. 2022, "Deduplicating Training Data
+      // Makes Language Models Better", via content-defined rolling
+      // fingerprints instead of a suffix array): codegen Rabin-Karp
+      // window hashes per doc (map-side, ~1 emitted per 2^4 positions,
+      // shift-invariant so shared passages fingerprint identically
+      // wherever they sit), one (fp, doc_id) longs-only shuffle, keep
+      // fingerprints seen in >1 document — O(n·len/16) rows total, no
+      // pairwise or suffix structure anywhere
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.rolling_fp(col("text"))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)),
+
     "q88_ccnet_buckets" -> ((s, d) =>
       // CCNet head/middle/tail stratification: per-LANGUAGE terciles of
       // the unigram-LM score (rounded-then-ranked, doc_id tie-break, so
@@ -2111,6 +2129,45 @@ object SparkEntry {
         |JOIN embeddings c ON cand.cand_id = c.vec_id)
         |SELECT vec_id, cand_id, round(cos, 4) AS cos FROM scored
         |WHERE cos >= 0.25""".stripMargin),
+
+    "q95_repeated_passages" ->
+      // restates Dedup.rollingFingerprints verbatim with HUGEINT math:
+      // base-257 polynomial mod 2^61−1 over every 32-char window
+      // (window ENDING at 1-based position E covers chars E−31..E,
+      // char at window offset k carries coefficient 257^(31−k)),
+      // emitted when the hash's low 4 bits are zero; texts shorter
+      // than the window hash whole and emit unconditionally (no such
+      // rows in the synthetic corpus — the arm is parity insurance).
+      // Each product is reduced mod M before the 32-term list_sum, so
+      // the sum stays < 2^66 inside HUGEINT.
+      """WITH RECURSIVE pows(e, p) AS (
+        | SELECT 0, 1::HUGEINT
+        | UNION ALL
+        | SELECT e + 1, (p * 257) % 2305843009213693951 FROM pows WHERE e < 31),
+        |pw AS (SELECT list(p ORDER BY e) AS p FROM pows),
+        |winpos AS (
+        | SELECT doc_id, text, unnest(range(32, length(text) + 1)) AS e
+        | FROM documents WHERE length(text) >= 32),
+        |wins AS (
+        | SELECT w.doc_id,
+        |  CAST(list_sum(list_transform(range(0, 32), k ->
+        |    (CAST(unicode(w.text[w.e - 31 + k]) AS HUGEINT) * pw.p[32 - k])
+        |      % 2305843009213693951))
+        |    % 2305843009213693951 AS BIGINT) AS h
+        | FROM winpos w, pw),
+        |shorts AS (
+        | SELECT d.doc_id,
+        |  CAST(COALESCE(list_sum(list_transform(range(0, length(d.text)), k ->
+        |    (CAST(unicode(d.text[k + 1]) AS HUGEINT) * pw.p[length(d.text) - k])
+        |      % 2305843009213693951)), 0)
+        |    % 2305843009213693951 AS BIGINT) AS h
+        | FROM documents d, pw WHERE length(d.text) < 32),
+        |fps AS (
+        | SELECT doc_id, h FROM wins WHERE h % 16 = 0
+        | UNION ALL SELECT doc_id, h FROM shorts)
+        |SELECT h AS fp, count(DISTINCT doc_id) AS n_docs,
+        | min(doc_id) AS first_doc
+        |FROM fps GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
 
     "q78_source_prior" ->
       """WITH base AS (

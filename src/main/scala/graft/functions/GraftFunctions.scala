@@ -53,6 +53,17 @@ object GraftFunctions {
   def minhash_sig(c: Column, shingleWords: Int = 3, numHashes: Int = 16): Column =
     col(MinhashSigExpr(expr(c), shingleWords, numHashes))
 
+  /** Codegen content-defined rolling fingerprints (see RollingFpExpr). */
+  def rolling_fp(c: Column, window: Int = 32, maskBits: Int = 4): Column =
+    col(RollingFpExpr(expr(c), window, maskBits))
+
+  /** Static helper the generated code (and nullSafeEval) calls. */
+  def rollingFpData(text: String, window: Int,
+      maskBits: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.pipeline.Dedup.rollingFingerprints(text, window, maskBits)
+        .map(l => l: Any))
+
   /** Codegen dot product over array<float|double> (see FloatDotExpr). */
   def vec_dot(a: Column, b: Column): Column = col(FloatDotExpr(expr(a), expr(b)))
 

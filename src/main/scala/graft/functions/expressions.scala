@@ -61,6 +61,34 @@ case class MinhashSigExpr(child: Expression, shingleWords: Int = 3,
   override def prettyName: String = "minhash_sig"
 }
 
+/** Content-defined rolling (Rabin-Karp) window fingerprints of a text
+  * (see graft.pipeline.Dedup.rollingFingerprints: base-257 polynomial
+  * mod 2^61−1 over a sliding `window`-char frame, emitted when the
+  * hash's low `maskBits` bits are zero — shift-invariant sampling, so
+  * fingerprints of unedited regions survive insertions elsewhere).
+  * Exact integer arithmetic, so the q95 DuckDB oracle restates it with
+  * HUGEINT math. Output: array<long> (possibly empty; one whole-text
+  * hash for texts shorter than the window). */
+case class RollingFpExpr(child: Expression, window: Int = 32,
+    maskBits: Int = 4) extends UnaryExpression {
+  require(window > 0 && maskBits >= 0, s"rolling_fp: window=$window maskBits=$maskBits")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    GraftFunctions.rollingFpData(v.toString, window, maskBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftFunctions.rollingFpData(" +
+        s"$c.toString(), $window, $maskBits)")
+  override protected def withNewChildInternal(newChild: Expression): RollingFpExpr =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_fp"
+}
+
 /** Element getter fragment for array<float>/array<double> children. */
 private[functions] object VecExprs {
   def getter(e: Expression): String = e.dataType match {

@@ -290,6 +290,27 @@ class ExpressionsSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("SELECT rproj_bits('x', 0, 4, 1)").collect() }
   }
 
+  test("rolling_fp expression matches Dedup.rollingFingerprints (incl. short/empty)") {
+    val long = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val samples = Seq(long, long.take(31), "short", "", long + " tail edit")
+    val got = samples.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "s")
+      .select(col("i"), GraftFunctions.rolling_fp(col("s")).as("fp"))
+      .as[(Int, Seq[Long])].collect().toMap
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i) == Dedup.rollingFingerprints(s), s"sample $i")
+    }
+    // codegen participation: non-literal input (a literal one constant-
+    // folds to a LocalTableScan before any codegen can appear)
+    val df = spark.range(8)
+      .select(concat(lit(long), col("id").cast("string")).as("s"))
+      .select(GraftFunctions.rolling_fp(col("s")).as("fp"))
+      .select(size(col("fp")).as("n"))
+    val wsc = df.queryExecution.executedPlan.find(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(wsc.isDefined, df.queryExecution.executedPlan.toString)
+    assert(df.collect().length == 8)
+  }
+
   test("rproj_bits rejects embeddings wider than the 4096 hyperplane stride") {
     // r(h, d) strides hyperplanes by 4096 in the seed formula, so a
     // dim-4097 embedding would alias r(h, 4096) with r(h+1, 0) and
