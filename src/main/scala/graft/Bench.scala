@@ -423,9 +423,7 @@ object Bench {
     // parallelism ratio, not absolute occupancy. Reported under
     // `pair_small` as direct raw evidence for the N->4N criterion at
     // the occupancy this host can actually scale across.
-    val smallJson = {
-      val sLo = math.max(cpus / 16, 1)
-      val sHi = math.max(cpus / 4, 2)
+    def pairBlock(label: String, sLo: Int, sHi: Int): String = {
       if (sHi <= sLo) ""
       else {
         // each leg carries its own machine probe (a quarter-size
@@ -475,13 +473,23 @@ object Bench {
             f""""probe_hi":${a.pHi}%.2f,"sec_hi":${a.tH}%.2f,""" +
             f""""eff":${a.eff}%.3f,"clean":${isClean(a)}}""")
           .mkString("[", ",", "]")
-        f""""pair_small":{"cores_lo":$sLo,"sec_lo":${chosen.tL}%.2f,"cores_hi":$sHi,""" +
+        f""""$label":{"cores_lo":$sLo,"sec_lo":${chosen.tL}%.2f,"cores_hi":$sHi,""" +
           f""""sec_hi":${chosen.tH}%.2f,"eff":$effPub%.3f,"eff_raw":${chosen.eff}%.3f,""" +
           f""""probe_lo":${chosen.pLo}%.2f,"probe_hi":${chosen.pHi}%.2f,""" +
           f""""cpu_sec_lo":${chosen.cpuL}%.1f,"cpu_sec_hi":${chosen.cpuH}%.1f,""" +
           s""""attempts":$attJson},"""
       }
     }
+    // pair_small (2->8) is the direct raw evidence at the occupancy
+    // this host can actually scale across; pair_mid (4->16) is the
+    // third point on the occupancy curve — together with the 8->32
+    // block they show raw N->4N efficiency decaying with ABSOLUTE
+    // thread count on identical work (an ENGINE bottleneck would track
+    // the data/parallelism ratio instead), which is the in-sandbox
+    // case that the 8->32 raw number is a host ceiling, not a plan
+    // property
+    val smallJson = pairBlock("pair_small", math.max(cpus / 16, 1), math.max(cpus / 4, 2)) +
+      pairBlock("pair_mid", math.max(cpus / 8, 2), math.max(cpus / 2, 4))
     final case class Pass(cLo: Double, tLo: Double, cHi: Double, tHi: Double,
         cpuLo: Double, cpuHi: Double) {
       def eff: Double = (tLo / tHi) / (cpus.toDouble / lo)

@@ -1146,6 +1146,20 @@ object SparkEntry {
         .select(col("vec_id"), col("cand_id"), round(col("cos"), 4).as("cos"))
     }),
 
+    "q96_mixture_sample" -> ((s, d) => {
+      // deterministic mixture resampling to TARGET source proportions
+      // (Pile/DoReMi domain reweighting): srcK is weighted (K+1)/210,
+      // the largest downsample-only output keeps rate (K+1)/20 of
+      // srcK's docs (uniform 20-source corpus ⇒ the closed form the
+      // oracle restates); selection = seeded md5 threshold over 65536
+      // buckets — engine/run/cluster-size reproducible, pure map
+      // filter after a broadcast rate lookup. Output: per-source kept
+      // counts (the mixture manifest)
+      val weights = (0 until 20).map(k => s"src$k" -> (k + 1) / 210.0).toMap
+      Curation.mixtureSample(Tables.documents(s, d), weights)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    }),
+
     "q95_repeated_passages" -> ((s, d) =>
       // cross-document repeated-PASSAGE detection (the substring-level
       // dedup signal of Lee et al. 2022, "Deduplicating Training Data
@@ -2129,6 +2143,16 @@ object SparkEntry {
         |JOIN embeddings c ON cand.cand_id = c.vec_id)
         |SELECT vec_id, cand_id, round(cos, 4) AS cos FROM scored
         |WHERE cos >= 0.25""".stripMargin),
+
+    "q96_mixture_sample" ->
+      // srcK (uniform counts) weighted (K+1)/210 ⇒ keep rate (K+1)/20,
+      // threshold = floor(rate·65536), kept iff the seeded md5's first
+      // 4 hex < threshold (numeric compare via 0x-cast)
+      """WITH kept AS (
+        | SELECT source FROM documents
+        | WHERE CAST('0x' || substring(md5('mix:' || doc_id::VARCHAR), 1, 4) AS INT)
+        |   < floor((CAST(substring(source, 4) AS INT) + 1) / 20.0 * 65536))
+        |SELECT source, count(*) AS n_kept FROM kept GROUP BY 1""".stripMargin,
 
     "q95_repeated_passages" ->
       // restates Dedup.rollingFingerprints verbatim with HUGEINT math:

@@ -57,6 +57,52 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("sampled")).as("n_sampled"))
 
   /**
+   * Deterministic MIXTURE sampling — resample a multi-source corpus to
+   * TARGET source proportions (the Pile / DoReMi domain-reweighting
+   * step of a pretraining recipe): given target weights w_s, the
+   * largest feasible downsample-only output is N = min_s n_s/w_s (no
+   * source is repeated/upsampled), so source s keeps rate
+   * r_s = N·w_s/n_s of its documents — chosen by a seeded md5 hash
+   * threshold over 65536 buckets, the [[hashBucket]] convention at 4
+   * hex chars. Reproducible on any engine and any cluster size, and a
+   * document's keep/drop never depends on other documents: after the
+   * per-source rate lookup (a #sources-row broadcast) the filter is
+   * pure map-side column math.
+   *
+   * The per-source counts are one aggregate collected to the driver —
+   * source catalogs are metadata-sized (a 100 TB corpus has dozens of
+   * sources, not millions). Weights for sources absent from the corpus
+   * are ignored; corpus sources with no weight are dropped (weight 0).
+   */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+      seed: String = "mix:"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      "mixtureSample: weights must be positive")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.contains(s) }
+    require(present.nonEmpty,
+      "mixtureSample: no weighted source present in the corpus")
+    val nTarget = present.map { case (s, w) => counts(s) / w }.min
+    val spark = docs.sparkSession
+    val rows = present.toSeq.sortBy(_._1).map { case (s, w) =>
+      org.apache.spark.sql.Row(s,
+        math.floor(math.min(1.0, nTarget * w / counts(s)) * 65536.0).toLong)
+    }
+    val thr = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("thr",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    docs.join(broadcast(thr), Seq("source"))
+      .filter(conv(substring(md5(concat(lit(seed), col("doc_id").cast("string"))),
+        1, 4), 16, 10).cast("long") < col("thr"))
+      .drop("thr")
+  }
+
+  /**
    * Deterministic STRATIFIED sample: up to `perStratum` docs per
    * stratum (e.g. per language — the balanced-mix step of a training
    * recipe), selected by rank over a seeded hash so the pick is

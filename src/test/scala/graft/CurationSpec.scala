@@ -85,6 +85,33 @@ class CurationSpec extends AnyFunSuite {
     assert(got7 == want)
   }
 
+  test("mixture sample: proportions track target weights; binding source fully kept") {
+    // 3 sources, 3000/3000/1000 docs, target mixture 0.2/0.3/0.5:
+    // feasible N = min(3000/0.2, 3000/0.3, 1000/0.5) = 2000 — source c
+    // is binding (rate exactly 1.0, every doc kept), a keeps 2000*0.2/3000
+    // ≈ 13.3%, b keeps 20%
+    val d = spark.range(7000).toDF("doc_id")
+      .withColumn("source",
+        when(col("doc_id") < 3000, "a").when(col("doc_id") < 6000, "b")
+          .otherwise("c"))
+      .withColumn("lang", lit("en"))
+    val w = Map("a" -> 0.2, "b" -> 0.3, "c" -> 0.5, "ghost" -> 0.9)
+    val kept = Curation.mixtureSample(d, w)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("c") == 1000L, s"binding source must keep every doc: $kept")
+    // hash thresholds land within ~3% of the target rates
+    assert(math.abs(kept("a") - 400L) <= 60, s"a: ${kept("a")} vs ~400")
+    assert(math.abs(kept("b") - 600L) <= 60, s"b: ${kept("b")} vs ~600")
+    // deterministic: a second run is identical, and repartitioning
+    // does not change membership
+    val again = Curation.mixtureSample(d.repartition(13), w)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(again == kept)
+    // unweighted corpus sources are dropped; all-absent weights refuse
+    val d2 = d.withColumn("source", lit("unweighted"))
+    intercept[IllegalArgumentException] { Curation.mixtureSample(d2, w) }
+  }
+
   test("stratified sample: exactly k per stratum, key-deterministic, partitioning-independent") {
     val d = spark.range(997).toDF("doc_id")
       .withColumn("lang", (col("doc_id") % 3).cast("string"))
