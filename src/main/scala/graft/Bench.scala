@@ -235,7 +235,7 @@ object Bench {
     // vocabulary-sized profile sides)
     val heavy = Seq("q50_dedup_simhash_pairs", "q64_connected_components",
       "q70_dedup_keep_list", "q81_triangles", "q82_incremental_dedup",
-      "q85_disambiguation")
+      "q85_disambiguation", "q95_repeated_passages")
     try {
       val srcDir = new java.io.File(s"$sfDir/documents.parquet")
       val srcTag = (if (srcDir.isDirectory)
@@ -306,7 +306,7 @@ object Bench {
   private def runHeavyEmb10x(spark: SparkSession, sfDir: String): String = {
     val heavy = Seq("q43_sim_topk", "q44_sim_lsh", "q53_emb_neardup",
       "q77_semdedup", "q87_semdedup_kmeans", "q89_sim_pq", "q90_sim_ivf_pq",
-      "q91_sim_ivf_pq_res")
+      "q91_sim_ivf_pq_res", "q94_incremental_ann")
     try {
       val srcDir = new java.io.File(s"$sfDir/embeddings.parquet")
       val srcTag = (if (srcDir.isDirectory)
