@@ -175,6 +175,45 @@ object SparkEntry {
        |  AND $simhashBandMatch
        | WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming)""".stripMargin
 
+  /** Unrolled k-core peel: `levels` rounds of (degree, keep >= k,
+    * restrict) CTEs over the symmetrized `e`. A level past the
+    * fixpoint is the identity, so `levels` only needs to be >= the
+    * true peel-round count (engine runs to the fixpoint; 12 covers
+    * the observed <= 7 at both verify scales with margin). */
+  private def kCorePeelCtes(k: Int, levels: Int): String = {
+    val sym = """sym AS (SELECT src, dst FROM e
+                |  UNION SELECT dst AS src, src AS dst FROM e),
+                |e0 AS (SELECT src, dst FROM sym)""".stripMargin
+    // each e(i) is referenced twice (d(i+1) and e(i+1)) — MATERIALIZED
+    // stops DuckDB inlining the chain into 2^levels base-scan copies
+    val peels = (1 to levels).map { i =>
+      s"""d$i AS (SELECT src, count(*) AS c FROM e${i - 1} GROUP BY 1),
+         |k$i AS (SELECT src AS n FROM d$i WHERE c >= $k),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN k$i a ON e.src = a.n JOIN k$i b ON e.dst = b.n)""".stripMargin
+    }
+    (sym +: peels).mkString(",\n")
+  }
+
+  /** Unrolled synchronous label propagation: `iters` rounds of
+    * (neighbor-label count, top-1 by count DESC / label ASC) CTEs —
+    * the window order restates TopicGraph.labelPropagation's
+    * deterministic tiebreak verbatim. */
+  private def lpaCtes(iters: Int): String = {
+    val sym = """sym AS (SELECT src, dst FROM e
+                |  UNION SELECT dst AS src, src AS dst FROM e),
+                |lab0 AS (SELECT DISTINCT src AS node, src AS community FROM sym)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""nl$i AS (SELECT s.src AS node, l.community, count(*) AS c
+         |  FROM sym s JOIN lab${i - 1} l ON l.node = s.dst GROUP BY 1, 2),
+         |lab$i AS (SELECT node, community FROM (
+         |  SELECT node, community,
+         |   row_number() OVER (PARTITION BY node ORDER BY c DESC, community ASC) AS rn
+         |  FROM nl$i) WHERE rn = 1)""".stripMargin
+    }
+    (sym +: rounds).mkString(",\n")
+  }
+
   /** Rademacher hyperplane-list CTE fragment: r(h, d) for hyperplane
     * h = `hExpr` over 64 dims — restates the seeded
     * multiply–xorshift–multiply family of RandProjBitsExpr /
@@ -1177,6 +1216,38 @@ object SparkEntry {
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           min(col("doc_id")).as("first_doc"))
         .filter(col("n_docs") > 1)),
+
+    "q97_kcore" -> ((s, d) => {
+      // k-core of the near-dup candidate graph (q64's edge relation):
+      // iterative peel to the maximal subgraph of min degree >= 3 —
+      // the DENSE template-family cores, where CC (q64) finds any
+      // transitively-connected blob and triangles (q81) score locally.
+      // Adaptive driver fast path at this graph size; PipelineSpec
+      // pins the distributed peel (localThreshold = 0) value-equal
+      val edges = Dedup.simhashCandidates(Tables.documents(s, d), maxHamming = 8)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      TopicGraph.kCore(edges, k = 3)
+    }),
+
+    "q98_lpa_communities" -> ((s, d) => {
+      // community detection over the same near-dup graph: 3 rounds of
+      // deterministic synchronous label propagation (majority neighbor
+      // label, ties to the smallest) — the cheap clustering that
+      // separates template families sharing a weak bridge edge, which
+      // single-linkage CC would merge into one blob
+      val edges = Dedup.simhashCandidates(Tables.documents(s, d), maxHamming = 8)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      TopicGraph.labelPropagation(edges, iters = 3)
+    }),
+
+    "q99_hll_distinct" -> ((s, d) =>
+      // per-language distinct-content cardinality as a MERGEABLE
+      // HyperLogLog sketch (md5-prefix hash family, exact-integer
+      // register math — Sketches scaladoc): registers shuffle at most
+      // 64 rows per language however large the corpus, where the exact
+      // countDistinct shuffles every distinct hash; n_zero_regs +
+      // reg_sum make the register file reconstructible downstream
+      Sketches.hllEstimate(Tables.documents(s, d), col("text"), Seq("lang"))),
 
     "q88_ccnet_buckets" -> ((s, d) =>
       // CCNet head/middle/tail stratification: per-LANGUAGE terciles of
@@ -2192,6 +2263,49 @@ object SparkEntry {
         |SELECT h AS fp, count(DISTINCT doc_id) AS n_docs,
         | min(doc_id) AS first_doc
         |FROM fps GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+
+    "q97_kcore" ->
+      // 12 unrolled peel levels over the banded-simhash graph; each
+      // level past the true fixpoint (<= 7 rounds observed at both
+      // verify scales) is the identity, so the unroll depth only
+      // bounds, never changes, the result
+      s"""WITH $simhashShCte,
+         |${simhashEdgeCte(8)},
+         |${kCorePeelCtes(3, 12)}
+         |SELECT src AS node, count(*) AS core_deg FROM e12 GROUP BY 1""".stripMargin,
+
+    "q98_lpa_communities" ->
+      // 3 unrolled synchronous LPA rounds, top-1 window restating the
+      // engine's (count DESC, label ASC) deterministic tiebreak
+      s"""WITH $simhashShCte,
+         |${simhashEdgeCte(8)},
+         |${lpaCtes(3)}
+         |SELECT node, community FROM lab3""".stripMargin,
+
+    "q99_hll_distinct" ->
+      // HLL registers restated exactly: 60-bit md5-prefix hash, bucket
+      // = low 6 bits, rho = 55 − bitlength(rest) via bin(); indicator
+      // sum as the EXACT integer Σ 2^(55−rho) (+2^55 per empty bucket;
+      // DuckDB sum(BIGINT) is HUGEINT — cast back); the only floating
+      // step is the final division, with alpha cast to DOUBLE before
+      // the power-of-2 scaling so both engines divide the same double
+      """WITH h AS (
+        | SELECT lang, ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+        | FROM documents),
+        |regs AS (
+        | SELECT lang, h % 64 AS bucket,
+        |  max(CASE WHEN (h >> 6) = 0 THEN 55
+        |      ELSE 55 - length(bin(h >> 6)) END) AS rho
+        | FROM h GROUP BY 1, 2),
+        |agg AS (
+        | SELECT lang, 64 - count(*) AS n_zero_regs,
+        |  CAST(sum(1::BIGINT << (55 - rho))
+        |    + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS reg_sum
+        | FROM regs GROUP BY 1)
+        |SELECT lang, n_zero_regs, reg_sum,
+        | round((0.709::DOUBLE) * 64 * 64 * (1::BIGINT << 55)::DOUBLE
+        |   / reg_sum::DOUBLE, 4) AS n_distinct_est
+        |FROM agg""".stripMargin,
 
     "q78_source_prior" ->
       """WITH base AS (

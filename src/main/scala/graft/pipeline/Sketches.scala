@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Mergeable cardinality sketches — the distinct-count companion to the
+ * Misra-Gries heavy-hitter sketch (Aggregators) and the quantile
+ * summaries: at crawl scale "how many distinct documents / URLs /
+ * shingles per language" is a first-class manifest column, and the
+ * exact `countDistinct` answer shuffles every distinct value while the
+ * HyperLogLog registers (Flajolet et al. 2007) travel as 64 small
+ * integers that merge by MAX.
+ *
+ * Determinism contract (the engine-wide rule): the hash is the md5
+ * 60-bit prefix (the q56/q96 seeded-threshold family), the rank is
+ * computed by BINARY STRING LENGTH (exact integer arithmetic — no
+ * floating log2 anywhere), and the estimate divides exact integers, so
+ * the DuckDB oracle restates every step verbatim and hashes equal.
+ *
+ * SCALE: registers aggregate with map-side partial max (one tiny
+ * shuffle of at most groups × 64 rows regardless of corpus size), and
+ * two corpora's registers union-merge by max — the sketch is the
+ * incremental/streaming form for free, unlike the exact count.
+ */
+object Sketches {
+
+  /** 2^p buckets; p = 6 keeps the whole register file at 64 rows per
+    * group (standard error 1.04/√64 ≈ 13% — the manifest-column
+    * operating point; raise p for tighter bounds). */
+  val HllP = 6
+  private val HllM = 1 << HllP // 64
+  /** alpha_64 from the HLL paper's bias table. */
+  private val HllAlpha = 0.709
+  /** hash width 60 bits (md5 15-hex prefix) ⇒ the post-bucket field is
+    * 60 − p = 54 bits wide, so rho ∈ [1, 55]. */
+  private val RestBits = 60 - HllP
+
+  /** 60-bit nonnegative hash of `key` — the engine's md5-prefix family
+    * (same construction as the q56 split / q96 mixture thresholds). */
+  private def h60(key: Column): Column =
+    conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+
+  /**
+   * Per-group HLL register file: (groupCols…, bucket, rho) with one
+   * row per OCCUPIED bucket (absent bucket = register 0), rho = 1 +
+   * leading-zero count of the 54-bit post-bucket hash field. bin()
+   * gives the minimal binary string, so bitlength(rest) =
+   * length(bin(rest)) and rho = 55 − bitlength — pure integer columns,
+   * codegen end to end.
+   */
+  def hllRegisters(df: DataFrame, key: Column, groupCols: Seq[String]): DataFrame = {
+    val h = h60(key)
+    val rest = shiftright(h, HllP) // nonneg ⇒ arithmetic shift = logical
+    val rho = when(rest === 0L, lit(RestBits + 1))
+      .otherwise(lit(RestBits + 1) - length(bin(rest)))
+    df.select((groupCols.map(col) :+ (h % HllM).as("bucket") :+ rho.as("r")): _*)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("r")).as("rho"))
+  }
+
+  /**
+   * Per-group cardinality estimate from the register file. The
+   * indicator sum Z⁻¹ = Σ 2^−M_j is carried as the EXACT integer
+   * S = Σ 2^(55−M_j) (absent buckets contribute 2^55; S ≤ 64·2^55 =
+   * 2^61 fits a long), so the only floating step is the final
+   * alpha·m²·2^55 / S division — deterministic IEEE on both engines.
+   * Output: (groupCols…, n_zero_regs, reg_sum, n_distinct_est).
+   * The raw estimator is published as-is (no small-range linear
+   * counting correction: ln() is not bit-reproducible across engines,
+   * and the REGISTERS are the durable product — a consumer holding
+   * (n_zero_regs, reg_sum) can apply any correction downstream).
+   */
+  def hllEstimate(df: DataFrame, key: Column, groupCols: Seq[String]): DataFrame = {
+    val regs = hllRegisters(df, key, groupCols)
+    val gcols = groupCols.map(col)
+    // functions.shiftleft only takes a literal shift — the SQL form
+    // accepts a column amount (exact 2^(55−rho) as a long)
+    val pow2 = expr(s"shiftleft(CAST(1 AS BIGINT), ${RestBits + 1} - rho)")
+    regs.groupBy(gcols: _*)
+      .agg(
+        (lit(HllM.toLong) - count(lit(1))).as("n_zero_regs"),
+        (sum(pow2) +
+          (lit(HllM.toLong) - count(lit(1))) * lit(1L << (RestBits + 1)))
+          .as("reg_sum"))
+      .select((gcols :+ col("n_zero_regs") :+ col("reg_sum") :+
+        round(lit(HllAlpha * HllM * HllM) * lit(1L << (RestBits + 1)).cast("double") /
+          col("reg_sum").cast("double"), 4).as("n_distinct_est")): _*)
+  }
+}

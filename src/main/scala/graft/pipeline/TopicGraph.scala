@@ -541,4 +541,225 @@ object TopicGraph {
         org.apache.spark.sql.types.StructField("rank",
           org.apache.spark.sql.types.DoubleType))))
   }
+
+  /**
+   * k-core decomposition by iterative peeling (Seidman 1983; the
+   * distributed peel is the standard Pregel-style formulation, cf.
+   * Montresor et al. 2013): repeatedly delete every node whose degree
+   * in the CURRENT subgraph is < k until none remains, yielding the
+   * maximal subgraph of minimum degree ≥ k. For the entity graph this
+   * is the dense-community core a KG pipeline keeps (a node surviving
+   * the 3-core sits in a genuinely interconnected topic cluster;
+   * triangle counts flag the same structure locally, the core is the
+   * global version).
+   *
+   * SCALE: each peel round is two hash joins of the shrinking edge
+   * relation against the shrinking survivor list plus one degree
+   * aggregation — all keyed on node id, no per-node state beyond a
+   * count. The edge relation only ever SHRINKS, so the per-round
+   * shuffle decays like contraction CC's; rounds are bounded by the
+   * degeneracy ordering length (small for power-law graphs: most
+   * peeling happens in the first rounds). Every round localCheckpoints
+   * (the round references `e` three times — unchecked lineage
+   * multiplies per round, the ccContraction lesson). Small graphs take
+   * the driver fast path; tests pin the loops equal with
+   * localThreshold = 0.
+   *
+   * Output: (node, core_deg) for every node of the k-core, core_deg =
+   * its degree within the core (≥ k by construction).
+   */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50,
+      localThreshold: Long = 4000000L): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))
+        .filter(col("src") =!= col("dst")))
+      .distinct().persist(lvl)
+    val nEdges = sym.count()
+    if (nEdges <= localThreshold) {
+      val out = kCoreLocal(sym, k)
+      sym.unpersist(false)
+      return out
+    }
+    val sess = sym.sparkSession
+    val parts = math.max(1, math.min(
+      sess.sparkContext.defaultParallelism, (nEdges / 50000L).toInt))
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      var e = sym.localCheckpoint(true)
+      var nNodes = -1L
+      var it = 0
+      var stable = false
+      while (!stable && it < maxIter) {
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+        val keep = deg.filter(col("core_deg") >= k)
+          .select(col("src").as("n")).localCheckpoint(true)
+        val nKeep = keep.count()
+        if (nKeep == nNodes) stable = true
+        else {
+          nNodes = nKeep
+          val next = e
+            .join(keep.withColumnRenamed("n", "src"), Seq("src"))
+            .join(keep.withColumnRenamed("n", "dst"), Seq("dst"))
+            .select(col("src"), col("dst"))
+            .localCheckpoint(true)
+          e = next
+          it += 1
+        }
+      }
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+        .localCheckpoint(true)
+    } finally {
+      sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+      sym.unpersist(false)
+    }
+  }
+
+  /** Driver-side peel over a collected small edge list — same
+    * fixpoint, same (node, core_deg) schema as the distributed loop. */
+  private def kCoreLocal(sym: DataFrame, k: Int): DataFrame = {
+    val spark = sym.sparkSession
+    val adj = scala.collection.mutable.HashMap
+      .empty[Any, scala.collection.mutable.HashSet[Any]]
+    sym.collect().foreach { r =>
+      adj.getOrElseUpdate(r.get(0), scala.collection.mutable.HashSet.empty) += r.get(1)
+    }
+    // queue-driven peel: removing a node decrements neighbors; any
+    // neighbor falling below k joins the queue (linear in |E|)
+    val queue = scala.collection.mutable.Queue.empty[Any]
+    adj.foreach { case (n, ns) => if (ns.size < k) queue += n }
+    val dead = scala.collection.mutable.HashSet.empty[Any]
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      if (!dead.contains(n)) {
+        dead += n
+        adj(n).foreach { m =>
+          if (!dead.contains(m)) {
+            val ms = adj(m)
+            ms -= n
+            if (ms.size < k) queue += m
+          }
+        }
+      }
+    }
+    val nodeType = sym.schema.fields(0).dataType
+    val out = adj.iterator
+      .filter { case (n, ns) => !dead.contains(n) && ns.size >= k }
+      .map { case (n, ns) => org.apache.spark.sql.Row(n, ns.size.toLong) }
+      .toVector
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("core_deg",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  /**
+   * Community detection by SYNCHRONOUS label propagation (Raghavan
+   * 2007), made fully deterministic: every node starts labeled with
+   * itself; each round every node simultaneously adopts the label most
+   * frequent among its neighbors, ties broken toward the SMALLEST
+   * label (the async/random-order variant of the paper converges
+   * better but is run-dependent — a correctness-gated engine needs the
+   * synchronous + total-tiebreak form, and a fixed `iters` sidesteps
+   * the known 2-cycle oscillation of synchronous LPA). After a few
+   * rounds labels pool inside dense clusters: the cheap community
+   * signal for entity-graph curation (one shuffle join + one count
+   * aggregation + one per-node top-1 per round — no modularity
+   * matrix, no global state).
+   *
+   * SCALE: per round, join (|E|) + groupBy (|E| pre-aggregated
+   * map-side) + per-node argmax via the rank-1 window — Spark 4.1
+   * rewrites rank ≤ 1 windows to WindowGroupLimit, so the top-1 is
+   * reduced map-side before the exchange, never materializing the full
+   * (node, label, count) relation through the sort. Labels relation is
+   * |V|-sized. localCheckpoint per round (the ccContraction lesson).
+   *
+   * Output: (node, community) after `iters` rounds.
+   */
+  def labelPropagation(edges: DataFrame, iters: Int = 3,
+      localThreshold: Long = 4000000L): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))
+        .filter(col("src") =!= col("dst")))
+      .distinct().persist(lvl)
+    val nEdges = sym.count()
+    if (nEdges <= localThreshold) {
+      val out = lpaLocal(sym, iters)
+      sym.unpersist(false)
+      return out
+    }
+    val sess = sym.sparkSession
+    val parts = math.max(1, math.min(
+      sess.sparkContext.defaultParallelism, (nEdges / 50000L).toInt))
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      var labels = sym.select(col("src").as("node")).distinct()
+        .withColumn("community", col("node")).localCheckpoint(true)
+      var it = 0
+      while (it < iters) {
+        val nbr = sym
+          .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src").as("node"), col("community"))
+          .agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("node"))
+          .orderBy(col("c").desc, col("community").asc)
+        labels = nbr
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("community"))
+          .localCheckpoint(true)
+        it += 1
+      }
+      labels
+    } finally {
+      sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+      sym.unpersist(false)
+    }
+  }
+
+  /** Driver-side synchronous LPA over a collected small edge list —
+    * same rounds, same tiebreak, same (node, community) schema. */
+  private def lpaLocal(sym: DataFrame, iters: Int): DataFrame = {
+    val spark = sym.sparkSession
+    val adj = scala.collection.mutable.HashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+    sym.collect().foreach { r =>
+      adj.getOrElseUpdate(r.get(0), scala.collection.mutable.ArrayBuffer.empty) += r.get(1)
+    }
+    @inline def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    var labels: Map[Any, Any] = adj.keys.map(n => n -> n).toMap
+    var it = 0
+    while (it < iters) {
+      labels = adj.iterator.map { case (n, ns) =>
+        val counts = scala.collection.mutable.HashMap.empty[Any, Long]
+        ns.foreach { m => counts(labels(m)) = counts.getOrElse(labels(m), 0L) + 1L }
+        // max count, ties toward the smallest label — the window's
+        // (c DESC, community ASC) order exactly
+        var best: Any = null
+        var bestC = -1L
+        counts.foreach { case (l, c) =>
+          if (c > bestC || (c == bestC && lt(l, best))) { best = l; bestC = c }
+        }
+        n -> best
+      }.toMap
+      it += 1
+    }
+    val nodeType = sym.schema.fields(0).dataType
+    val out = labels.iterator
+      .map { case (n, l) => org.apache.spark.sql.Row(n, l) }.toVector
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("community", nodeType))))
+  }
 }

@@ -1416,4 +1416,99 @@ class PipelineSpec extends AnyFunSuite {
     assert(got("mirror")._3 == 10L) // 3+3+4 tokens
     assert(got("clean")._5 == 0L && got("clean")._6 == 0.0)
   }
+
+  /** Reference peel for the k-core tests: iterate "drop every node of
+    * current degree < k" to the fixpoint. */
+  private def peelRef(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val adj = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+    }
+    var changed = true
+    while (changed) {
+      val drop = adj.collect { case (n, ns) if ns.size < k => n }.toSet
+      changed = drop.nonEmpty
+      drop.foreach(adj.remove)
+      adj.values.foreach(_ --= drop)
+    }
+    adj.map { case (n, ns) => n -> ns.size.toLong }.toMap
+  }
+
+  test("k-core peel: clique survives, tendrils peel, both paths agree") {
+    // 5-clique (4-regular) + a chain hanging off it + a pendant pair:
+    // the 3-core is exactly the clique; the chain peels over several
+    // cascading rounds (each removal exposes the next)
+    val clique = for (a <- 0L until 5L; b <- (a + 1) until 5L) yield (a, b)
+    val chain = Seq((4L, 10L), (10L, 11L), (11L, 12L), (12L, 13L))
+    val edges = (clique ++ chain ++ Seq((20L, 21L))).toDF("src", "dst")
+    val want = (0L until 5L).map(_ -> 4L).toMap
+    assert(TopicGraph.kCore(edges, k = 3).as[(Long, Long)].collect().toMap == want,
+      "driver peel path")
+    assert(TopicGraph.kCore(edges, k = 3, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap == want, "distributed peel path")
+    // k above the max degree: empty core on both paths
+    assert(TopicGraph.kCore(edges, k = 10).count() == 0L)
+    assert(TopicGraph.kCore(edges, k = 10, localThreshold = 0).count() == 0L)
+    // self-loops never contribute degree (a lone (n, n) node has no core
+    // membership at k >= 1)
+    val loops = (clique ++ Seq((50L, 50L))).toDF("src", "dst")
+    val gotLoops = TopicGraph.kCore(loops, k = 3, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(gotLoops == want && !gotLoops.contains(50L))
+  }
+
+  test("k-core matches the reference peel on random graphs (both paths)") {
+    val rnd = new scala.util.Random(97)
+    for (trial <- 0 until 4) {
+      val n = 50
+      val edges = Vector.fill(110)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val k = 2 + trial % 3
+      val want = peelRef(edges, k)
+      val got = TopicGraph.kCore(edges.toDF("src", "dst"), k,
+          localThreshold = if (trial % 2 == 0) 0L else 4000000L)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial k=$k")
+    }
+  }
+
+  test("label propagation separates bridge-linked communities, both paths agree") {
+    // two triangles joined by one bridge edge: CC (single linkage)
+    // merges them into one component; 3 rounds of LPA keep them apart
+    val triA = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val triB = Seq((10L, 11L), (11L, 12L), (12L, 10L))
+    val edges = (triA ++ triB ++ Seq((2L, 10L))).toDF("src", "dst")
+    val dist = TopicGraph.labelPropagation(edges, iters = 3, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    val local = TopicGraph.labelPropagation(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == local, "distributed == driver")
+    assert(Set(dist(0L), dist(1L), dist(2L)).size == 1, "triangle A pooled")
+    assert(Set(dist(10L), dist(11L), dist(12L)).size == 1, "triangle B pooled")
+    assert(dist(0L) != dist(10L), "communities stay distinct across the bridge")
+    // CC on the same graph: one blob (the contrast LPA exists for)
+    assert(TopicGraph.connectedComponents(edges).select(col("label"))
+      .distinct().count() == 1L)
+  }
+
+  test("label propagation: distributed equals driver twin on random graphs") {
+    // the synchronous + (count DESC, label ASC) tiebreak algorithm is
+    // fully deterministic, so the two paths must agree EXACTLY
+    val rnd = new scala.util.Random(98)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val edges = Vector.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val df = edges.toDF("src", "dst")
+      val iters = 1 + trial
+      val dist = TopicGraph.labelPropagation(df, iters, localThreshold = 0)
+        .as[(Long, Long)].collect().toMap
+      val local = TopicGraph.labelPropagation(df, iters)
+        .as[(Long, Long)].collect().toMap
+      assert(dist == local, s"trial $trial iters=$iters")
+    }
+  }
 }
