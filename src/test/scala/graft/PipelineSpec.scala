@@ -1417,6 +1417,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(got("clean")._5 == 0L && got("clean")._6 == 0.0)
   }
 
+  test("HLL sketch: register merge law, rho bounds, estimate accuracy") {
+    val docs = (0L until 3000L)
+      .map(i => (i, if (i % 2 == 0) "java" else "scala",
+        s"content body ${i % 1100}")) // 550 distinct per lang
+      .toDF("doc_id", "lang", "text")
+    val regs = Sketches.hllRegisters(docs, col("text"), Seq("lang"))
+      .as[(String, Long, Int)].collect()
+    assert(regs.forall(r => r._3 >= 1 && r._3 <= 55), "rho in [1, 55]")
+    assert(regs.forall(r => r._2 >= 0 && r._2 < 64), "bucket in [0, 64)")
+    // merge law: registers of the union == per-half registers merged by
+    // MAX (the property that makes the sketch incremental/streamable)
+    val half1 = docs.filter(col("doc_id") < 1500L)
+    val half2 = docs.filter(col("doc_id") >= 1500L)
+    val merged = Sketches.hllRegisters(half1, col("text"), Seq("lang"))
+      .unionByName(Sketches.hllRegisters(half2, col("text"), Seq("lang")))
+      .groupBy(col("lang"), col("bucket")).agg(max(col("rho")).as("rho"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(merged == regs.toSet, "union registers == max-merged half registers")
+    // estimate within the m=64 error envelope (~13% standard error;
+    // assert 3 sigma) of the exact per-lang distinct count
+    val est = Sketches.hllEstimate(docs, col("text"), Seq("lang"))
+      .as[(String, Long, Long, Double)].collect()
+    est.foreach { case (lang, _, _, e) =>
+      val exact = 550.0
+      assert(math.abs(e - exact) / exact < 0.4, s"$lang est $e vs $exact")
+    }
+  }
+
   /** Reference peel for the k-core tests: iterate "drop every node of
     * current degree < k" to the fixpoint. */
   private def peelRef(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
