@@ -216,16 +216,18 @@ object Similarity {
    * engine-agnostic, and SPREAD across the id space — the
    * [[semDedupKMeans]] seeding convention; the first-k prefix used
    * before round 4 is biased on any corpus whose ids correlate with
-   * content, e.g. time- or crawl-ordered ingestion); a real deployment
-   * refines them with k-means — identical plan shape. `n` skips the
+   * content, e.g. time- or crawl-ordered ingestion); `centIters > 0`
+   * Lloyd-refines them ([[ivfCentroids]]) — identical search plan,
+   * data-adapted cells. `n` skips the
    * eager corpus count when the cardinality is known (see
    * [[signLshPairs]]; on a parquet-backed frame the count is
    * metadata-only).
    */
   def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
-      kCentroids: Int = 16, nprobe: Int = 1, n: Long = -1L): DataFrame = {
+      kCentroids: Int = 16, nprobe: Int = 1, n: Long = -1L,
+      centIters: Int = 0): DataFrame = {
     val nn = if (n >= 0) n else corpus.count()
-    val cents = strideCentroids(corpus, kCentroids, nn)
+    val cents = ivfCentroids(corpus, kCentroids, nn, centIters)
     def cells(vecs: DataFrame, n: Int): DataFrame = ivfCells(vecs, cents, n)
     val cands = cells(corpus, 1)
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
@@ -255,6 +257,58 @@ object Similarity {
     val stride = math.max(1L, nn / kCentroids)
     broadcast(corpus.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv")))
+  }
+
+  /**
+   * `iters` Lloyd rounds over a coarse IVF centroid set — the
+   * [[refinePqCodebook]] analog for the CELL quantizer: assign every
+   * corpus vector to its nearest current centroid (the broadcast
+   * O(n·k) [[ivfCells]] pass), recompute each occupied cell's centroid
+   * as the exact per-dimension mean, and keep the SEED vector for any
+   * cell left empty (a centroid never vanishes, so `kCentroids` and
+   * every downstream `nprobe` contract hold across rounds — unlike
+   * [[semDedupKMeans]]'s inline loop, where an emptied cell dropping
+   * out is acceptable because cells are only a pairing heuristic
+   * there). Each round costs one posexplode shuffle of n·dim
+   * (cell, pos, value) rows plus the assignment pass — the same
+   * data-quality/shuffle trade documented on [[semDedupKMeans]], so
+   * refinement is opt-in everywhere (default 0 = the stride seeds).
+   * The mean uses distributed `avg`, so refined centroids are NOT
+   * bit-reproducible across partitionings (floating accumulation
+   * order); with refinement on, assert recall/objective, not hashes —
+   * the oracle-checked query defaults stay on the seed path.
+   */
+  private def lloydCentroids(corpus: DataFrame, cents0: DataFrame,
+      iters: Int): DataFrame = {
+    var cents = cents0.select(col("cent_id"),
+      col("cv").cast("array<double>").as("cv"))
+    for (_ <- 1 to iters) {
+      val means = ivfCells(corpus, broadcast(cents), 1)
+        .select(col("cell"), posexplode(col("embedding").cast("array<double>")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell")).agg(
+          array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cell").as("cent_id"),
+          transform(col("ps"), p => p.getField("m")).as("mv"))
+      cents = cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("mv"), col("cv")).as("cv"))
+    }
+    broadcast(cents)
+  }
+
+  /**
+   * The (possibly Lloyd-refined) IVF coarse-centroid set for a corpus —
+   * public so a deployment can TRAIN ONCE, persist the k small rows
+   * next to its [[signLshIndex]], and reuse them across [[ivfTopK]] /
+   * [[ivfPqTopK]] batches (at 100 TB the centroid set is the cheap,
+   * durable artifact; re-deriving it per query batch re-pays the
+   * assignment pass). Output: (cent_id, cv).
+   */
+  def ivfCentroids(corpus: DataFrame, kCentroids: Int = 16,
+      n: Long = -1L, centIters: Int = 0): DataFrame = {
+    val nn = if (n >= 0) n else corpus.count()
+    val seeds = strideCentroids(corpus, kCentroids, nn)
+    if (centIters <= 0) seeds else lloydCentroids(corpus, seeds, centIters)
   }
 
   /** Nearest-`n` centroid assignment (codegen FloatL2Expr inner loop —
@@ -577,10 +631,11 @@ object Similarity {
   def ivfPqTopK(probes: DataFrame, corpus: DataFrame, k: Int,
       kCentroids: Int = 16, nprobe: Int = 1, subspaces: Int = 8,
       codewords: Int = 16, shortlist: Int = 0, n: Long = -1L,
-      refineIters: Int = 0, trainSample: Int = 1024): DataFrame = {
+      refineIters: Int = 0, trainSample: Int = 1024,
+      centIters: Int = 0): DataFrame = {
     val gf = graft.functions.GraftFunctions
     val nn = if (n >= 0) n else corpus.count()
-    val cents = strideCentroids(corpus, kCentroids, nn)
+    val cents = ivfCentroids(corpus, kCentroids, nn, centIters)
     val stride = math.max(1L, nn / codewords)
     val cbRows = corpus.filter(col("vec_id") % stride === 0)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -649,7 +704,8 @@ object Similarity {
   def ivfPqResidualTopK(probes: DataFrame, corpus: DataFrame, k: Int,
       kCentroids: Int = 16, nprobe: Int = 1, subspaces: Int = 8,
       codewords: Int = 16, shortlist: Int = 0, n: Long = -1L,
-      refineIters: Int = 0, trainSample: Int = 1024): DataFrame = {
+      refineIters: Int = 0, trainSample: Int = 1024,
+      centIters: Int = 0): DataFrame = {
     val gf = graft.functions.GraftFunctions
     val nn = if (n >= 0) n else corpus.count()
     // stride 1 is degenerate: every vector is a centroid, all residuals
@@ -660,7 +716,7 @@ object Similarity {
       s"ivfPqResidualTopK: corpus size $nn must exceed codewords=$codewords " +
         "(stride-1 residual sampling yields an all-zero codebook and an " +
         "id-ordered shortlist); use pqTopK or bruteForceTopK for tiny corpora")
-    val cents = strideCentroids(corpus, kCentroids, nn)
+    val cents = ivfCentroids(corpus, kCentroids, nn, centIters)
     val stride = math.max(1L, nn / codewords)
     def residuals(vecs: DataFrame, np: Int): DataFrame =
       ivfCells(vecs, cents, np)

@@ -443,6 +443,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall(3) == refined)
   }
 
+  test("IVF centroid Lloyd refinement: objective decreases, recall recovers from bad seeds") {
+    // 12 tight clusters, membership id % 12 — so with kCentroids = 4
+    // and n = 96 the stride seeds (ids 0, 24, 48, 72) are ALL cluster-0
+    // members: the worst seeding a crawl-ordered id space can produce.
+    // Assignment against 4 near-identical centroids scatters every
+    // cluster across cells; Lloyd rounds must pull the centroids apart
+    // and co-cell cluster mates again.
+    val rnd = new scala.util.Random(43)
+    val bases = Array.fill(12)(Array.fill(64)(rnd.nextGaussian() * 2.0))
+    val raw = (0 until 96).map { id =>
+      (id.toLong, bases(id % 12).map(v => (v + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val vecs = raw.toDF("vec_id", "embedding")
+    // k-means objective: sum over vectors of min squared L2 to the set
+    def objective(iters: Int): Double = {
+      val cents = Similarity.ivfCentroids(vecs, kCentroids = 4, centIters = iters)
+        .as[(Long, Array[Double])].collect().map(_._2)
+      assert(cents.length == 4, "empty-cell seed retention must keep k centroids")
+      raw.map { case (_, v) =>
+        cents.map(c => v.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum).min
+      }.sum
+    }
+    val obj0 = objective(0)
+    val obj1 = objective(1)
+    val obj2 = objective(2)
+    assert(obj1 < obj0, f"Lloyd round 1 must reduce the objective: $obj1%.1f vs $obj0%.1f")
+    assert(obj2 <= obj1 + 1e-6, f"Lloyd is monotone: $obj2%.1f vs $obj1%.1f")
+    // search recall at nprobe = 1: cluster mates must co-cell again
+    val probes = vecs.filter(col("vec_id") < 12)
+    val want = Similarity.bruteForceTopK(probes, vecs, 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    def recall(iters: Int): Double = {
+      val got = Similarity.ivfTopK(probes, vecs, 5, kCentroids = 4, centIters = iters)
+        .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+      want.count(got.contains).toDouble / want.size
+    }
+    val stride = recall(0)
+    val refined = recall(2)
+    assert(refined >= stride,
+      f"refined recall $refined%.3f below stride $stride%.3f on bad seeds")
+    assert(refined >= 0.9, f"refined recall too low: $refined%.3f")
+  }
+
   test("IVF-PQ: results are co-celled and near-match exact within-cell search") {
     val rnd = new scala.util.Random(31)
     val vecs = (0 until 20).flatMap { c =>
