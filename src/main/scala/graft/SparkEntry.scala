@@ -1249,6 +1249,32 @@ object SparkEntry {
       // reg_sum make the register file reconstructible downstream
       Sketches.hllEstimate(Tables.documents(s, d), col("text"), Seq("lang"))),
 
+    "q100_bloom_blocklist" -> ((s, d) => {
+      // blocklist filtering, the broadcast way: build a 512-byte Bloom
+      // filter from the blocked TEXTS (any source sharing a blocked
+      // text is blocked too), test the whole corpus map-side (k md5
+      // probes + array lookups, no shuffle), and exact-verify only as
+      // accounting — n_fp measures the filter's real fp rate; zero
+      // false negatives by construction (the exact anti-join this
+      // replaces shuffles the corpus on the key at 100 TB)
+      val docs = Tables.documents(s, d)
+      val block = docs
+        .filter(col("source") === "src0" && col("doc_id") % 7 === 0)
+        .select(col("text")).distinct()
+      val bits = Sketches.bloomBuild(block, col("text"))
+      docs.select(col("source"), col("text"),
+          when(Sketches.bloomMightContain(col("text"), bits), 1L)
+            .otherwise(0L).as("bloom_hit"))
+        .join(broadcast(block.withColumn("exact_hit", lit(1L))), Seq("text"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bloom_hit")).as("n_bloom"),
+          sum(coalesce(col("exact_hit"), lit(0L))).as("n_exact"),
+          sum(when(col("bloom_hit") === 1 && col("exact_hit").isNull, 1L)
+            .otherwise(0L)).as("n_fp"))
+        .orderBy(col("source"))
+    }),
+
     "q88_ccnet_buckets" -> ((s, d) =>
       // CCNet head/middle/tail stratification: per-LANGUAGE terciles of
       // the unigram-LM score (rounded-then-ranked, doc_id tie-break, so
@@ -2306,6 +2332,42 @@ object SparkEntry {
         | round((0.709::DOUBLE) * 64 * 64 * (1::BIGINT << 55)::DOUBLE
         |   / reg_sum::DOUBLE, 4) AS n_distinct_est
         |FROM agg""".stripMargin,
+
+    "q100_bloom_blocklist" ->
+      // the Bloom probe walk restated exactly: h1 = md5 hex[1..15],
+      // h2 = 2·hex[16..30] + 1, both mod 4096 BEFORE the multiply-add
+      // (every intermediate tiny); the packed-bitset test is
+      // position-SET membership, so the oracle checks each of the 3
+      // unrolled probe positions against the blocklist's distinct
+      // position set — false positives and all
+      """WITH block AS (
+        | SELECT DISTINCT text FROM documents
+        | WHERE source = 'src0' AND doc_id % 7 = 0),
+        |bh AS (
+        | SELECT ('0x' || substring(md5(text), 1, 15))::BIGINT % 4096 AS h1,
+        |  (('0x' || substring(md5(text), 16, 15))::BIGINT * 2 + 1) % 4096 AS h2
+        | FROM block),
+        |bp AS (
+        | SELECT DISTINCT (h1 + i * h2) % 4096 AS pos
+        | FROM bh, range(0, 3) t(i)),
+        |dm AS (
+        | SELECT source,
+        |  CASE WHEN h1 IN (SELECT pos FROM bp)
+        |    AND (h1 + h2) % 4096 IN (SELECT pos FROM bp)
+        |    AND (h1 + 2 * h2) % 4096 IN (SELECT pos FROM bp)
+        |   THEN 1 ELSE 0 END AS bloom_hit,
+        |  CASE WHEN text IN (SELECT text FROM block) THEN 1 ELSE 0 END AS exact_hit
+        | FROM (
+        |  SELECT source, text,
+        |   ('0x' || substring(md5(text), 1, 15))::BIGINT % 4096 AS h1,
+        |   (('0x' || substring(md5(text), 16, 15))::BIGINT * 2 + 1) % 4096 AS h2
+        |  FROM documents))
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(bloom_hit) AS BIGINT) AS n_bloom,
+        | CAST(sum(exact_hit) AS BIGINT) AS n_exact,
+        | CAST(sum(CASE WHEN bloom_hit = 1 AND exact_hit = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_fp
+        |FROM dm GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q78_source_prior" ->
       """WITH base AS (

@@ -71,6 +71,66 @@ object Sketches {
    * and the REGISTERS are the durable product — a consumer holding
    * (n_zero_regs, reg_sum) can apply any correction downstream).
    */
+  /** Default Bloom geometry: m = 4096 bits / k = 3 probes keeps the
+    * whole filter at 512 bytes — sized for the spec corpora; a real
+    * blocklist sizes m ≈ 1.44·k·|keys| for its target fp rate
+    * (~1.2 bytes/key at 1%), still a broadcast-literal artifact at
+    * millions of keys where the exact anti-join shuffles the corpus. */
+  val BloomM = 4096
+  val BloomK = 3
+
+  /** The k probe positions of `key` — Kirsch–Mitzenmacher double
+    * hashing pos_i = (h1 + i·h2) mod m over the engine's md5-prefix
+    * family: h1 = hex[1..15], h2 = 2·hex[16..30] + 1 (odd, so the
+    * probe walk cycles through all residues of the power-of-2 m).
+    * Both halves are reduced mod m BEFORE the multiply-add, so every
+    * intermediate stays tiny and the DuckDB oracle restates the
+    * arithmetic verbatim with no overflow analysis. */
+  private def bloomPositions(key: Column, k: Int, m: Int): Seq[Column] = {
+    val h1 = conv(substring(md5(key), 1, 15), 16, 10).cast("long") % m
+    val h2 = (conv(substring(md5(key), 16, 15), 16, 10).cast("long") * 2 + 1) % m
+    (0 until k).map(i => (h1 + lit(i.toLong) * h2) % m)
+  }
+
+  /**
+   * Build the filter from a (small) key relation: the distinct probe
+   * positions — at most m rows however large the blocklist — come back
+   * to the driver and pack into m/64 longs. The packed array is the
+   * durable artifact (persist it next to the manifest); two blocklists'
+   * filters merge by bitwise OR, so the sketch is incremental like
+   * [[hllRegisters]].
+   */
+  def bloomBuild(keys: DataFrame, key: Column, k: Int = BloomK,
+      m: Int = BloomM): Array[Long] = {
+    require(m % 64 == 0 && m > 0, s"bloom m must be a positive multiple of 64, got $m")
+    val pos = keys.select(explode(array(bloomPositions(key, k, m): _*)).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+    val bits = new Array[Long](m / 64)
+    pos.foreach(p => bits(p.toInt >> 6) |= (1L << (p.toInt & 63)))
+    bits
+  }
+
+  /**
+   * Map-side membership test against a built filter: k md5 probes +
+   * k array lookups per row, no join, no shuffle — the 100 TB shape
+   * for "drop everything on the blocklist" (the exact anti-join
+   * shuffles the corpus on the key; this scans it once). False
+   * positives at the standard (1 − e^(−kn/m))^k rate, NEVER false
+   * negatives; when survivors must be exact, semi-join only the
+   * bloom-positive slice (corpus-fraction ≈ fp rate) afterwards.
+   * The packed longs expand to an array<boolean> plan literal — same
+   * O(m) broadcast, and the per-row test stays pure codegen
+   * (element_at; variable-amount bit shifts are SQL-only).
+   */
+  def bloomMightContain(key: Column, bits: Array[Long], k: Int = BloomK,
+      m: Int = BloomM): Column = {
+    require(bits.length == m / 64, s"bloom bits length ${bits.length} != m/64 = ${m / 64}")
+    val flags = typedLit((0 until m).map(p => (bits(p >> 6) >>> (p & 63) & 1L) == 1L))
+    bloomPositions(key, k, m)
+      .map(p => element_at(flags, p.cast("int") + 1))
+      .reduce(_ && _)
+  }
+
   def hllEstimate(df: DataFrame, key: Column, groupCols: Seq[String]): DataFrame = {
     val regs = hllRegisters(df, key, groupCols)
     val gcols = groupCols.map(col)

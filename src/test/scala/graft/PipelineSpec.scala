@@ -1488,6 +1488,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("Bloom sketch: no false negatives, OR-merge law, bounded fp rate") {
+    val keys = (0 until 200).map(i => s"blocked key $i").toDF("k")
+    val bits = Sketches.bloomBuild(keys, col("k"))
+    // no false negatives: every built key tests positive
+    val neg = keys.filter(!Sketches.bloomMightContain(col("k"), bits)).count()
+    assert(neg == 0L, s"$neg false negatives")
+    // merge law: filter(A ∪ B) == filter(A) | filter(B) long-for-long
+    val (a, b) = (keys.filter(expr("k like '%1'")), keys.filter(expr("not k like '%1'")))
+    val merged = Sketches.bloomBuild(a, col("k"))
+      .zip(Sketches.bloomBuild(b, col("k"))).map { case (x, y) => x | y }
+    assert(merged.toSeq == bits.toSeq, "union filter == OR of part filters")
+    // fp rate on disjoint probes near the analytic (1 - e^(-kn/m))^k
+    // ~ 0.4% at n=200, m=4096, k=3; assert an order-of-magnitude bound
+    val probes = (0 until 2000).map(i => s"clean probe $i").toDF("k")
+    val fp = probes.filter(Sketches.bloomMightContain(col("k"), bits)).count()
+    assert(fp <= 80, s"fp count $fp out of 2000 (expected ~8)")
+  }
+
   /** Reference peel for the k-core tests: iterate "drop every node of
     * current degree < k" to the fixpoint. */
   private def peelRef(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
