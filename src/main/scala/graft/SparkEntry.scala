@@ -1275,6 +1275,17 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q101_loghist_quantiles" -> ((s, d) =>
+      // per-language p50/p90/p99 doc-length envelope read off MERGEABLE
+      // log₂-histogram registers (≤64 rows per language however large
+      // the corpus; two shards' registers merge by SUM) — the manifest
+      // form of "is doc length drifting", where an exact per-group
+      // quantile shuffles every value; read-off is integer arithmetic
+      // over the registers, so [lo, hi] provably brackets the exact
+      // quantile (Sketches.logHistQuantiles scaladoc)
+      Sketches.logHistQuantiles(Tables.documents(s, d),
+        length(col("text")).cast("long"), Seq("lang"))),
+
     "q88_ccnet_buckets" -> ((s, d) =>
       // CCNet head/middle/tail stratification: per-LANGUAGE terciles of
       // the unigram-LM score (rounded-then-ranked, doc_id tie-break, so
@@ -2368,6 +2379,35 @@ object SparkEntry {
         | CAST(sum(CASE WHEN bloom_hit = 1 AND exact_hit = 0 THEN 1 ELSE 0 END)
         |   AS BIGINT) AS n_fp
         |FROM dm GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q101_loghist_quantiles" ->
+      // the register read-off restated: bin = bitlength via bin()
+      // string length (DuckDB bin() is minimal-length like Spark's),
+      // lower-quantile rank ceil(p·n) with p cast DOUBLE before the
+      // multiply so both engines round the same IEEE product; lo/hi
+      // reconstructed as 2^(bin−1)..2^bin−1 in exact BIGINT shifts
+      """WITH v AS (
+        | SELECT lang, CAST(length(text) AS BIGINT) AS val FROM documents),
+        |regs AS (
+        | SELECT lang,
+        |  CASE WHEN val <= 0 THEN 0 ELSE length(bin(val)) END AS bin,
+        |  count(*) AS cnt
+        | FROM v GROUP BY 1, 2),
+        |cum AS (
+        | SELECT lang, bin, cnt,
+        |  sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+        |  sum(cnt) OVER (PARTITION BY lang) AS n
+        | FROM regs),
+        |q AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS p),
+        |hit AS (
+        | SELECT lang, p, min(bin) AS bin
+        | FROM cum, q
+        | WHERE cum >= CAST(ceil(p * n) AS BIGINT)
+        | GROUP BY 1, 2)
+        |SELECT lang, p, CAST(bin AS BIGINT) AS bin,
+        | CASE WHEN bin = 0 THEN 0 ELSE (1::BIGINT << (bin - 1)) END AS lo,
+        | CASE WHEN bin = 0 THEN 0 ELSE (1::BIGINT << bin) - 1 END AS hi
+        |FROM hit""".stripMargin,
 
     "q78_source_prior" ->
       """WITH base AS (

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -129,6 +130,58 @@ object Sketches {
     bloomPositions(key, k, m)
       .map(p => element_at(flags, p.cast("int") + 1))
       .reduce(_ && _)
+  }
+
+  /**
+   * Per-group log₂ histogram registers over a nonnegative integer
+   * measure: (groupCols…, bin, cnt) with bin = bitlength(value)
+   * (0 for value ≤ 0) — at most 64 rows per group however large the
+   * corpus, and two corpora's registers merge by SUM, completing the
+   * mergeable-manifest trio (HLL = distinct, Misra-Gries = heavy
+   * hitters, this = the distribution). Power-of-2 bins mean relative
+   * error ≤ 2× on the read-off — the operating point for "is p99 doc
+   * length drifting" manifest monitoring, where exact per-group
+   * quantiles shuffle every value.
+   */
+  def logHistRegisters(df: DataFrame, value: Column,
+      groupCols: Seq[String]): DataFrame = {
+    val b = when(value <= 0, lit(0))
+      .otherwise(length(bin(value.cast("long")))).as("bin")
+    df.select((groupCols.map(col) :+ b): _*)
+      .groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Quantile read-off from the histogram registers: for each requested
+   * q, the smallest bin whose cumulative count reaches ceil(q·n) —
+   * the lower-quantile convention in exact integer arithmetic (the
+   * only floating step is the q·n product, identical IEEE on both
+   * engines). Output (groupCols…, p, bin, lo, hi): the exact q-th
+   * value is GUARANTEED inside [lo, hi] because binning is monotone,
+   * so cumulative register counts and cumulative value ranks agree at
+   * every bin boundary. All post-register work is on ≤ 64·|groups|
+   * rows — driver-free but effectively free regardless of corpus size.
+   */
+  def logHistQuantiles(df: DataFrame, value: Column, groupCols: Seq[String],
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val gcols = groupCols.map(col)
+    val wCum = Window.partitionBy(gcols: _*).orderBy(col("bin"))
+    val wAll = Window.partitionBy(gcols: _*)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cum = logHistRegisters(df, value, groupCols)
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    cum.crossJoin(broadcast(qs.toDF("p")))
+      .filter(col("cum") >= ceil(col("p") * col("n")).cast("long"))
+      .groupBy((gcols :+ col("p")): _*)
+      .agg(min(col("bin")).as("bin"))
+      .select((gcols :+ col("p") :+ col("bin").cast("long").as("bin") :+
+        when(col("bin") === 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bin - 1)")).as("lo") :+
+        when(col("bin") === 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bin) - 1")).as("hi")): _*)
   }
 
   def hllEstimate(df: DataFrame, key: Column, groupCols: Seq[String]): DataFrame = {

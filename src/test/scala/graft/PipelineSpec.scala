@@ -1506,6 +1506,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(fp <= 80, s"fp count $fp out of 2000 (expected ~8)")
   }
 
+  test("log-histogram sketch: SUM merge law, quantile bracket guarantee") {
+    // skewed lengths: lang-dependent geometric-ish spread plus outliers
+    val docs = (0L until 4000L)
+      .map(i => (i, if (i % 3 == 0) "java" else "scala",
+        1L + (i % 97) * (i % 97) + (if (i % 500 == 0) 100000L else 0L)))
+      .toDF("doc_id", "lang", "len")
+    val regs = Sketches.logHistRegisters(docs, col("len"), Seq("lang"))
+      .as[(String, Int, Long)].collect()
+    assert(regs.forall(r => r._2 >= 1 && r._2 <= 63), "bin = bitlength in [1,63]")
+    assert(regs.length <= 2 * 64, "at most 64 registers per group")
+    // merge law: registers of the union == per-half registers merged by
+    // SUM (what makes per-shard manifests combinable without re-reading)
+    val (h1, h2) = (docs.filter(col("doc_id") < 2000L), docs.filter(col("doc_id") >= 2000L))
+    val merged = Sketches.logHistRegisters(h1, col("len"), Seq("lang"))
+      .unionByName(Sketches.logHistRegisters(h2, col("len"), Seq("lang")))
+      .groupBy(col("lang"), col("bin")).agg(sum(col("cnt")).as("cnt"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(merged == regs.toSet, "union registers == sum-merged half registers")
+    // bracket guarantee: the EXACT lower quantile (smallest v with
+    // rank >= ceil(p*n)) lies inside [lo, hi] for every (lang, p)
+    val qs = Seq(0.5, 0.9, 0.99)
+    val got = Sketches.logHistQuantiles(docs, col("len"), Seq("lang"), qs)
+      .as[(String, Double, Long, Long, Long)].collect()
+    assert(got.length == 2 * qs.length, "one row per (lang, p)")
+    val byLang = docs.as[(Long, String, Long)].collect()
+      .groupBy(_._2).map { case (l, rows) => l -> rows.map(_._3).sorted }
+    got.foreach { case (lang, p, bin, lo, hi) =>
+      val vs = byLang(lang)
+      val exact = vs(math.ceil(p * vs.length).toLong.toInt - 1)
+      assert(exact >= lo && exact <= hi,
+        s"$lang p=$p: exact $exact outside [$lo, $hi] (bin $bin)")
+      assert(hi < 2 * lo + 2, "power-of-2 bin width: hi = 2*lo - 1")
+    }
+  }
+
   /** Reference peel for the k-core tests: iterate "drop every node of
     * current degree < k" to the fixpoint. */
   private def peelRef(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
