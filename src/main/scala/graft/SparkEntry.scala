@@ -1286,6 +1286,54 @@ object SparkEntry {
       Sketches.logHistQuantiles(Tables.documents(s, d),
         length(col("text")).cast("long"), Seq("lang"))),
 
+    "q102_editdist_pairs" -> ((s, d) =>
+      // fuzzy entity-name matching for KG canonicalization: EXACT
+      // edit-distance-<=1 self-join via deletion-neighborhood blocking
+      // (FastSS) — O(L) keys per name instead of the O(n^2) all-pairs
+      // join the oracle states directly; the levenshtein verify makes
+      // blocking recall irrelevant to correctness (Dedup scaladoc for
+      // the completeness argument and the no-flooded-bucket property)
+      Dedup.editDistancePairs(Tables.customer(s, d), col("c_name"))),
+
+    "q103_redirect_cycles" -> ((s, d) => {
+      // redirect-cycle AUDIT: exactly which nodes of a functional
+      // redirect graph sit on a loop and can never canonicalize — the
+      // rows the closure operators (q25/q65) silently DROP by
+      // NoLoopInPath semantics, surfaced for a data-quality gate.
+      // Exact-power pointer doubling: ceil(log2 n) self-joins of a
+      // relation that stays functional (<= n rows) throughout —
+      // O(n log n) total vs the O(n^2) step-by-step walk
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * col("doc_id") + 3) % n).as("dst"))
+      Redirects.cycleMembers(edges)
+    }),
+
+    "q104_cms_freq" -> ((s, d) => {
+      // Count-Min point-frequency estimates: one register-building pass
+      // over the corpus (<= 4x1024 counter rows however large it is,
+      // map-side partial counts), then ANY later probe set answers
+      // "how often does this text occur" by k broadcast lookups — no
+      // corpus access at all. min over rows never underestimates
+      // (every occurrence incremented all its counters); the register
+      // file merges across shards by SUM (Sketches scaladoc)
+      val docs = Tables.documents(s, d)
+      val regs = Sketches.cmsRegisters(docs, col("text"))
+      val probes = docs.filter(col("source") === "src3")
+        .select(col("text")).distinct()
+      Sketches.cmsEstimate(probes, col("text"), regs)
+    }),
+
+    "q105_jaccard_join_exact" -> ((s, d) =>
+      // EXACT thresholded similarity join (AllPairs prefix filtering):
+      // every distinct-token-set pair at Jaccard >= 9/10, complete by
+      // the first-common-token argument (Dedup scaladoc), rational
+      // threshold so all filters are integer cross-multiplication —
+      // the auditable counterpart of the recall-lossy LSH tiers
+      Dedup.jaccardJoinExact(Tables.documents(s, d), col("doc_id"),
+        col("text"), tauNum = 9, tauDen = 10)),
+
     "q88_ccnet_buckets" -> ((s, d) =>
       // CCNet head/middle/tail stratification: per-LANGUAGE terciles of
       // the unigram-LM score (rounded-then-ranked, doc_id tie-break, so
@@ -2408,6 +2456,82 @@ object SparkEntry {
         | CASE WHEN bin = 0 THEN 0 ELSE (1::BIGINT << (bin - 1)) END AS lo,
         | CASE WHEN bin = 0 THEN 0 ELSE (1::BIGINT << bin) - 1 END AS hi
         |FROM hit""".stripMargin,
+
+    "q102_editdist_pairs" ->
+      // the oracle states the DEFINITION the blocking join must equal:
+      // all unordered pairs of distinct non-empty names at Levenshtein
+      // distance <= 1 (DuckDB's levenshtein is the same classic
+      // unit-cost edit distance as Spark's) — deletion-neighborhood
+      // completeness is exactly what makes this restatement legal
+      """WITH names AS (
+        | SELECT DISTINCT c_name AS name FROM customer
+        | WHERE c_name IS NOT NULL AND length(c_name) > 0)
+        |SELECT a.name AS name_a, b.name AS name_b
+        |FROM names a JOIN names b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin,
+
+    "q103_redirect_cycles" ->
+      // independent definition: a node is on a cycle iff it is
+      // reachable from itself (>= 1 step). The recursive CTE walks
+      // (start, cur) pairs under UNION set semantics — at most n^2
+      // states, fine at oracle scale; the engine's pointer doubling is
+      // the O(n log n) form of the same fixpoint
+      """WITH RECURSIVE edges AS (
+        | SELECT doc_id AS src,
+        |  (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) AS dst
+        | FROM documents),
+        |walk(start, cur) AS (
+        | SELECT src AS start, dst AS cur FROM edges
+        | UNION
+        | SELECT w.start, e.dst FROM walk w JOIN edges e ON w.cur = e.src)
+        |SELECT DISTINCT start AS node FROM walk WHERE start = cur""".stripMargin,
+
+    "q104_cms_freq" ->
+      // the Count-Min walk restated exactly (the q100 Bloom family with
+      // width 1024): h1 = md5 hex[1..15] mod w, h2 = (2*hex[16..30]+1)
+      // mod w, pos_r = (h1 + r*h2) mod w for r in 0..3; registers =
+      // occupied-counter counts, estimate = min over the 4 probed
+      // counters with absent counters read as 0
+      """WITH ph AS (
+        | SELECT text,
+        |  ('0x' || substring(md5(text), 1, 15))::BIGINT % 1024 AS h1,
+        |  (('0x' || substring(md5(text), 16, 15))::BIGINT * 2 + 1) % 1024 AS h2
+        | FROM documents),
+        |regs AS (
+        | SELECT r AS row, (h1 + r * h2) % 1024 AS pos, count(*) AS cnt
+        | FROM ph, range(0, 4) t(r) GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT text FROM documents WHERE source = 'src3'),
+        |pp AS (
+        | SELECT text, t.r AS row,
+        |  (('0x' || substring(md5(text), 1, 15))::BIGINT % 1024
+        |   + t.r * ((('0x' || substring(md5(text), 16, 15))::BIGINT * 2 + 1)
+        |     % 1024)) % 1024 AS pos
+        | FROM probes, range(0, 4) t(r))
+        |SELECT text, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS n_est
+        |FROM pp LEFT JOIN regs USING (row, pos)
+        |GROUP BY text""".stripMargin,
+
+    "q105_jaccard_join_exact" ->
+      // the oracle states the all-pairs DEFINITION the prefix-filter
+      // blocking must equal: every unordered doc pair whose
+      // distinct-token sets satisfy 10*|A∩B| >= 9*|A∪B| (integer
+      // cross-multiplication, no float boundary), jac as the exact
+      // double quotient of the same two integers
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |   list_filter(string_split(text, ' '), x -> x <> ''))) AS tok
+        | FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+        |common AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        | FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jac
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE 10 * c >= 9 * (sa.sz + sb.sz - c)""".stripMargin,
 
     "q78_source_prior" ->
       """WITH base AS (

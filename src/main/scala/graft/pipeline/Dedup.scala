@@ -495,4 +495,136 @@ object Dedup {
     }
     out.result()
   }
+
+  /**
+   * EXACT edit-distance-1 self-join via deletion-neighborhood blocking
+   * — fuzzy entity-name matching for KG canonicalization (two surface
+   * forms that differ by one typo are merge candidates the exact-match
+   * redirect joins can never see). Input: any relation + a string
+   * column; output all unordered pairs (name_a < name_b) of DISTINCT
+   * values at Levenshtein distance ≤ 1.
+   *
+   * Blocking is COMPLETE for distance ≤ 1 (FastSS / Bocek et al. 2007):
+   * each string s emits keys {s} ∪ {delete_i(s)}. A substitution at i
+   * shares delete_i; an insertion/deletion means one string IS a
+   * deletion of the other, which meets that other's identity key. So
+   * candidates ⊇ true pairs, and the Levenshtein verify (codegen
+   * built-in) makes the result exact — the oracle can state the
+   * all-pairs definition directly.
+   *
+   * SCALE: O(L) keys per name (vs the O(n²) all-pairs join); a
+   * deletion bucket's population is intrinsically ≤ (L+1)·(|Σ|+1)
+   * (every member reconstructs the key by one insertion), so there is
+   * NO flooded-bucket failure mode to cap, unlike LSH bands. The join
+   * shuffles (key, name) pairs — at crawl scale substitute
+   * xxhash64(key) to shuffle 8-byte keys, and run on the DISTINCT name
+   * relation (names are Zipf-repeated; dedup first is the same
+   * guidance as the MinHash tier).
+   */
+  def editDistancePairs(rel: DataFrame, name: Column): DataFrame = {
+    // empty strings are excluded: sequence(1, 0) would step DOWNWARD
+    // ([1,0]) and fabricate keys; an empty name is not an entity anyway
+    val names = rel.select(name.as("name"))
+      .filter(col("name").isNotNull && length(col("name")) > 0).distinct()
+    // keys: the name itself + each single-character deletion, built
+    // with one transform over 1..length (pure codegen, no UDF)
+    val deletions = transform(
+      sequence(lit(1), length(col("name"))),
+      i => concat(
+        col("name").substr(lit(1), i - 1),
+        col("name").substr(i + 1, length(col("name")) - i)))
+    val keyed = names
+      .select(col("name"), explode(concat(array(col("name")), deletions)).as("k"))
+      .distinct() // delete_i = delete_j for runs of equal chars
+    val a = keyed.select(col("k"), col("name").as("name_a"))
+    val b = keyed.select(col("k"), col("name").as("name_b"))
+    a.join(b, Seq("k"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"))
+      .distinct() // a pair can meet on several shared keys
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+  }
+
+  /**
+   * EXACT Jaccard-threshold similarity self-join via prefix filtering
+   * (AllPairs, Bayardo et al. WWW'07 / PPJoin, Xiao et al. 2008) — the
+   * zero-recall-loss counterpart of the MinHash/SimHash tiers: every
+   * pair of documents whose distinct-token sets have Jaccard ≥
+   * tauNum/tauDen is emitted, none missed, none spurious. Use it when
+   * the dedup decision must be auditable ("we removed exactly the
+   * ≥0.9-similar pairs"), where LSH's probabilistic recall is a
+   * liability.
+   *
+   * Blocking is COMPLETE: order every doc's tokens rarest-global-df
+   * first (ties by token), take the prefix of length
+   * p(L) = L − ⌈t·L⌉ + 1, and join prefixes on shared tokens. Proof:
+   * let w be the globally-first common token of a qualifying pair. If
+   * w were outside A's prefix, A would have ≥ p(La) tokens before w,
+   * all outside B, so |A∩B| ≤ La − p(La) = ⌈t·La⌉ − 1 < ⌈t·La⌉ ≤
+   * |A∩B| (Jaccard ≥ t forces |A∩B| ≥ t·max(La,Lb)) — contradiction;
+   * symmetrically for B. So w sits in BOTH prefixes and the pair is a
+   * candidate. The threshold is a RATIONAL tauNum/tauDen and every
+   * filter is integer cross-multiplication — no float boundary can
+   * disagree with the DuckDB oracle's restated definition.
+   *
+   * SCALE: no all-pairs step. Shuffles: token df count (vocab-sized
+   * output), df join back (corpus-token-sized, the unavoidable one),
+   * per-doc sort+collect, prefix self-join, two id-keyed verify joins.
+   * Rarest-first prefixes keep join buckets small by construction — a
+   * stopword enters a prefix only for docs so short that even their
+   * common tokens rank early, and the length filter
+   * (min ≥ t·max, integer form) prunes inside the join. At t = 0.9 a
+   * 100-token doc exposes 11 of its rarest tokens; candidates per doc
+   * ≈ sum of those tokens' prefix-df, orders below n. The verify step
+   * re-joins full token ARRAYS only for the candidate set (the same
+   * "ids until the end" discipline as the LSH tiers).
+   */
+  def jaccardJoinExact(docs: DataFrame, id: Column, text: Column,
+      tauNum: Int = 9, tauDen: Int = 10): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold must be a rational in (0,1], got $tauNum/$tauDen")
+    // distinct non-empty whitespace tokens per doc; empty-token removal
+    // BEFORE distinct so "a  b" and "a b" tokenize identically
+    val toks = docs
+      .select(id.as("doc_id"), explode(array_distinct(
+        array_remove(split(coalesce(text, lit("")), " "), ""))).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // per-doc token array sorted rarest-first (df asc, tok asc): struct
+    // sort gives the global total order without materializing a global
+    // rank (no single-partition row_number over the vocabulary)
+    val sorted = toks.join(dfreq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
+      .select(col("doc_id"),
+        transform(col("ts"), s => s.getField("tok")).as("arr"),
+        size(col("ts")).as("sz"))
+    // p = L - ceil(t*L) + 1; ceil via (num*L + den - 1) integer-div den
+    // (longs stay exact; the cast truncates an already-integral value)
+    val p = (col("sz") - ((lit(tauNum.toLong) * col("sz") + lit(tauDen - 1))
+      / lit(tauDen)).cast("int") + 1).as("p")
+    val pref = sorted.select(col("doc_id"), col("sz"),
+        explode(slice(col("arr"), lit(1), p)).as("tok"))
+    val ca = pref.select(col("tok"), col("doc_id").as("doc_a"), col("sz").as("sza"))
+    val cb = pref.select(col("tok"), col("doc_id").as("doc_b"), col("sz").as("szb"))
+    val cands = ca.join(cb,
+        ca("tok") === cb("tok") && col("doc_a") < col("doc_b") &&
+          // length filter: min >= t*max, both directions, integer form
+          lit(tauDen) * col("sza") >= lit(tauNum) * col("szb") &&
+          lit(tauDen) * col("szb") >= lit(tauNum) * col("sza"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct() // a pair can meet on several shared prefix tokens
+    // exact verify on the candidate set only: gather both token arrays,
+    // intersect map-side, keep tauDen*common >= tauNum*union (integer)
+    val da = sorted.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
+      col("sz").as("sza"))
+    val db = sorted.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
+      col("sz").as("szb"))
+    cands.join(da, "doc_a").join(db, "doc_b")
+      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .filter(lit(tauDen.toLong) * col("c") >=
+        lit(tauNum.toLong) * (col("sza") + col("szb") - col("c")))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("sza") + col("szb") - col("c")))
+          .as("jac"))
+  }
 }

@@ -237,4 +237,53 @@ object Redirects {
     e.unpersist(false)
     out
   }
+
+  /**
+   * Cycle membership in a FUNCTIONAL redirect graph — the audit
+   * companion to the closures above, which silently DROP cycle members
+   * (NoLoopInPath semantics): this reports exactly which redirect
+   * targets sit on a loop and therefore can never canonicalize (the
+   * rows a data-quality gate should surface, not swallow).
+   *
+   * Algorithm: exact-power pointer doubling. succ_1 = edges; succ_2k =
+   * succ_k ∘ succ_k (inner join, so a walk that exits the domain —
+   * reaches a terminal — drops out). Once span > |srcs|, a surviving
+   * walk has stepped from more positions than there are distinct alias
+   * sources, so some position repeated — it entered a cycle, and its
+   * endpoint lies ON that cycle (span > |srcs| strictly: at span =
+   * |srcs| exactly, a Hamiltonian chain's TERMINAL still survives in
+   * the image); conversely succ_span restricted to a cycle is a rotation
+   * (a bijection), so every cycle node appears as an endpoint. Image
+   * of the final relation = the cycle nodes, exactly.
+   *
+   * SCALE: the relation stays FUNCTIONAL throughout (unique src, ≤ one
+   * row per source survives composition — no distinct needed, no
+   * blow-up possible), so the whole run is ⌈log₂ n⌉ self-joins of an
+   * ≤ n-row relation: O(n log n) vs the O(n²) of step-by-step walking.
+   * Each round self-joins its own output, which DOUBLES the logical
+   * plan per round — checkpoint every round (the ccContraction
+   * discipline) or the driver chokes on plan size long before data.
+   * Only sound on functional graphs (multi-successor composition
+   * enumerates paths, not positions) — enforced with one alias-sized
+   * aggregate up front.
+   */
+  def cycleMembers(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val n = e.count()
+    if (n > 0) {
+      val maxOut = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head().getLong(0)
+      require(maxOut <= 1,
+        s"cycleMembers requires a functional graph (max out-degree 1), found $maxOut")
+    }
+    var f = e
+    var span = 1L
+    while (span <= n) { // strict: exit only once span > |srcs| (see doc)
+      f = f.as("a").join(f.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .localCheckpoint(true) // every round: the self-join doubles the plan
+      span *= 2
+    }
+    f.select(col("dst").as("node")).distinct()
+  }
 }

@@ -184,6 +184,72 @@ object Sketches {
           .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bin) - 1")).as("hi")): _*)
   }
 
+  /** Default Count-Min geometry: depth 4 × width 1024 = 4096 counters
+    * (32 KB of longs) — error ≤ e/1024 ≈ 0.27% of the stream length at
+    * 1 − (1/e)^4 ≈ 98% confidence per the Cormode–Muthukrishnan bounds.
+    * Like the Bloom filter, a production stream sizes width ≈ e/ε. */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Row-r counter position of `key` — the SAME Kirsch–Mitzenmacher
+    * double-hash walk as [[bloomPositions]] (h1 = md5 hex[1..15],
+    * h2 = 2·hex[16..30] + 1, pos_r = (h1 mod w + r·(h2 mod' w)) mod w),
+    * so the DuckDB oracle restates the arithmetic verbatim. Pairwise
+    * independence per row is what the CM error bound needs; the rows
+    * share one md5 evaluation. */
+  private def cmsPositions(key: Column, depth: Int, width: Int): Seq[Column] = {
+    val h1 = conv(substring(md5(key), 1, 15), 16, 10).cast("long") % width
+    val h2 = (conv(substring(md5(key), 16, 15), 16, 10).cast("long") * 2 + 1) % width
+    (0 until depth).map(r => (h1 + lit(r.toLong) * h2) % width)
+  }
+
+  /**
+   * Count-Min register file over a key stream: (row, pos, cnt), one row
+   * per OCCUPIED counter (absent counter = 0) — at most depth×width
+   * rows however large the corpus, built with map-side partial counts
+   * (the shuffle carries ≤ depth×width rows per mapper). Two corpora's
+   * registers merge by SUM, the same merge law as [[logHistRegisters]]
+   * — the frequency-estimation leg of the mergeable-manifest family
+   * (HLL = distinct, Misra-Gries = top-k identities, log-hist =
+   * distribution, this = point frequencies of ANY later-chosen key,
+   * which Misra-Gries cannot answer below its n/k floor).
+   */
+  def cmsRegisters(df: DataFrame, key: Column, depth: Int = CmsDepth,
+      width: Int = CmsWidth): DataFrame = {
+    require(depth > 0 && width > 0, s"cms geometry must be positive, got $depth x $width")
+    val rows = (0 until depth).zip(cmsPositions(key, depth, width)).map {
+      case (r, pos) => struct(lit(r).as("row"), pos.as("pos"))
+    }
+    df.select(explode(array(rows: _*)).as("rp"))
+      .groupBy(col("rp.row").as("row"), col("rp.pos").as("pos"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Point-frequency estimates for a probe relation against a register
+   * file: est(key) = min over rows of the counter at pos_r(key) —
+   * never an underestimate (every occurrence of the key incremented
+   * all of its depth counters), overestimates only by hash-colliding
+   * other keys. The register file is depth×width rows at most, so the
+   * probe join broadcasts it: k lookups per probe, no corpus access at
+   * all — the 100 TB shape for "how often does THIS phrase occur",
+   * asked after the one register-building pass.
+   * Output: probe columns + n_est.
+   */
+  def cmsEstimate(probes: DataFrame, key: Column, registers: DataFrame,
+      depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
+    val probeCols = probes.columns.map(col).toSeq
+    val rows = (0 until depth).zip(cmsPositions(key, depth, width)).map {
+      case (r, pos) => struct(lit(r).as("row"), pos.as("pos"))
+    }
+    probes.select((probeCols :+ explode(array(rows: _*)).as("rp")): _*)
+      .join(broadcast(registers),
+        col("rp.row") === registers("row") && col("rp.pos") === registers("pos"),
+        "left_outer")
+      .groupBy(probeCols: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+  }
+
   def hllEstimate(df: DataFrame, key: Column, groupCols: Seq[String]): DataFrame = {
     val regs = hllRegisters(df, key, groupCols)
     val gcols = groupCols.map(col)

@@ -1541,6 +1541,167 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("Count-Min sketch: never underestimates, SUM merge law, bounded registers") {
+    val docs = (0L until 3000L)
+      .map(i => (i, s"doc body ${i % 700}")) // 700 keys, skewed 4-5 copies
+      .toDF("doc_id", "text")
+    val regs = Sketches.cmsRegisters(docs, col("text"))
+    assert(regs.count() <= Sketches.CmsDepth.toLong * Sketches.CmsWidth,
+      "at most depth*width occupied counters")
+    // one-sided error: est >= exact for EVERY key (each occurrence
+    // incremented all of its depth counters, min can't drop below)
+    val probes = docs.select(col("text")).distinct()
+    val est = Sketches.cmsEstimate(probes, col("text"), regs)
+    val exact = docs.groupBy(col("text")).agg(count(lit(1)).as("n_exact"))
+    val under = est.join(exact, Seq("text"))
+      .filter(col("n_est") < col("n_exact")).count()
+    assert(under == 0L, s"$under underestimates (must be impossible)")
+    // CM bound sanity: overestimate stays near e*N/width (~8 at N=3000,
+    // w=1024); assert a loose 3x envelope on the max overshoot
+    val overshoot = est.join(exact, Seq("text"))
+      .agg(max(col("n_est") - col("n_exact"))).as[Long].head()
+    assert(overshoot <= 24, s"max overshoot $overshoot > 24 (expected ~<=8)")
+    // merge law: registers of the union == per-half registers merged by
+    // SUM — the property that makes per-shard manifests combinable
+    val (h1, h2) = (docs.filter(col("doc_id") < 1500L), docs.filter(col("doc_id") >= 1500L))
+    val merged = Sketches.cmsRegisters(h1, col("text"))
+      .unionByName(Sketches.cmsRegisters(h2, col("text")))
+      .groupBy(col("row"), col("pos")).agg(sum(col("cnt")).as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == regs.as[(Int, Long, Long)].collect().toSet,
+      "union registers == sum-merged half registers")
+    // an absent key reads only colliding counters: small, never negative
+    val ghost = Seq("never seen anywhere").toDF("text")
+    val g = Sketches.cmsEstimate(ghost, col("text"), regs).as[(String, Long)].head()
+    assert(g._2 >= 0L && g._2 <= 50L, s"ghost estimate ${g._2} out of envelope")
+  }
+
+  /** Classic unit-cost Levenshtein, the test's independent reference. */
+  private def levRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("editDistancePairs: blocking join equals brute-force distance-1 pairs") {
+    // hand set covering substitution, insertion/deletion, equal-char
+    // runs (delete_i == delete_j dedup), duplicates, empties, len-1
+    val names = Seq("kitten", "kittens", "mitten", "sitting", "kitten",
+      "", "aab", "ab", "a", "b").toDF("n")
+    val got = Dedup.editDistancePairs(names, col("n"))
+      .as[(String, String)].collect().toSet
+    val distinct = Seq("kitten", "kittens", "mitten", "sitting", "aab", "ab", "a", "b")
+    val want = (for {
+      x <- distinct; y <- distinct
+      if x < y && levRef(x, y) <= 1
+    } yield (x, y)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(!got.exists(p => p._1.isEmpty || p._2.isEmpty), "empties excluded")
+    // randomized: short strings over a 3-letter alphabet (dense
+    // distance-1 neighborhoods) vs the brute-force definition
+    val rnd = new scala.util.Random(42)
+    val pool = (0 until 120).map(_ =>
+      (0 until (1 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val got2 = Dedup.editDistancePairs(pool.toDF("n"), col("n"))
+      .as[(String, String)].collect().toSet
+    val dp = pool.distinct
+    val want2 = (for {
+      x <- dp; y <- dp
+      if x < y && levRef(x, y) <= 1
+    } yield (x, y)).toSet
+    assert(got2 == want2, s"random pool mismatch: ${got2.diff(want2)} / ${want2.diff(got2)}")
+  }
+
+  test("jaccardJoinExact: prefix-filter join equals the brute-force definition") {
+    def jacRef(a: String, b: String): (Int, Int) = {
+      val (sa, sb) = (a.split(" ").filter(_.nonEmpty).toSet,
+        b.split(" ").filter(_.nonEmpty).toSet)
+      (sa.intersect(sb).size, sa.union(sb).size)
+    }
+    def bruteForce(rows: Seq[(Long, String)], num: Int, den: Int): Set[(Long, Long)] = {
+      val nonEmpty = rows.filter(_._2.split(" ").exists(_.nonEmpty))
+      (for {
+        (ia, ta) <- nonEmpty; (ib, tb) <- nonEmpty
+        if ia < ib
+        (c, u) = jacRef(ta, tb)
+        if den.toLong * c >= num.toLong * u
+      } yield (ia, ib)).toSet
+    }
+    // hand set: exact dup (jac 1), boundary pair at exactly 2/3 with
+    // tau = 2/3 (integer filter must KEEP it), just-below pair, empty
+    // text and double-space tokenization
+    val hand = Seq(
+      (1L, "a b c"), (2L, "a b c"),         // jac 1
+      (3L, "a b c d"), (4L, "a  b c"),      // 3/4 vs doc1; double space
+      (5L, "a b x"),                        // 2/4 vs doc1
+      (6L, ""), (7L, " "))                  // empty: excluded entirely
+    val handDf = hand.toDF("doc_id", "text")
+    val got = Dedup.jaccardJoinExact(handDf, col("doc_id"), col("text"), 2, 3)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == bruteForce(hand, 2, 3))
+    // the boundary pair (1,3): c=3, u=4, 3*3 >= 2*4 — kept, jac exact
+    val b13 = got.find(r => r._1 == 1L && r._2 == 3L).get
+    assert(b13._3 == 0.75)
+    assert(!got.exists(r => r._1 >= 6L || r._2 >= 6L), "empty docs excluded")
+    // randomized dense pools (small vocab => high overlap, the worst
+    // case for blocking selectivity but the best for edge coverage) at
+    // two thresholds, vs brute force
+    val rnd = new scala.util.Random(11)
+    val vocab = ('a' to 'h').map(_.toString)
+    val pool = (0L until 150L).map { i =>
+      val n = 2 + rnd.nextInt(6)
+      (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val poolDf = pool.toDF("doc_id", "text")
+    for ((num, den) <- Seq((1, 2), (9, 10))) {
+      val g = Dedup.jaccardJoinExact(poolDf, col("doc_id"), col("text"), num, den)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+      val w = bruteForce(pool, num, den)
+      assert(g == w, s"tau=$num/$den: missing ${w.diff(g)} spurious ${g.diff(w)}")
+    }
+  }
+
+  test("cycleMembers: tails excluded, cycles exact, functional guard") {
+    // rho: tail 5->4->1 into cycle 1->2->3->1, plus a dead-end chain
+    // 10->11->12 and a self-loop 7->7
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 4L),
+      (10L, 11L), (11L, 12L), (7L, 7L)).toDF("src", "dst")
+    val got = Redirects.cycleMembers(edges).as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 7L), s"got $got")
+    // Hamiltonian chain, the strict-bound edge case the scaladoc calls
+    // out: at span == |srcs| the terminal still survives; only the
+    // strict span > |srcs| exit may report empty
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Redirects.cycleMembers(chain).count() == 0L, "chain has no cycle")
+    // non-functional input refused loudly
+    val multi = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException](Redirects.cycleMembers(multi))
+    assert(ex.getMessage.contains("functional"))
+    // randomized functional graphs vs a walk-back reference
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 30
+      val f = (0L until n.toLong).map(v => v -> rnd.nextLong(n.toLong)).toMap
+      // drop ~1/4 of the nodes' out-edges so some walks exit the domain
+      val dom = f.filter { case (v, _) => v % 4 != 1 }
+      val df = dom.toSeq.toDF("src", "dst")
+      val want = dom.keys.filter { v =>
+        var cur = v; var steps = 0; var onCycle = false
+        while (steps < 2 * n && !onCycle && dom.contains(cur)) {
+          cur = dom(cur); steps += 1
+          if (cur == v) onCycle = true
+        }
+        onCycle
+      }.toSet
+      val gotR = Redirects.cycleMembers(df).as[Long].collect().toSet
+      assert(gotR == want, s"trial $trial: got $gotR want $want")
+    }
+  }
+
   /** Reference peel for the k-core tests: iterate "drop every node of
     * current degree < k" to the fixpoint. */
   private def peelRef(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
