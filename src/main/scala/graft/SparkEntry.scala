@@ -132,6 +132,43 @@ object SparkEntry {
       s"\nSELECT node, round(rank, 8) AS rank_r8 FROM r$iters"
   }
 
+  /** DuckDB oracle for q106: personalized PageRank unrolled like
+    * [[pageRankOracleSql]], with the uniform teleport replaced by the
+    * per-node seed mass m (1/|S| on the 3 lexicographically-smallest
+    * nodes, 0 elsewhere) in BOTH the restart and the dangling term —
+    * the same IEEE expressions TopicGraph.personalizedPageRank uses. */
+  private val pprOracleSql: String = {
+    val d = "0.85::DOUBLE"
+    val iters = 5
+    val head =
+      s"""WITH $aliasEdgesSql,
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges)),
+         |outdeg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         |seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 3),
+         |ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM seeds),
+         |sm AS (SELECT n.node,
+         |  CASE WHEN sd.node IS NULL THEN 0.0::DOUBLE
+         |       ELSE 1.0::DOUBLE / (SELECT s FROM ns) END AS m
+         |  FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node),
+         |r0 AS (SELECT node, m AS rank FROM sm)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT sm.node, (1 - $d) * sm.m + $d * (coalesce(s.in_sum, 0.0)
+         |    + (SELECT coalesce(sum(p.rank), 0.0) FROM $p p
+         |       LEFT JOIN outdeg o ON p.node = o.node WHERE o.node IS NULL)
+         |      * sm.m) AS rank
+         |  FROM sm LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.rank / o.deg) AS in_sum
+         |    FROM edges e JOIN $p p ON e.src = p.node
+         |    JOIN outdeg o ON o.node = e.src
+         |    GROUP BY 1) s ON sm.node = s.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, round(rank, 8) AS ppr_r8 FROM r$iters"
+  }
+
   /** Shared sentence-window regroup + annotate chain (the q35/q68
     * family — ner-corpus/03's group+merge over this corpus's 10-token
     * window convention): posexplode -> window grouping ->
@@ -1334,6 +1371,36 @@ object SparkEntry {
       Dedup.jaccardJoinExact(Tables.documents(s, d), col("doc_id"),
         col("text"), tauNum = 9, tauDen = 10)),
 
+    "q106_ppr" -> ((s, d) => {
+      // personalized PageRank from a 3-seed context set (the document's
+      // already-resolved entities): restart AND dangling mass go to the
+      // seeds, so rank = proximity to this context, not global fame —
+      // the disambiguation companion of the q75 prior. Seeds = the 3
+      // smallest node ids (deterministic, restated in the oracle)
+      val e = aliasEdges(s, d)
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.orderBy(col("node")).limit(3)
+      TopicGraph.personalizedPageRank(e, seeds, iters = 5, damping = 0.85)
+        .select(col("node"), round(col("rank"), 8).as("ppr_r8"))
+    }),
+
+    "q107_bfs_depth" -> ((s, d) => {
+      // multi-source BFS hop distance from a 3-seed canonical set over
+      // an out-degree-2 synthetic graph — PPR's exact integer skeleton
+      // (first frontier touch = shortest hop; anti-join = the min).
+      // Adaptive driver fast path at this size; the distributed
+      // frontier loop is spec-pinned value-equal
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * col("doc_id") + 3) % n).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % n).as("dst")))
+      val seeds = docs.select(col("doc_id").as("node")).orderBy(col("node")).limit(3)
+      TopicGraph.hopDistance(edges, seeds)
+    }),
+
     "q88_ccnet_buckets" -> ((s, d) =>
       // CCNet head/middle/tail stratification: per-LANGUAGE terciles of
       // the unigram-LM score (rounded-then-ranked, doc_id tie-break, so
@@ -2532,6 +2599,29 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE 10 * c >= 9 * (sa.sz + sb.sz - c)""".stripMargin,
+
+    "q106_ppr" -> pprOracleSql,
+
+    "q107_bfs_depth" ->
+      // independent definition: dist(v) = min steps from any seed,
+      // computed as the min over ALL (node, d) walk states under UNION
+      // set semantics; the d < n bound terminates cycles (any shortest
+      // path uses < n edges, so the bound never clips a true min)
+      """WITH RECURSIVE edges AS (
+        | SELECT doc_id AS src,
+        |  (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) AS dst
+        | FROM documents
+        | UNION ALL
+        | SELECT doc_id,
+        |  (doc_id*7 + 3) % (SELECT count(*) FROM documents)
+        | FROM documents),
+        |seeds AS (SELECT doc_id AS node FROM documents ORDER BY doc_id LIMIT 3),
+        |walk(node, d) AS (
+        | SELECT node, 0 FROM seeds
+        | UNION
+        | SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON w.node = e.src
+        | WHERE w.d < (SELECT count(*) FROM documents))
+        |SELECT node, CAST(min(d) AS INT) AS dist FROM walk GROUP BY node""".stripMargin,
 
     "q78_source_prior" ->
       """WITH base AS (

@@ -543,6 +543,226 @@ object TopicGraph {
   }
 
   /**
+   * Personalized PageRank (random walk with restart — Haveliwala 2002,
+   * Jeh & Widom 2003): teleport mass restarts to a SEED distribution
+   * instead of uniform, scoring every entity by its proximity to THIS
+   * context's already-resolved entities — the disambiguation-side
+   * companion of the global [[pageRank]] prior (commonness says how
+   * popular an entity is globally; PPR says how close it sits to the
+   * document at hand). Dangling mass restarts to the seeds too (the
+   * walk-restart convention), so total rank stays exactly 1 every
+   * iteration — spec-asserted.
+   *
+   * Seeds outside the edge set are ignored (a walk can only restart
+   * where the graph is); requires at least one surviving seed.
+   *
+   * Same scale discipline as [[pageRank]]: edges tagged ONCE with
+   * source out-degree, per-iteration dangling mass from a filter+sum
+   * over the rank relation (never a V-vs-V anti-join), 1-row
+   * aggregates ride broadcast, every-4th-iteration localCheckpoint,
+   * driver fast path below `localThreshold` edges with the distributed
+   * loop spec-pinned value-equal. Deliberately NOT folded into
+   * [[pageRank]] (uniform = seeds-everywhere mathematically) because
+   * (1−d)·(1/n) and (1−d)/n are different IEEE expressions — sharing
+   * the loop would silently move q75's 8-decimal oracle values.
+   */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 5, damping: Double = 0.85,
+      localThreshold: Long = 4000000L): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sess = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).persist(lvl)
+    val sd = seeds.select(seeds.columns.head).toDF("node").distinct()
+    val nEdges = e.count()
+    if (nEdges <= localThreshold) {
+      val out = pprLocal(e, sd, iters, damping)
+      e.unpersist(false)
+      return out
+    }
+    val parts = math.max(1, math.min(
+      sess.sparkContext.defaultParallelism, (nEdges / 50000L).toInt))
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      val nodes0 = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct()
+        .join(e.select(col("src").as("node")).distinct()
+          .withColumn("hasOut", lit(true)), Seq("node"), "left_outer")
+      val nodes = nodes0
+        .join(sd.withColumn("isSeed", lit(true)), Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("hasOut"), lit(false)).as("hasOut"),
+          coalesce(col("isSeed"), lit(false)).as("isSeed"))
+        .persist(lvl)
+      val nSeeds = nodes.filter(col("isSeed")).count()
+      require(nSeeds > 0, "personalizedPageRank: no seed is a graph node")
+      // per-node restart mass m: 1/|S| on seeds, 0 elsewhere — the one
+      // constant the whole loop re-reads
+      val m = when(col("isSeed"), lit(1.0 / nSeeds)).otherwise(lit(0.0))
+      val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val edgesDeg = e.join(outdeg.withColumnRenamed("node", "src"), Seq("src"))
+        .persist(lvl)
+      edgesDeg.count()
+      var ranks = nodes.withColumn("rank", m).persist(lvl)
+      ranks.count()
+      var it = 0
+      while (it < iters) {
+        val contrib = edgesDeg
+          .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+          .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
+        val dang = ranks.filter(!col("hasOut"))
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
+        val stepped = nodes
+          .join(contrib, Seq("node"), "left_outer")
+          .crossJoin(broadcast(dang))
+          .select(col("node"), col("hasOut"), col("isSeed"),
+            (lit(1 - damping) * m + lit(damping) *
+              (coalesce(col("in_sum"), lit(0.0)) + col("dang") * m)).as("rank"))
+          .persist(lvl)
+        it += 1
+        val next = if (it % 4 == 0) stepped.localCheckpoint(true) else stepped
+        next.count()
+        ranks.unpersist(false)
+        ranks = if (next ne stepped) { stepped.unpersist(false); next } else next
+      }
+      val out = ranks.select(col("node"), col("rank")).localCheckpoint(true)
+      ranks.unpersist(false)
+      edgesDeg.unpersist(false)
+      nodes.unpersist(false)
+      e.unpersist(false)
+      out
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Driver-side PPR twin — same math, same schema as the distributed
+    * loop (the [[pageRankLocal]] pattern). */
+  private def pprLocal(e: DataFrame, seeds: DataFrame, iters: Int,
+      damping: Double): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect()
+    val adj = scala.collection.mutable.HashMap.empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+    val nodeSet = scala.collection.mutable.LinkedHashSet.empty[Any]
+    rows.foreach { r =>
+      val (s, d) = (r.get(0), r.get(1))
+      nodeSet += s; nodeSet += d
+      adj.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += d
+    }
+    val nodes = nodeSet.toVector
+    val seedSet = seeds.collect().map(_.get(0)).toSet.intersect(nodeSet.toSet)
+    require(seedSet.nonEmpty, "personalizedPageRank: no seed is a graph node")
+    val mass = 1.0 / seedSet.size
+    def m(nd: Any): Double = if (seedSet(nd)) mass else 0.0
+    var rank = nodes.map(nd => nd -> m(nd)).toMap
+    var it = 0
+    while (it < iters) {
+      val in = scala.collection.mutable.HashMap.empty[Any, Double].withDefaultValue(0.0)
+      var dang = 0.0
+      nodes.foreach { nd =>
+        adj.get(nd) match {
+          case Some(ds) => val c = rank(nd) / ds.size; ds.foreach(d => in(d) += c)
+          case None => dang += rank(nd)
+        }
+      }
+      rank = nodes.map(nd =>
+        nd -> ((1 - damping) * m(nd) + damping * (in(nd) + dang * m(nd)))).toMap
+      it += 1
+    }
+    val nodeType = e.schema.fields(0).dataType
+    val out = nodes.map(nd => org.apache.spark.sql.Row(nd, rank(nd)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
+  /**
+   * Multi-source BFS hop distance: min #edges from ANY seed to each
+   * reachable node — the "how far is this entity from the document's
+   * resolved context" feature (a disambiguation signal PPR smooths;
+   * this is its exact integer skeleton), and the KG-audit answer to
+   * "which aliases are ≤ k hops from a canonical entity". Follows
+   * edges FORWARD; pass reversed edges for "who reaches the seeds".
+   *
+   * Frontier iteration: layer k+1 = (frontier ⋈ edges) minus visited —
+   * first touch IS the shortest hop count, so the anti-join against
+   * the visited set doubles as the min. Rounds = seed eccentricity;
+   * every round's frontier is localCheckpoint'd (iterative-plan
+   * discipline) and the per-round shuffle carries (node, dist) ids
+   * only. Cycles terminate naturally (a revisit is anti-joined away).
+   * Driver fast path below `localThreshold` edges (BFS at small
+   * scale is pure scheduling latency), distributed loop spec-pinned
+   * value-equal.
+   *
+   * Output: (node, dist) for seeds (dist 0) and every reachable node.
+   * Seeds are taken as given (dist 0) whether or not they have edges.
+   */
+  def hopDistance(edges: DataFrame, seeds: DataFrame,
+      localThreshold: Long = 4000000L): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).persist(lvl)
+    val sd = seeds.select(seeds.columns.head).toDF("node").distinct()
+    val nEdges = e.count()
+    if (nEdges <= localThreshold) {
+      val out = hopDistanceLocal(e, sd)
+      e.unpersist(false)
+      return out
+    }
+    var dist = sd.select(col("node"), lit(0).as("dist")).localCheckpoint(true)
+    var frontier = dist
+    var layer = 0
+    while (frontier.limit(1).count() > 0) {
+      layer += 1
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(layer).as("dist"))
+        .localCheckpoint(true) // every round: plan doubles otherwise
+      dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    e.unpersist(false)
+    dist
+  }
+
+  /** Driver-side BFS twin — same (node, dist) schema and semantics as
+    * the distributed frontier loop. */
+  private def hopDistanceLocal(e: DataFrame, seeds: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val adj = scala.collection.mutable.HashMap.empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+    e.collect().foreach { r =>
+      adj.getOrElseUpdate(r.get(0), scala.collection.mutable.ArrayBuffer.empty) += r.get(1)
+    }
+    val dist = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+    var frontier = seeds.collect().map(_.get(0)).toVector.distinct
+    frontier.foreach(s => dist(s) = 0)
+    var layer = 0
+    while (frontier.nonEmpty) {
+      layer += 1
+      val next = scala.collection.mutable.LinkedHashSet.empty[Any]
+      frontier.foreach { nd =>
+        adj.get(nd).foreach(_.foreach { d =>
+          if (!dist.contains(d)) next += d
+        })
+      }
+      next.foreach(d => dist(d) = layer)
+      frontier = next.toVector
+    }
+    val nodeType = e.schema.fields(0).dataType
+    val out = dist.toSeq.map { case (nd, dd) => org.apache.spark.sql.Row(nd, dd) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("dist",
+          org.apache.spark.sql.types.IntegerType))))
+  }
+
+  /**
    * k-core decomposition by iterative peeling (Seidman 1983; the
    * distributed peel is the standard Pregel-style formulation, cf.
    * Montresor et al. 2013): repeatedly delete every node whose degree

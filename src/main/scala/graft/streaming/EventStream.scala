@@ -253,6 +253,25 @@ object EventStream {
     graft.pipeline.Similarity.signLshIndex(vecs, bits, bands, maxBucketSize)
 
   /**
+   * Streaming Count-Min register maintenance — literally the batch
+   * transform ([[graft.pipeline.Sketches.cmsRegisters]]) applied to a
+   * streaming DataFrame (unified Dataset semantics): a streaming
+   * groupBy whose STATE is bounded by the sketch geometry (≤
+   * depth×width counter keys) however unbounded the stream — the rare
+   * aggregation that is safe in Complete mode with NO watermark,
+   * because the grouping key space belongs to the sketch, not the
+   * data. Each emitted snapshot is a valid register file for
+   * [[graft.pipeline.Sketches.cmsEstimate]] over everything ingested
+   * so far, and two streams' registers merge by SUM (the batch merge
+   * law) — per-shard ingest sketches combine at read time exactly like
+   * the batch manifests.
+   */
+  def cmsRegistersStream(stream: DataFrame, key: Column,
+      depth: Int = graft.pipeline.Sketches.CmsDepth,
+      width: Int = graft.pipeline.Sketches.CmsWidth): DataFrame =
+    graft.pipeline.Sketches.cmsRegisters(stream, key, depth, width)
+
+  /**
    * Streaming ANN against a static sign-LSH index — the embedding twin
    * of [[incrementalDedupStream]]: each arriving probe vector is
    * band-keyed in the micro-batch (map-side seeded projections, the

@@ -1037,6 +1037,95 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("personalizedPageRank: mass conserved, locality, both paths equal, guard") {
+    // chain into a hub + far 2-cycle: seed at the chain head should
+    // rank chain nodes above the equally-connected far cycle
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "h"), ("d", "h"),
+      ("x", "y"), ("y", "x")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val local = TopicGraph.personalizedPageRank(edges, seeds, iters = 8)
+      .as[(String, Double)].collect().toMap
+    // restart + dangling both go to seeds: total mass exactly 1
+    assert(math.abs(local.values.sum - 1.0) < 1e-9,
+      s"rank mass ${local.values.sum} != 1")
+    // proximity to the seed, not global fame: b (1 hop from a) beats
+    // the recirculating far cycle; the unreachable cycle gets ~0
+    assert(local("b") > local("x") && local("b") > local("y"))
+    assert(local("x") < 1e-12 && local("y") < 1e-12)
+    // hand reference for iter 1 with m(a)=1: r0 = [a:1, rest 0]; the
+    // only dangling node h carries r0(h)=0 so dang=0; r1(a) =
+    // 0.15*1 + 0.85*(0+0) = 0.15, r1(b) = 0.85*(r0(a)/1) = 0.85
+    val one = TopicGraph.personalizedPageRank(edges, seeds, iters = 1)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(one("a") - 0.15) < 1e-12 && math.abs(one("b") - 0.85) < 1e-12)
+    // distributed loop value-equal to the driver fast path
+    val dist = TopicGraph.personalizedPageRank(edges, seeds, iters = 8,
+      localThreshold = 0).as[(String, Double)].collect().toMap
+    assert(dist.keySet == local.keySet)
+    dist.foreach { case (n, r) =>
+      assert(math.abs(r - local(n)) < 1e-9, s"node $n: dist $r vs local ${local(n)}")
+    }
+    // multi-seed mass split + non-graph seed ignored
+    val two = TopicGraph.personalizedPageRank(edges,
+      Seq("a", "x", "ghost").toDF("node"), iters = 6)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(two.values.sum - 1.0) < 1e-9)
+    assert(two("x") > 0 && two("a") > 0)
+    // all seeds outside the graph: loud refusal, both paths
+    val ex = intercept[IllegalArgumentException](
+      TopicGraph.personalizedPageRank(edges, Seq("ghost").toDF("node"), iters = 2))
+    assert(ex.getMessage.contains("seed"))
+    val ex2 = intercept[IllegalArgumentException](
+      TopicGraph.personalizedPageRank(edges, Seq("ghost").toDF("node"),
+        iters = 2, localThreshold = 0))
+    assert(ex2.getMessage.contains("seed"))
+  }
+
+  test("hopDistance: min-hop layers, cycle-safe, both paths equal") {
+    // diamond with a shortcut (two paths to d: 2 hops beats 3), a
+    // cycle (must terminate, each node once), an unreachable island,
+    // and an edgeless seed (dist 0, nothing more)
+    val edges = Seq(
+      ("s", "a"), ("s", "b"), ("a", "c"), ("c", "d"), ("b", "d"),
+      ("d", "s"), // cycle back
+      ("i1", "i2")).toDF("src", "dst")
+    val got = TopicGraph.hopDistance(edges, Seq("s", "lone").toDF("node"))
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("s" -> 0, "lone" -> 0, "a" -> 1, "b" -> 1,
+      "c" -> 2, "d" -> 2), s"got $got")
+    val dist = TopicGraph.hopDistance(edges, Seq("s", "lone").toDF("node"),
+      localThreshold = 0).as[(String, Int)].collect().toMap
+    assert(dist == got, s"distributed $dist vs local $got")
+    // randomized graphs vs an in-test reference BFS, both paths
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 3) {
+      val n = 30 + trial * 25
+      val es = (0 until 3 * n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+      val seeds = Seq(0L, 1L)
+      val want = {
+        val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        val d = scala.collection.mutable.HashMap.empty[Long, Int]
+        var f = seeds.distinct; f.foreach(s => d(s) = 0); var l = 0
+        while (f.nonEmpty) {
+          l += 1
+          f = f.flatMap(x => adj.getOrElse(x, Nil))
+            .distinct.filterNot(d.contains)
+          f.foreach(x => d(x) = l)
+        }
+        d.toMap
+      }
+      val df = es.toDF("src", "dst")
+      val g1 = TopicGraph.hopDistance(df, seeds.toDF("node"))
+        .as[(Long, Int)].collect().toMap
+      val g2 = TopicGraph.hopDistance(df, seeds.toDF("node"), localThreshold = 0)
+        .as[(Long, Int)].collect().toMap
+      assert(g1 == want, s"trial $trial local")
+      assert(g2 == want, s"trial $trial distributed")
+    }
+  }
+
   test("pageRank invariants on random graphs (seeded)") {
     // mass conserved, every rank >= teleport floor (1-d)/n, ranks
     // positive — on arbitrary graphs incl. dangling nodes and cycles

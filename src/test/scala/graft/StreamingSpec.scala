@@ -347,6 +347,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Count-Min registers equal batch registers (bounded state)") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = graft.pipeline.Sketches.cmsRegisters(events, col("event_type"))
+      .collect().map(_.toString).sorted
+    assert(batch.length <= graft.pipeline.Sketches.CmsDepth *
+      graft.pipeline.Sketches.CmsWidth)
+    val q = EventStream.cmsRegistersStream(
+        EventStream.readEventStream(spark, sfDir), col("event_type"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cms_out").collect().map(_.toString).sorted
+      assert(streamed.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming windowed counts equal batch result") {
     val sfDir = "/root/testdata/sf0.001"
     val batch = EventStream.windowedCounts(
