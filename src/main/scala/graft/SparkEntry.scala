@@ -169,6 +169,36 @@ object SparkEntry {
       s"\nSELECT node, round(rank, 8) AS ppr_r8 FROM r$iters"
   }
 
+  /** DuckDB oracle for q108: the seeded-hash walk unrolled step by
+    * step — at step t the walk picks the out-neighbor minimizing
+    * ('0x'||md5("w:start:t:dst")[1..15])::BIGINT (dst tie-break), the
+    * exact TopicGraph.randomWalks score arithmetic. */
+  private val randomWalksOracleSql: String = {
+    val steps = 5
+    val head =
+      """WITH edges AS (
+        | SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src,
+        |   (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |   (doc_id*7 + 3) % (SELECT count(*) FROM documents)
+        |  FROM documents)),
+        |w0 AS (SELECT DISTINCT src AS start, src AS node FROM edges)""".stripMargin
+    val walks = (1 to steps).map { t =>
+      s"""w$t AS (SELECT start, node FROM (
+         |  SELECT w.start, e.dst AS node,
+         |   row_number() OVER (PARTITION BY w.start ORDER BY
+         |    ('0x' || substring(md5('w:' || w.start || ':$t:' || e.dst), 1, 15))::BIGINT ASC,
+         |    e.dst ASC) AS rk
+         |  FROM w${t - 1} w JOIN edges e ON w.node = e.src) WHERE rk = 1)""".stripMargin
+    }
+    val unions = (0 to steps).map(t =>
+      s"SELECT start, $t AS step, node FROM w$t").mkString("\nUNION ALL ")
+    (head +: walks).mkString(",\n") + "\n" + unions
+  }
+
   /** Shared sentence-window regroup + annotate chain (the q35/q68
     * family — ner-corpus/03's group+merge over this corpus's 10-token
     * window convention): posexplode -> window grouping ->
@@ -1364,12 +1394,18 @@ object SparkEntry {
 
     "q105_jaccard_join_exact" -> ((s, d) =>
       // EXACT thresholded similarity join (AllPairs prefix filtering):
-      // every distinct-token-set pair at Jaccard >= 9/10, complete by
+      // every distinct-token-set pair at Jaccard >= 19/20, complete by
       // the first-common-token argument (Dedup scaladoc), rational
       // threshold so all filters are integer cross-multiplication —
-      // the auditable counterpart of the recall-lossy LSH tiers
+      // the auditable counterpart of the recall-lossy LSH tiers.
+      // NB the synthetic corpus (31-word vocab, ~23 distinct tokens
+      // per doc) is maximally adversarial for ANY exact similarity
+      // join: the true result is output-dense (0.9 would emit ~18% of
+      // all pairs), so the demo threshold sits at 0.95 where the
+      // answer is selective; on a Zipf vocabulary the rarest-first
+      // prefixes are what bounds the candidate fan-out
       Dedup.jaccardJoinExact(Tables.documents(s, d), col("doc_id"),
-        col("text"), tauNum = 9, tauDen = 10)),
+        col("text"), tauNum = 19, tauDen = 20)),
 
     "q106_ppr" -> ((s, d) => {
       // personalized PageRank from a 3-seed context set (the document's
@@ -1399,6 +1435,21 @@ object SparkEntry {
           ((col("doc_id") * 7 + 3) % n).as("dst")))
       val seeds = docs.select(col("doc_id").as("node")).orderBy(col("node")).limit(3)
       TopicGraph.hopDistance(edges, seeds)
+    }),
+
+    "q108_random_walks" -> ((s, d) => {
+      // deterministic DeepWalk corpus: one 5-step seeded-hash walk per
+      // node of the out-degree-2 graph (the q107 edge set — branching
+      // is the point; the functional alias graph would leave the walk
+      // no choice). Every engine replays the same walks (md5 scores)
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * col("doc_id") + 3) % n).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % n).as("dst")))
+      val starts = edges.select(col("src").as("node")).distinct()
+      TopicGraph.randomWalks(edges, starts, steps = 5)
     }),
 
     "q88_ccnet_buckets" -> ((s, d) =>
@@ -2581,7 +2632,7 @@ object SparkEntry {
     "q105_jaccard_join_exact" ->
       // the oracle states the all-pairs DEFINITION the prefix-filter
       // blocking must equal: every unordered doc pair whose
-      // distinct-token sets satisfy 10*|A∩B| >= 9*|A∪B| (integer
+      // distinct-token sets satisfy 20*|A∩B| >= 19*|A∪B| (integer
       // cross-multiplication, no float boundary), jac as the exact
       // double quotient of the same two integers
       """WITH toks AS (
@@ -2598,7 +2649,7 @@ object SparkEntry {
         |FROM common
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE 10 * c >= 9 * (sa.sz + sb.sz - c)""".stripMargin,
+        |WHERE 20 * c >= 19 * (sa.sz + sb.sz - c)""".stripMargin,
 
     "q106_ppr" -> pprOracleSql,
 
@@ -2622,6 +2673,8 @@ object SparkEntry {
         | SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON w.node = e.src
         | WHERE w.d < (SELECT count(*) FROM documents))
         |SELECT node, CAST(min(d) AS INT) AS dist FROM walk GROUP BY node""".stripMargin,
+
+    "q108_random_walks" -> randomWalksOracleSql,
 
     "q78_source_prior" ->
       """WITH base AS (

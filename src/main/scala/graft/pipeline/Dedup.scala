@@ -592,25 +592,45 @@ object Dedup {
     // per-doc token array sorted rarest-first (df asc, tok asc): struct
     // sort gives the global total order without materializing a global
     // rank (no single-partition row_number over the vocabulary)
+    // materialized ONCE (localCheckpoint): the plan consumes this
+    // relation four times (both prefix sides + both verify gathers) and
+    // would otherwise recompute the explode+join+collect chain each time
     val sorted = toks.join(dfreq, "tok")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
       .select(col("doc_id"),
         transform(col("ts"), s => s.getField("tok")).as("arr"),
         size(col("ts")).as("sz"))
+      .localCheckpoint(true)
     // p = L - ceil(t*L) + 1; ceil via (num*L + den - 1) integer-div den
     // (longs stay exact; the cast truncates an already-integral value)
     val p = (col("sz") - ((lit(tauNum.toLong) * col("sz") + lit(tauDen - 1))
       / lit(tauDen)).cast("int") + 1).as("p")
     val pref = sorted.select(col("doc_id"), col("sz"),
-        explode(slice(col("arr"), lit(1), p)).as("tok"))
-    val ca = pref.select(col("tok"), col("doc_id").as("doc_a"), col("sz").as("sza"))
-    val cb = pref.select(col("tok"), col("doc_id").as("doc_b"), col("sz").as("szb"))
+        posexplode(slice(col("arr"), lit(1), p)).as(Seq("i0", "tok")))
+    val ca = pref.select(col("tok"), col("doc_id").as("doc_a"),
+      col("sz").as("sza"), (col("i0") + 1).as("ia"))
+    val cb = pref.select(col("tok"), col("doc_id").as("doc_b"),
+      col("sz").as("szb"), (col("i0") + 1).as("ib"))
+    // PPJoin positional filter (complete): a qualifying pair's FIRST
+    // common token w, met at 1-based positions (ia, ib), has every
+    // earlier token of A outside B (the array order IS the global
+    // order), so overlap ≤ 1 + min(La−ia, Lb−ib); Jaccard ≥ t needs
+    // overlap·(num+den) ≥ num·(La+Lb). Rows of a qualifying pair at
+    // LATER meets may be pruned — the first-meet row always survives,
+    // and distinct keeps the pair. On low-entropy vocabularies (where
+    // rarest-first prefixes concentrate on the same few tokens) this
+    // prunes the join fan-out inside the codegen residual, BEFORE the
+    // distinct exchange ever sees it.
+    val posBound = (lit(1) + least(col("sza") - col("ia"),
+      col("szb") - col("ib"))) * lit(tauNum + tauDen) >=
+      lit(tauNum) * (col("sza") + col("szb"))
     val cands = ca.join(cb,
         ca("tok") === cb("tok") && col("doc_a") < col("doc_b") &&
           // length filter: min >= t*max, both directions, integer form
           lit(tauDen) * col("sza") >= lit(tauNum) * col("szb") &&
-          lit(tauDen) * col("szb") >= lit(tauNum) * col("sza"))
+          lit(tauDen) * col("szb") >= lit(tauNum) * col("sza") &&
+          posBound)
       .select(col("doc_a"), col("doc_b"))
       .distinct() // a pair can meet on several shared prefix tokens
     // exact verify on the candidate set only: gather both token arrays,

@@ -721,12 +721,67 @@ object TopicGraph {
         .distinct()
         .join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(layer).as("dist"))
-        .localCheckpoint(true) // every round: plan doubles otherwise
-      dist = dist.unionByName(next).localCheckpoint(true)
+        .localCheckpoint(true) // each LAYER materialized exactly once;
+      // dist stays a lazy union of checkpointed layers (plan grows
+      // linearly in layers, and re-checkpointing the whole visited set
+      // every round would write O(V · eccentricity) total)
+      dist = dist.unionByName(next)
       frontier = next
     }
     e.unpersist(false)
     dist
+  }
+
+  /**
+   * Deterministic random-walk corpus (DeepWalk, Perozzi et al. 2014 /
+   * node2vec, Grover & Leskovec 2016 — the p=q=1 uniform case): one
+   * T-step walk per start node, the training-sequence generator for
+   * graph embeddings. "Random" is a seeded hash, not an RNG: at step t
+   * the walk at start s standing on node u moves to the out-neighbor v
+   * minimizing the md5-derived score of (s, t, v) — every engine
+   * (and the DuckDB oracle) replays the exact same walks, and the
+   * (s, t) salt makes revisits on cycles take fresh branches, so walks
+   * don't lock into 2-cycles the way an unsalted min-neighbor would.
+   *
+   * SCALE: each step is one join of the |starts|-row position relation
+   * against the edge relation plus a groupBy min — positions carry
+   * (start, node) ids only, the min(struct(score, dst)) aggregation is
+   * map-side partial, and a walk that reaches a terminal node simply
+   * drops out of the inner join. T steps = T such rounds, each
+   * localCheckpoint'd (iterative-plan discipline). Out-degree skew is
+   * bounded by the scoring join fanning out only to each CURRENT
+   * node's neighbors — a hub contributes its degree once per walk
+   * standing on it, not per walk in the corpus.
+   *
+   * Output: (start, step, node), steps 0..T (step 0 = the start).
+   */
+  def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int,
+      seed: String = "w"): DataFrame = {
+    require(steps >= 0, s"steps must be >= 0, got $steps")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).distinct().persist(lvl)
+    e.count()
+    var cur = starts.select(starts.columns.head).toDF("node").distinct()
+      .select(col("node").as("start"), col("node"))
+      .localCheckpoint(true)
+    val layers = Seq.newBuilder[DataFrame]
+    layers += cur.select(col("start"), lit(0).as("step"), col("node"))
+    var t = 1
+    while (t <= steps) {
+      val score = conv(substring(md5(concat_ws(":", lit(seed),
+        col("start").cast("string"), lit(t).cast("string"),
+        col("dst").cast("string"))), 1, 15), 16, 10).cast("long")
+      val next = cur.join(e, cur("node") === e("src"))
+        .select(col("start"), struct(score.as("sc"), col("dst")).as("cand"))
+        .groupBy(col("start")).agg(min(col("cand")).as("m"))
+        .select(col("start"), col("m").getField("dst").as("node"))
+        .localCheckpoint(true)
+      layers += next.select(col("start"), lit(t).as("step"), col("node"))
+      cur = next
+      t += 1
+    }
+    e.unpersist(false)
+    layers.result().reduce(_ unionByName _)
   }
 
   /** Driver-side BFS twin — same (node, dist) schema and semantics as

@@ -1126,6 +1126,60 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("randomWalks: replayable walks, edge-valid, terminal drop, branch diversity") {
+    def md5score(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    // branching graph with a terminal (9) and a cycle (1<->2)
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 1L), (2L, 4L), (3L, 9L),
+      (4L, 1L), (4L, 9L))
+    val edges = es.toDF("src", "dst")
+    val starts = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val got = TopicGraph.randomWalks(edges, starts, steps = 4)
+      .as[(Long, Int, Long)].collect().toSet
+    // independent replay of the walk rule
+    val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+    val want = (for (s <- Seq(1L, 2L, 3L, 4L)) yield {
+      var cur = s
+      val rows = Seq.newBuilder[(Long, Int, Long)]
+      rows += ((s, 0, s))
+      var t = 1
+      var alive = true
+      while (t <= 4 && alive) {
+        adj.get(cur) match {
+          case Some(ns) =>
+            cur = ns.minBy(d => (md5score(s"w:$s:$t:$d"), d))
+            rows += ((s, t, cur)); t += 1
+          case None => alive = false // terminal: walk drops out
+        }
+      }
+      rows.result()
+    }).flatten.toSet
+    assert(got == want, s"missing ${want.diff(got)} spurious ${got.diff(want)}")
+    // edge validity for every consecutive pair
+    val byWalk = got.groupBy(_._1).view.mapValues(_.toSeq.sortBy(_._2)).toMap
+    byWalk.foreach { case (_, steps) =>
+      steps.sliding(2).foreach {
+        case Seq((_, t1, a), (_, t2, b)) if t2 == t1 + 1 =>
+          assert(es.contains((a, b)), s"non-edge step $a->$b")
+        case _ =>
+      }
+    }
+    // the (start, step) salt exercises BOTH branches somewhere: across
+    // walks and steps, node 1 must not always pick the same neighbor
+    val picksFrom1 = (for {
+      (s, t, a) <- got; (s2, t2, b) <- got
+      if s2 == s && t2 == t + 1 && a == 1L
+    } yield b).toSet
+    assert(picksFrom1.size > 1, s"node 1 always picked $picksFrom1 - salt inert?")
+    // determinism: a second run is identical
+    val again = TopicGraph.randomWalks(edges, starts, steps = 4)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(again == got)
+  }
+
   test("pageRank invariants on random graphs (seeded)") {
     // mass conserved, every rank >= teleport floor (1-d)/n, ranks
     // positive — on arbitrary graphs incl. dangling nodes and cycles
