@@ -1452,6 +1452,21 @@ object SparkEntry {
       TopicGraph.randomWalks(edges, starts, steps = 5)
     }),
 
+    "q109_hyperball" -> ((s, d) => {
+      // HyperBall: per-node 3-hop neighborhood-size estimates by HLL
+      // register propagation (register-wise max along edges = EXACTLY
+      // the reachable set's register file, by the merge law) — the
+      // neighborhood function N(v,3) at a per-node cost no BFS fleet
+      // could afford at graph scale. Same exact-integer read-off as q99
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * col("doc_id") + 3) % n).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % n).as("dst")))
+      TopicGraph.hyperBall(edges, radius = 3)
+    }),
+
     "q88_ccnet_buckets" -> ((s, d) =>
       // CCNet head/middle/tail stratification: per-LANGUAGE terciles of
       // the unigram-LM score (rounded-then-ranked, doc_id tie-break, so
@@ -2675,6 +2690,54 @@ object SparkEntry {
         |SELECT node, CAST(min(d) AS INT) AS dist FROM walk GROUP BY node""".stripMargin,
 
     "q108_random_walks" -> randomWalksOracleSql,
+
+    "q109_hyperball" ->
+      // the q99 register arithmetic (60-bit md5-prefix hash of the node
+      // id AS VARCHAR, bucket = low 6 bits, rho = 55 − bitlength) with
+      // 3 unrolled propagation rounds: each round register-wise-maxes a
+      // node's file with its out-neighbors' files; read-off identical
+      // to q99 (exact-integer reg_sum, one final double division)
+      """WITH edges AS (
+        | SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src,
+        |   (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |   (doc_id*7 + 3) % (SELECT count(*) FROM documents)
+        |  FROM documents)),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+        |h AS (SELECT node,
+        |  ('0x' || substring(md5(CAST(node AS VARCHAR)), 1, 15))::BIGINT AS h
+        | FROM nodes),
+        |b0 AS (SELECT node, h % 64 AS bucket,
+        |  CASE WHEN (h >> 6) = 0 THEN 55
+        |       ELSE 55 - length(bin(h >> 6)) END AS rho FROM h),
+        |b1 AS (SELECT node, bucket, max(rho) AS rho FROM (
+        |  SELECT node, bucket, rho FROM b0
+        |  UNION ALL
+        |  SELECT e.src AS node, r.bucket, r.rho
+        |  FROM edges e JOIN b0 r ON r.node = e.dst) GROUP BY 1, 2),
+        |b2 AS (SELECT node, bucket, max(rho) AS rho FROM (
+        |  SELECT node, bucket, rho FROM b1
+        |  UNION ALL
+        |  SELECT e.src AS node, r.bucket, r.rho
+        |  FROM edges e JOIN b1 r ON r.node = e.dst) GROUP BY 1, 2),
+        |b3 AS (SELECT node, bucket, max(rho) AS rho FROM (
+        |  SELECT node, bucket, rho FROM b2
+        |  UNION ALL
+        |  SELECT e.src AS node, r.bucket, r.rho
+        |  FROM edges e JOIN b2 r ON r.node = e.dst) GROUP BY 1, 2),
+        |agg AS (
+        | SELECT node, 64 - count(*) AS n_zero_regs,
+        |  CAST(sum(1::BIGINT << (55 - rho))
+        |    + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS reg_sum
+        | FROM b3 GROUP BY 1)
+        |SELECT node, n_zero_regs, reg_sum,
+        | round((0.709::DOUBLE) * 64 * 64 * (1::BIGINT << 55)::DOUBLE
+        |   / reg_sum::DOUBLE, 4) AS ball_est
+        |FROM agg""".stripMargin,
 
     "q78_source_prior" ->
       """WITH base AS (

@@ -250,8 +250,14 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
   }
 
-  def hllEstimate(df: DataFrame, key: Column, groupCols: Seq[String]): DataFrame = {
-    val regs = hllRegisters(df, key, groupCols)
+  def hllEstimate(df: DataFrame, key: Column, groupCols: Seq[String]): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, key, groupCols), groupCols)
+
+  /** Read-off from an existing (groupCols…, bucket, rho) register file
+    * — the merge-then-estimate entry point ([[hllRegisters]] files of
+    * any provenance combine by groupBy max(rho) first; HyperBall feeds
+    * its propagated ball registers here). */
+  def hllEstimateFromRegisters(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
     val gcols = groupCols.map(col)
     // functions.shiftleft only takes a literal shift — the SQL form
     // accepts a column amount (exact 2^(55−rho) as a long)

@@ -733,6 +733,62 @@ object TopicGraph {
   }
 
   /**
+   * HyperBall (Boldi & Vigna 2013, WebGraph's HyperANF lineage):
+   * per-node r-hop NEIGHBORHOOD-SIZE estimates by propagating HLL
+   * registers along edges — the neighborhood function N(v, r) that
+   * yields effective-diameter / centrality analytics on graphs far too
+   * large for per-node BFS. Each node starts with the register file of
+   * the singleton {v}; one round replaces every node's registers with
+   * the register-wise MAX over itself and its out-neighbors' files —
+   * by HLL's merge law the result after r rounds is EXACTLY the
+   * register file of the true r-hop reachable set (the estimate's only
+   * error is HLL's own; the propagation is lossless — spec-pinned
+   * against per-node BFS ground truth).
+   *
+   * SCALE: per-node BFS is O(V·E) and infeasible; this is r rounds of
+   * one (register ⋈ edge) join + a (node, bucket) max aggregation,
+   * every relation ids+small-ints only, register file ≤ 64·V rows
+   * however big the balls get. Registers only GROW (max-merge), so the
+   * relation size is monotone-bounded; each round localCheckpoint'd.
+   * The 1-row-per-node initial file means early rounds are sparse —
+   * cost ramps with actual ball sizes, not V·64.
+   *
+   * Output: (node, n_zero_regs, reg_sum, ball_est) — the same
+   * exact-integer read-off as q99 (reg_sum is engine-exact; ball_est's
+   * only float step is the final division).
+   */
+  def hyperBall(edges: DataFrame, radius: Int): DataFrame =
+    Sketches.hllEstimateFromRegisters(hyperBallRegisters(edges, radius),
+      Seq("node")).withColumnRenamed("n_distinct_est", "ball_est")
+
+  /** The propagation loop itself: the (node, bucket, rho) file after
+    * `radius` rounds — by the merge law, EXACTLY the register file of
+    * each node's true r-hop reachable set (spec-pinned against BFS
+    * ground truth). Exposed so callers can keep propagating (effective-
+    * diameter runs read estimates every round) or merge further. */
+  def hyperBallRegisters(edges: DataFrame, radius: Int): DataFrame = {
+    require(radius >= 0, s"radius must be >= 0, got $radius")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).distinct().persist(lvl)
+    e.count()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var regs = Sketches.hllRegisters(nodes, col("node").cast("string"),
+      Seq("node")).localCheckpoint(true)
+    var r = 0
+    while (r < radius) {
+      regs = regs
+        .unionByName(e.join(regs, regs("node") === e("dst"))
+          .select(e("src").as("node"), col("bucket"), col("rho")))
+        .groupBy(col("node"), col("bucket")).agg(max(col("rho")).as("rho"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    e.unpersist(false)
+    regs
+  }
+
+  /**
    * Deterministic random-walk corpus (DeepWalk, Perozzi et al. 2014 /
    * node2vec, Grover & Leskovec 2016 — the p=q=1 uniform case): one
    * T-step walk per start node, the training-sequence generator for

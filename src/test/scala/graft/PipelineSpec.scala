@@ -1180,6 +1180,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("hyperBall: propagated registers EQUAL the exact reachable set's registers") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 2) {
+      val n = 25 + trial * 20
+      val es = (0 until 2 * n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+      val edges = es.toDF("src", "dst")
+      val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val nodesAll = es.flatMap(e => Seq(e._1, e._2)).distinct
+      def ball(v: Long, radius: Int): Set[Long] = {
+        var cur = Set(v); var all = Set(v)
+        for (_ <- 1 to radius) {
+          cur = cur.flatMap(x => adj.getOrElse(x, Nil)).diff(all)
+          all ++= cur
+        }
+        all
+      }
+      for (radius <- Seq(0, 1, 3)) {
+        // lossless propagation: after r rounds the file IS the exact
+        // r-ball's register file (HLL merge law) — no estimator
+        // tolerance anywhere in this assert
+        val members = nodesAll.flatMap(v => ball(v, radius).map(m => (v, m)))
+          .toDF("node", "member")
+        val want = Sketches.hllRegisters(members,
+            col("member").cast("string"), Seq("node"))
+          .as[(Long, Long, Int)].collect().toSet
+        val got = TopicGraph.hyperBallRegisters(edges, radius)
+          .as[(Long, Long, Int)].collect().toSet
+        assert(got == want, s"trial $trial radius $radius register mismatch")
+      }
+      // estimates grow with the radius (registers are max-monotone)
+      val e1 = TopicGraph.hyperBall(edges, 1)
+        .select(col("node"), col("ball_est")).as[(Long, Double)].collect().toMap
+      val e3 = TopicGraph.hyperBall(edges, 3)
+        .select(col("node"), col("ball_est")).as[(Long, Double)].collect().toMap
+      nodesAll.foreach { v =>
+        assert(e3(v) >= e1(v) - 1e-9, s"node $v: est shrank ${e1(v)} -> ${e3(v)}")
+      }
+    }
+  }
+
   test("pageRank invariants on random graphs (seeded)") {
     // mass conserved, every rank >= teleport floor (1-d)/n, ranks
     // positive — on arbitrary graphs incl. dangling nodes and cycles
