@@ -267,7 +267,8 @@ object Redirects {
    * enumerates paths, not positions) — enforced with one alias-sized
    * aggregate up front.
    */
-  def cycleMembers(edges: DataFrame): DataFrame = {
+  def cycleMembers(edges: DataFrame,
+      localThreshold: Long = 4000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
     val n = e.count()
     if (n > 0) {
@@ -276,6 +277,11 @@ object Redirects {
       require(maxOut <= 1,
         s"cycleMembers requires a functional graph (max out-degree 1), found $maxOut")
     }
+    // adaptive driver fast path (the pageRank/hopDistance convention):
+    // ⌈log₂n⌉ checkpointed self-joins are pure scheduling latency at
+    // small n, and a functional graph's cycles fall out of one linear
+    // color walk over the collected edge list
+    if (n <= localThreshold) return cycleMembersLocal(e)
     var f = e
     var span = 1L
     while (span <= n) { // strict: exit only once span > |srcs| (see doc)
@@ -285,5 +291,45 @@ object Redirects {
       span *= 2
     }
     f.select(col("dst").as("node")).distinct()
+  }
+
+  /** Driver-side twin: three-color walk over the collected functional
+    * edge list — a gray-hit closes a cycle and marks exactly the
+    * segment from the hit back to the walk's tip; same (node) schema
+    * and semantics as the pointer-doubling loop. */
+  private def cycleMembersLocal(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val succ = scala.collection.mutable.HashMap.empty[Any, Any]
+    e.collect().foreach(r => succ(r.get(0)) = r.get(1))
+    val color = scala.collection.mutable.HashMap.empty[Any, Int] // 1 gray 2 done
+    val onCycle = scala.collection.mutable.LinkedHashSet.empty[Any]
+    succ.keys.foreach { start =>
+      if (!color.contains(start)) {
+        val path = scala.collection.mutable.ArrayBuffer.empty[Any]
+        var cur: Any = start
+        var halted = false
+        while (!halted) {
+          color.get(cur) match {
+            case Some(1) => // gray: the path from cur's position is a cycle
+              onCycle ++= path.drop(path.indexOf(cur))
+              halted = true
+            case Some(_) => halted = true // done: joins a settled walk
+            case None =>
+              color(cur) = 1; path += cur
+              succ.get(cur) match {
+                case Some(nx) => cur = nx
+                case None => halted = true // exits the domain
+              }
+          }
+        }
+        path.foreach(v => color(v) = 2)
+      }
+    }
+    val nodeType = e.schema.fields(1).dataType
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        onCycle.toSeq.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType))))
   }
 }

@@ -272,6 +272,22 @@ object EventStream {
     graft.pipeline.Sketches.cmsRegisters(stream, key, depth, width)
 
   /**
+   * Streaming HLL register maintenance — the distinct-count leg of the
+   * same family ([[cmsRegistersStream]] is the frequency leg): the
+   * batch [[graft.pipeline.Sketches.hllRegisters]] transform on a
+   * streaming DataFrame. State is ≤ 64 registers PER GROUP — safe in
+   * Complete mode when the group domain is bounded (languages,
+   * sources, shards: the manifest dimensions), which is exactly where
+   * a streaming distinct-count is wanted; a raw dropDuplicates would
+   * instead hold every distinct key forever. Snapshots feed
+   * [[graft.pipeline.Sketches.hllEstimateFromRegisters]]; shards merge
+   * by groupBy max(rho).
+   */
+  def hllRegistersStream(stream: DataFrame, key: Column,
+      groupCols: Seq[String]): DataFrame =
+    graft.pipeline.Sketches.hllRegisters(stream, key, groupCols)
+
+  /**
    * Streaming ANN against a static sign-LSH index — the embedding twin
    * of [[incrementalDedupStream]]: each arriving probe vector is
    * band-keyed in the micro-batch (map-side seeded projections, the

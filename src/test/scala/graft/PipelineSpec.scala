@@ -1856,6 +1856,10 @@ class PipelineSpec extends AnyFunSuite {
       (10L, 11L), (11L, 12L), (7L, 7L)).toDF("src", "dst")
     val got = Redirects.cycleMembers(edges).as[Long].collect().toSet
     assert(got == Set(1L, 2L, 3L, 7L), s"got $got")
+    // distributed pointer-doubling loop value-equal to the driver walk
+    val gotDist = Redirects.cycleMembers(edges, localThreshold = 0)
+      .as[Long].collect().toSet
+    assert(gotDist == got, s"distributed $gotDist vs local $got")
     // Hamiltonian chain, the strict-bound edge case the scaladoc calls
     // out: at span == |srcs| the terminal still survives; only the
     // strict span > |srcs| exit may report empty
@@ -1883,6 +1887,9 @@ class PipelineSpec extends AnyFunSuite {
       }.toSet
       val gotR = Redirects.cycleMembers(df).as[Long].collect().toSet
       assert(gotR == want, s"trial $trial: got $gotR want $want")
+      val gotD = Redirects.cycleMembers(df, localThreshold = 0)
+        .as[Long].collect().toSet
+      assert(gotD == want, s"trial $trial distributed: got $gotD want $want")
     }
   }
 

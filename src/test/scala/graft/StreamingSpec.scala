@@ -367,6 +367,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL registers equal batch registers, estimates compose") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = graft.pipeline.Sketches
+      .hllRegisters(events, col("value").cast("string"), Seq("event_type"))
+      .collect().map(_.toString).sorted
+    val q = EventStream.hllRegistersStream(
+        EventStream.readEventStream(spark, sfDir),
+        col("value").cast("string"), Seq("event_type"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream_out")
+      assert(streamed.collect().map(_.toString).sorted.toSeq == batch.toSeq)
+      // the snapshot is a valid register file for the batch read-off
+      val est = graft.pipeline.Sketches
+        .hllEstimateFromRegisters(streamed, Seq("event_type"))
+      assert(est.count() > 0 && est.filter(col("n_distinct_est") <= 0).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming windowed counts equal batch result") {
     val sfDir = "/root/testdata/sf0.001"
     val batch = EventStream.windowedCounts(
