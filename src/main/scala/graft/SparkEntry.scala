@@ -100,6 +100,19 @@ object SparkEntry {
       |  FROM documents WHERE doc_id % 10 = 0
       |)""".stripMargin
 
+  /** Out-degree-2 synthetic graph over ALL doc ids — the shared edge
+    * set of q107 (BFS), q108 (walks), q109 (HyperBall); the oracles
+    * restate both formulas verbatim: i → (i²+3) mod n and
+    * i → (7i+3) mod n. */
+  private def degree2Edges(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * col("doc_id") + 3) % n).as("dst"))
+      .unionByName(docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 3) % n).as("dst")))
+  }
+
   /** DuckDB oracle for q75: PageRank's fixed 5 iterations unrolled as
     * CTEs r1..r5 (a recursive CTE can't carry re-aggregated rank state
     * under UNION set semantics) — same teleport + dangling-mass math as
@@ -1427,14 +1440,9 @@ object SparkEntry {
       // (first frontier touch = shortest hop; anti-join = the min).
       // Adaptive driver fast path at this size; the distributed
       // frontier loop is spec-pinned value-equal
-      val docs = Tables.documents(s, d)
-      val n = docs.count()
-      val edges = docs.select(col("doc_id").as("src"),
-          ((col("doc_id") * col("doc_id") + 3) % n).as("dst"))
-        .unionByName(docs.select(col("doc_id").as("src"),
-          ((col("doc_id") * 7 + 3) % n).as("dst")))
-      val seeds = docs.select(col("doc_id").as("node")).orderBy(col("node")).limit(3)
-      TopicGraph.hopDistance(edges, seeds)
+      val seeds = Tables.documents(s, d)
+        .select(col("doc_id").as("node")).orderBy(col("node")).limit(3)
+      TopicGraph.hopDistance(degree2Edges(s, d), seeds)
     }),
 
     "q108_random_walks" -> ((s, d) => {
@@ -1442,12 +1450,7 @@ object SparkEntry {
       // node of the out-degree-2 graph (the q107 edge set — branching
       // is the point; the functional alias graph would leave the walk
       // no choice). Every engine replays the same walks (md5 scores)
-      val docs = Tables.documents(s, d)
-      val n = docs.count()
-      val edges = docs.select(col("doc_id").as("src"),
-          ((col("doc_id") * col("doc_id") + 3) % n).as("dst"))
-        .unionByName(docs.select(col("doc_id").as("src"),
-          ((col("doc_id") * 7 + 3) % n).as("dst")))
+      val edges = degree2Edges(s, d)
       val starts = edges.select(col("src").as("node")).distinct()
       TopicGraph.randomWalks(edges, starts, steps = 5)
     }),
@@ -1458,13 +1461,7 @@ object SparkEntry {
       // the reachable set's register file, by the merge law) — the
       // neighborhood function N(v,3) at a per-node cost no BFS fleet
       // could afford at graph scale. Same exact-integer read-off as q99
-      val docs = Tables.documents(s, d)
-      val n = docs.count()
-      val edges = docs.select(col("doc_id").as("src"),
-          ((col("doc_id") * col("doc_id") + 3) % n).as("dst"))
-        .unionByName(docs.select(col("doc_id").as("src"),
-          ((col("doc_id") * 7 + 3) % n).as("dst")))
-      TopicGraph.hyperBall(edges, radius = 3)
+      TopicGraph.hyperBall(degree2Edges(s, d), radius = 3)
     }),
 
     "q88_ccnet_buckets" -> ((s, d) =>

@@ -622,14 +622,17 @@ object Dedup {
     // rarest-first prefixes concentrate on the same few tokens) this
     // prunes the join fan-out inside the codegen residual, BEFORE the
     // distinct exchange ever sees it.
-    val posBound = (lit(1) + least(col("sza") - col("ia"),
-      col("szb") - col("ib"))) * lit(tauNum + tauDen) >=
-      lit(tauNum) * (col("sza") + col("szb"))
+    // all filter arithmetic in LONGs (like the prefix length and the
+    // verify): Int products would wrap silently for large tauDen or
+    // very long docs and DROP qualifying pairs from an EXACT join
+    val posBound = (lit(1L) + least(col("sza") - col("ia"),
+      col("szb") - col("ib"))) * lit(tauNum.toLong + tauDen.toLong) >=
+      lit(tauNum.toLong) * (col("sza") + col("szb"))
     val cands = ca.join(cb,
         ca("tok") === cb("tok") && col("doc_a") < col("doc_b") &&
           // length filter: min >= t*max, both directions, integer form
-          lit(tauDen) * col("sza") >= lit(tauNum) * col("szb") &&
-          lit(tauDen) * col("szb") >= lit(tauNum) * col("sza") &&
+          lit(tauDen.toLong) * col("sza") >= lit(tauNum.toLong) * col("szb") &&
+          lit(tauDen.toLong) * col("szb") >= lit(tauNum.toLong) * col("sza") &&
           posBound)
       .select(col("doc_a"), col("doc_b"))
       .distinct() // a pair can meet on several shared prefix tokens

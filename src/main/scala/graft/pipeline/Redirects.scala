@@ -270,6 +270,12 @@ object Redirects {
   def cycleMembers(edges: DataFrame,
       localThreshold: Long = 4000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    // the driver twin compares collected values as boxed Any — an
+    // Integer src never equals a Long dst there, while the SQL join
+    // casts; demand one id type so the paths cannot silently diverge
+    require(e.schema.fields(0).dataType == e.schema.fields(1).dataType,
+      s"cycleMembers: src/dst types differ (${e.schema.fields(0).dataType} " +
+        s"vs ${e.schema.fields(1).dataType}); cast the edge columns to one id type")
     val n = e.count()
     if (n > 0) {
       val maxOut = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
@@ -284,7 +290,11 @@ object Redirects {
     if (n <= localThreshold) return cycleMembersLocal(e)
     var f = e
     var span = 1L
-    while (span <= n) { // strict: exit only once span > |srcs| (see doc)
+    while (span <= n && f.limit(1).count() > 0) {
+      // strict span > |srcs| exit (see doc); the emptiness probe is one
+      // cheap job on an already-checkpointed relation and stops the
+      // common acyclic-forest case after ~max-chain-length rounds
+      // instead of all ceil(log2 n) of them
       f = f.as("a").join(f.as("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
         .localCheckpoint(true) // every round: the self-join doubles the plan

@@ -191,28 +191,34 @@ object Sketches {
   val CmsDepth = 4
   val CmsWidth = 1024
 
-  /** Row-r counter position of `key` — the SAME Kirsch–Mitzenmacher
-    * double-hash walk as [[bloomPositions]] (h1 = md5 hex[1..15],
-    * h2 = 2·hex[16..30] + 1, pos_r = (h1 mod w + r·(h2 mod' w)) mod w),
-    * so the DuckDB oracle restates the arithmetic verbatim. Pairwise
-    * independence per row is what the CM error bound needs; the rows
-    * share one md5 evaluation. */
-  private def cmsPositions(key: Column, depth: Int, width: Int): Seq[Column] = {
-    val h1 = conv(substring(md5(key), 1, 15), 16, 10).cast("long") % width
-    val h2 = (conv(substring(md5(key), 16, 15), 16, 10).cast("long") * 2 + 1) % width
-    (0 until depth).map(r => (h1 + lit(r.toLong) * h2) % width)
-  }
+  /** Row-r counter position of `key` — literally [[bloomPositions]]
+    * (the one Kirsch–Mitzenmacher walk both sketches share, so a
+    * hash-family change can never split them), with `depth` probes
+    * over a `width`-counter row. */
+  private def cmsPositions(key: Column, depth: Int, width: Int): Seq[Column] =
+    bloomPositions(key, depth, width)
 
   /**
-   * Count-Min register file over a key stream: (row, pos, cnt), one row
-   * per OCCUPIED counter (absent counter = 0) — at most depth×width
-   * rows however large the corpus, built with map-side partial counts
-   * (the shuffle carries ≤ depth×width rows per mapper). Two corpora's
-   * registers merge by SUM, the same merge law as [[logHistRegisters]]
-   * — the frequency-estimation leg of the mergeable-manifest family
-   * (HLL = distinct, Misra-Gries = top-k identities, log-hist =
-   * distribution, this = point frequencies of ANY later-chosen key,
-   * which Misra-Gries cannot answer below its n/k floor).
+   * Count-Min register file over a key stream: (row, pos, cnt,
+   * _depth, _width), one row per OCCUPIED counter (absent counter
+   * = 0) — at most depth×width rows however large the corpus, built
+   * with map-side partial counts (the shuffle carries ≤ depth×width
+   * rows per mapper). Two corpora's registers merge by SUM over
+   * (row, pos, _depth, _width), the same merge law as
+   * [[logHistRegisters]] — the frequency-estimation leg of the
+   * mergeable-manifest family (HLL = distinct, Misra-Gries = top-k
+   * identities, log-hist = distribution, this = point frequencies of
+   * ANY later-chosen key, which Misra-Gries cannot answer below its
+   * n/k floor).
+   *
+   * The file CARRIES ITS GEOMETRY (`_depth`, `_width` literal columns,
+   * the [[graft.pipeline.Similarity.signLshIndex]] metadata pattern):
+   * probing a register file with the wrong geometry would miss
+   * counters SILENTLY and break the one-sided-error contract, so
+   * [[cmsEstimate]] reads the geometry from the file instead of
+   * trusting the caller. NULL keys are excluded (md5(null) is null —
+   * a null-position counter would be unprobeable and the row bound
+   * would quietly grow); a null is not a key.
    */
   def cmsRegisters(df: DataFrame, key: Column, depth: Int = CmsDepth,
       width: Int = CmsWidth): DataFrame = {
@@ -220,9 +226,12 @@ object Sketches {
     val rows = (0 until depth).zip(cmsPositions(key, depth, width)).map {
       case (r, pos) => struct(lit(r).as("row"), pos.as("pos"))
     }
-    df.select(explode(array(rows: _*)).as("rp"))
+    df.filter(key.isNotNull)
+      .select(explode(array(rows: _*)).as("rp"))
       .groupBy(col("rp.row").as("row"), col("rp.pos").as("pos"))
       .agg(count(lit(1)).as("cnt"))
+      .select(col("row"), col("pos"), col("cnt"),
+        lit(depth).as("_depth"), lit(width).as("_width"))
   }
 
   /**
@@ -233,11 +242,20 @@ object Sketches {
    * other keys. The register file is depth×width rows at most, so the
    * probe join broadcasts it: k lookups per probe, no corpus access at
    * all — the 100 TB shape for "how often does THIS phrase occur",
-   * asked after the one register-building pass.
-   * Output: probe columns + n_est.
+   * asked after the one register-building pass. The geometry is read
+   * FROM the register file (see [[cmsRegisters]]) — a foreign or
+   * mixed-geometry file is refused loudly, never probed wrong.
+   * NULL probe keys estimate 0 (nulls are not keys; the corpus side
+   * excluded them too). Output: probe columns + n_est.
    */
-  def cmsEstimate(probes: DataFrame, key: Column, registers: DataFrame,
-      depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
+  def cmsEstimate(probes: DataFrame, key: Column,
+      registers: DataFrame): DataFrame = {
+    val metas = registers.select(col("_depth"), col("_width"))
+      .distinct().limit(3).collect()
+    require(metas.length == 1,
+      if (metas.isEmpty) "cmsEstimate: empty register file (no geometry to read)"
+      else s"cmsEstimate: mixed-geometry register file: ${metas.mkString(", ")}")
+    val (depth, width) = (metas(0).getInt(0), metas(0).getInt(1))
     val probeCols = probes.columns.map(col).toSeq
     val rows = (0 until depth).zip(cmsPositions(key, depth, width)).map {
       case (r, pos) => struct(lit(r).as("row"), pos.as("pos"))

@@ -378,11 +378,30 @@ object TopicGraph {
    * links, as in classic PageRank over a multigraph).
    * Output: (node, rank) with sum(rank) == 1.
    */
+  /** The driver fast-path twins compare collected ids as boxed Any —
+    * an Integer src never equals a Long dst (or Long seed) there,
+    * while the distributed joins cast silently; one id type across
+    * src/dst (and seeds) keeps the spec-pinned-equal paths honest by
+    * refusing the divergence loudly. */
+  private def requireOneIdType(op: String, e: DataFrame,
+      seeds: Option[DataFrame] = None): Unit = {
+    val st = e.schema.fields(0).dataType
+    val dt = e.schema.fields(1).dataType
+    require(st == dt,
+      s"$op: src/dst types differ ($st vs $dt); cast the edge columns to one id type")
+    seeds.foreach { sd =>
+      val kt = sd.schema.fields(0).dataType
+      require(kt == st,
+        s"$op: seed type $kt differs from node type $st; cast the seeds")
+    }
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
       localThreshold: Long = 4000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sess = edges.sparkSession
     val e = edges.select(col("src"), col("dst")).persist(lvl)
+    requireOneIdType("pageRank", e)
     val nEdges = e.count()
     if (nEdges <= localThreshold) {
       val out = pageRankLocal(e, iters, damping)
@@ -573,6 +592,7 @@ object TopicGraph {
     val sess = edges.sparkSession
     val e = edges.select(col("src"), col("dst")).persist(lvl)
     val sd = seeds.select(seeds.columns.head).toDF("node").distinct()
+    requireOneIdType("personalizedPageRank", e, Some(sd))
     val nEdges = e.count()
     if (nEdges <= localThreshold) {
       val out = pprLocal(e, sd, iters, damping)
@@ -704,6 +724,7 @@ object TopicGraph {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col("src"), col("dst")).persist(lvl)
     val sd = seeds.select(seeds.columns.head).toDF("node").distinct()
+    requireOneIdType("hopDistance", e, Some(sd))
     val nEdges = e.count()
     if (nEdges <= localThreshold) {
       val out = hopDistanceLocal(e, sd)

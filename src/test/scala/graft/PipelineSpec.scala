@@ -1746,18 +1746,49 @@ class PipelineSpec extends AnyFunSuite {
       .agg(max(col("n_est") - col("n_exact"))).as[Long].head()
     assert(overshoot <= 24, s"max overshoot $overshoot > 24 (expected ~<=8)")
     // merge law: registers of the union == per-half registers merged by
-    // SUM — the property that makes per-shard manifests combinable
+    // SUM over (row, pos, geometry) — the property that makes per-shard
+    // manifests combinable
     val (h1, h2) = (docs.filter(col("doc_id") < 1500L), docs.filter(col("doc_id") >= 1500L))
     val merged = Sketches.cmsRegisters(h1, col("text"))
       .unionByName(Sketches.cmsRegisters(h2, col("text")))
-      .groupBy(col("row"), col("pos")).agg(sum(col("cnt")).as("cnt"))
+      .groupBy(col("row"), col("pos"), col("_depth"), col("_width"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .select(col("row"), col("pos"), col("cnt"))
       .as[(Int, Long, Long)].collect().toSet
-    assert(merged == regs.as[(Int, Long, Long)].collect().toSet,
+    assert(merged == regs.select(col("row"), col("pos"), col("cnt"))
+      .as[(Int, Long, Long)].collect().toSet,
       "union registers == sum-merged half registers")
     // an absent key reads only colliding counters: small, never negative
     val ghost = Seq("never seen anywhere").toDF("text")
     val g = Sketches.cmsEstimate(ghost, col("text"), regs).as[(String, Long)].head()
     assert(g._2 >= 0L && g._2 <= 50L, s"ghost estimate ${g._2} out of envelope")
+    // the register file carries its geometry: probing a foreign- or
+    // mixed-geometry file is refused loudly (a silent mismatch would
+    // read absent counters as 0 — an underestimate, the one failure
+    // the sketch contract forbids)
+    val foreign = Sketches.cmsRegisters(docs, col("text"), width = 512)
+    val estF = Sketches.cmsEstimate(probes, col("text"), foreign)
+    assert(estF.join(exact, Seq("text"))
+      .filter(col("n_est") < col("n_exact")).count() == 0L,
+      "geometry read from the file: foreign-width probe stays one-sided")
+    val mixed = regs.unionByName(foreign)
+    val ex = intercept[IllegalArgumentException](
+      Sketches.cmsEstimate(probes, col("text"), mixed))
+    assert(ex.getMessage.contains("mixed-geometry"))
+    // nulls are not keys: excluded from registers, probe estimates 0
+    val withNulls = docs.unionByName(
+      Seq((9001L, null.asInstanceOf[String]), (9002L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val regsN = Sketches.cmsRegisters(withNulls, col("text"))
+    assert(regsN.select(col("row"), col("pos"), col("cnt"))
+      .as[(Int, Long, Long)].collect().toSet ==
+      regs.select(col("row"), col("pos"), col("cnt"))
+        .as[(Int, Long, Long)].collect().toSet,
+      "null keys leave the register file untouched")
+    val gN = Sketches.cmsEstimate(
+      Seq(null.asInstanceOf[String]).toDF("text"), col("text"), regs)
+      .as[(Option[String], Long)].head()
+    assert(gN._2 == 0L, "null probe estimates 0")
   }
 
   /** Classic unit-cost Levenshtein, the test's independent reference. */
