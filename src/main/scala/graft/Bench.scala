@@ -177,7 +177,9 @@ object Bench {
     }
     val heavySweep = Set("q41_dedup_jaccard", "q50_dedup_simhash_pairs",
       "q64_connected_components", "q65_closure_doubling",
-      "q70_dedup_keep_list", "q85_disambiguation")
+      "q70_dedup_keep_list", "q85_disambiguation",
+      "q102_editdist_pairs", "q105_jaccard_join_exact", "q97_kcore",
+      "q98_lpa_communities")
     val probePre = sweepProbe()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def onePass(): Double = {
@@ -236,6 +238,12 @@ object Bench {
     val heavy = Seq("q50_dedup_simhash_pairs", "q64_connected_components",
       "q70_dedup_keep_list", "q81_triangles", "q82_incremental_dedup",
       "q85_disambiguation", "q95_repeated_passages")
+    // q105 (exact Jaccard join) is measured 10x OUT of band: its sf1
+    // answer is 1.9M pairs (the corpus is adversarially self-similar)
+    // and three 35-40s passes would dominate the block; the one-off
+    // datum — 34/40 s for 10x data AND 10x output vs 6.2 s at sf0.1,
+    // i.e. ~6x time for 10x work — is recorded in COVERAGE.md. q102's
+    // table (customer) isn't part of the 10x corpus dir at all.
     try {
       val srcDir = new java.io.File(s"$sfDir/documents.parquet")
       val srcTag = (if (srcDir.isDirectory)
