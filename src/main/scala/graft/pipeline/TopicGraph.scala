@@ -810,6 +810,67 @@ object TopicGraph {
   }
 
   /**
+   * Neighborhood function + effective diameter — the read-off HyperBall
+   * exists for (Boldi & Vigna 2013 run it exactly this way): iterate
+   * the register propagation to its FIXPOINT (registers are
+   * max-monotone over a finite lattice, so a round that changes nothing
+   * is the transitive closure; detected with the ccContraction-style
+   * (count, bit_xor(hash)) signature — one tiny aggregate per round,
+   * no register-file self-join), recording after each round r the
+   * neighborhood function N(r) = Σ_v |ball_r(v)| estimate. The
+   * effective diameter at `fraction` is the smallest r with
+   * N(r) ≥ fraction · N(fixpoint).
+   *
+   * Returns (rounds, perRound N(r) for r = 0..rounds, effective
+   * diameter) — driver-sized scalars; the register relations stay
+   * distributed throughout.
+   */
+  def effectiveDiameter(edges: DataFrame, fraction: Double = 0.9,
+      maxRadius: Int = 64): (Int, Seq[Double], Int) = {
+    require(fraction > 0 && fraction <= 1, s"fraction in (0,1], got $fraction")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).distinct().persist(lvl)
+    e.count()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var regs = Sketches.hllRegisters(nodes, col("node").cast("string"),
+      Seq("node")).localCheckpoint(true)
+    def nfun(r: DataFrame): Double =
+      Sketches.hllEstimateFromRegisters(r, Seq("node"))
+        .agg(sum(col("n_distinct_est"))).head().getDouble(0)
+    def sig(r: DataFrame): (Long, Long) = {
+      val row = r.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(node, bucket, rho))"), lit(0L))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    val ns = Seq.newBuilder[Double]
+    ns += nfun(regs)
+    var prev = sig(regs)
+    var rounds = 0
+    var fixed = false
+    while (!fixed && rounds < maxRadius) {
+      val next = regs
+        .unionByName(e.join(regs, regs("node") === e("dst"))
+          .select(e("src").as("node"), col("bucket"), col("rho")))
+        .groupBy(col("node"), col("bucket")).agg(max(col("rho")).as("rho"))
+        .localCheckpoint(true)
+      val cur = sig(next)
+      if (cur == prev) fixed = true
+      else {
+        rounds += 1
+        ns += nfun(next)
+        prev = cur
+        regs = next
+      }
+    }
+    e.unpersist(false)
+    val all = ns.result()
+    val target = fraction * all.last
+    val eff = all.indexWhere(_ >= target - 1e-9)
+    (rounds, all, eff)
+  }
+
+  /**
    * Deterministic random-walk corpus (DeepWalk, Perozzi et al. 2014 /
    * node2vec, Grover & Leskovec 2016 — the p=q=1 uniform case): one
    * T-step walk per start node, the training-sequence generator for

@@ -1221,6 +1221,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("effectiveDiameter: fixpoint at the true eccentricity, N(r) consistent with hyperBall") {
+    // directed chain 0->1->2->3->4: balls stop growing after exactly 4
+    // rounds (the longest path), and N(r) must equal the sum of
+    // hyperBall(r) estimates — the same registers, read off two ways
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val (rounds, ns, eff) = TopicGraph.effectiveDiameter(chain)
+    assert(rounds == 4, s"chain fixpoint at $rounds rounds, want 4")
+    assert(ns.length == rounds + 1)
+    // monotone non-decreasing (registers only grow)
+    ns.sliding(2).foreach { case Seq(a, b) => assert(b >= a - 1e-9) }
+    for (r <- Seq(0, 2, 4)) {
+      val viaHb = TopicGraph.hyperBall(chain, r)
+        .agg(sum(col("ball_est"))).as[Double].head()
+      assert(math.abs(viaHb - ns(r)) < 1e-6, s"N($r): $viaHb vs ${ns(r)}")
+    }
+    // eff is the smallest r reaching 90% of the fixpoint value
+    val target = 0.9 * ns.last
+    assert(eff == ns.indexWhere(_ >= target - 1e-9))
+    assert(eff >= 0 && eff <= rounds)
+    // a 3-cycle: every ball saturates after 2 rounds
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val (r2, ns2, _) = TopicGraph.effectiveDiameter(cyc)
+    assert(r2 == 2, s"3-cycle fixpoint at $r2, want 2")
+    assert(ns2.last > ns2.head, "balls grew on the cycle")
+  }
+
   test("pageRank invariants on random graphs (seeded)") {
     // mass conserved, every rank >= teleport floor (1-d)/n, ranks
     // positive — on arbitrary graphs incl. dangling nodes and cycles
