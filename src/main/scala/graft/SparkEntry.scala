@@ -102,13 +102,15 @@ object SparkEntry {
 
   /** Out-degree-2 synthetic graph over ALL doc ids — the shared edge
     * set of q107 (BFS), q108 (walks), q109 (HyperBall); the oracles
-    * restate both formulas verbatim: i → (i²+3) mod n and
+    * restate both formulas verbatim: i → ((i mod n)²+3) mod n (the id is
+    * reduced BEFORE squaring so the product never wraps a long — Spark
+    * wraps silently where the DuckDB oracle errors on BIGINT overflow) and
     * i → (7i+3) mod n. */
   private def degree2Edges(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val n = docs.count()
     docs.select(col("doc_id").as("src"),
-        ((col("doc_id") * col("doc_id") + 3) % n).as("dst"))
+        (((col("doc_id") % n) * (col("doc_id") % n) + 3) % n).as("dst"))
       .unionByName(docs.select(col("doc_id").as("src"),
         ((col("doc_id") * 7 + 3) % n).as("dst")))
   }
@@ -192,7 +194,7 @@ object SparkEntry {
       """WITH edges AS (
         | SELECT DISTINCT src, dst FROM (
         |  SELECT doc_id AS src,
-        |   (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) AS dst
+        |   ((doc_id % (SELECT count(*) FROM documents)) * (doc_id % (SELECT count(*) FROM documents)) + 3) % (SELECT count(*) FROM documents) AS dst
         |  FROM documents
         |  UNION ALL
         |  SELECT doc_id,
@@ -1386,7 +1388,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val n = docs.count()
       val edges = docs.select(col("doc_id").as("src"),
-        ((col("doc_id") * col("doc_id") + 3) % n).as("dst"))
+        (((col("doc_id") % n) * (col("doc_id") % n) + 3) % n).as("dst"))
       Redirects.cycleMembers(edges)
     }),
 
@@ -2608,7 +2610,7 @@ object SparkEntry {
       // the O(n log n) form of the same fixpoint
       """WITH RECURSIVE edges AS (
         | SELECT doc_id AS src,
-        |  (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) AS dst
+        |  ((doc_id % (SELECT count(*) FROM documents)) * (doc_id % (SELECT count(*) FROM documents)) + 3) % (SELECT count(*) FROM documents) AS dst
         | FROM documents),
         |walk(start, cur) AS (
         | SELECT src AS start, dst AS cur FROM edges
@@ -2672,7 +2674,7 @@ object SparkEntry {
       // path uses < n edges, so the bound never clips a true min)
       """WITH RECURSIVE edges AS (
         | SELECT doc_id AS src,
-        |  (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) AS dst
+        |  ((doc_id % (SELECT count(*) FROM documents)) * (doc_id % (SELECT count(*) FROM documents)) + 3) % (SELECT count(*) FROM documents) AS dst
         | FROM documents
         | UNION ALL
         | SELECT doc_id,
@@ -2697,7 +2699,7 @@ object SparkEntry {
       """WITH edges AS (
         | SELECT DISTINCT src, dst FROM (
         |  SELECT doc_id AS src,
-        |   (doc_id*doc_id + 3) % (SELECT count(*) FROM documents) AS dst
+        |   ((doc_id % (SELECT count(*) FROM documents)) * (doc_id % (SELECT count(*) FROM documents)) + 3) % (SELECT count(*) FROM documents) AS dst
         |  FROM documents
         |  UNION ALL
         |  SELECT doc_id,

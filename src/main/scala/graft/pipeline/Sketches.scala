@@ -247,9 +247,19 @@ object Sketches {
    * mixed-geometry file is refused loudly, never probed wrong.
    * NULL probe keys estimate 0 (nulls are not keys; the corpus side
    * excluded them too). Output: probe columns + n_est.
+   *
+   * CONTRACT: the probe relation's rows are treated as a SET of keys —
+   * the output groups by all probe columns, so duplicate probe rows
+   * collapse to one (output cardinality = distinct probe rows). The
+   * register columns are aliased to reserved `_cms_*` names before the
+   * join, so a probe relation may use any column names except that
+   * prefix (refused loudly, never an ambiguous-column analysis error).
    */
   def cmsEstimate(probes: DataFrame, key: Column,
       registers: DataFrame): DataFrame = {
+    require(!probes.columns.exists(_.startsWith("_cms_")),
+      s"cmsEstimate: probe columns must not use the reserved _cms_ prefix: " +
+        probes.columns.filter(_.startsWith("_cms_")).mkString(", "))
     val metas = registers.select(col("_depth"), col("_width"))
       .distinct().limit(3).collect()
     require(metas.length == 1,
@@ -257,15 +267,17 @@ object Sketches {
       else s"cmsEstimate: mixed-geometry register file: ${metas.mkString(", ")}")
     val (depth, width) = (metas(0).getInt(0), metas(0).getInt(1))
     val probeCols = probes.columns.map(col).toSeq
+    val regs = registers.select(col("row").as("_cms_row"),
+      col("pos").as("_cms_pos"), col("cnt").as("_cms_cnt"))
     val rows = (0 until depth).zip(cmsPositions(key, depth, width)).map {
       case (r, pos) => struct(lit(r).as("row"), pos.as("pos"))
     }
-    probes.select((probeCols :+ explode(array(rows: _*)).as("rp")): _*)
-      .join(broadcast(registers),
-        col("rp.row") === registers("row") && col("rp.pos") === registers("pos"),
+    probes.select((probeCols :+ explode(array(rows: _*)).as("_cms_rp")): _*)
+      .join(broadcast(regs),
+        col("_cms_rp.row") === col("_cms_row") && col("_cms_rp.pos") === col("_cms_pos"),
         "left_outer")
       .groupBy(probeCols: _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+      .agg(min(coalesce(col("_cms_cnt"), lit(0L))).as("n_est"))
   }
 
   def hllEstimate(df: DataFrame, key: Column, groupCols: Seq[String]): DataFrame =

@@ -830,14 +830,16 @@ object TopicGraph {
     require(fraction > 0 && fraction <= 1, s"fraction in (0,1], got $fraction")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col("src"), col("dst")).distinct().persist(lvl)
-    e.count()
+    // empty graph: refuse loudly rather than NPE on the NULL sum the
+    // empty register relation would feed nfun (sig() already coalesces)
+    require(e.count() > 0, "effectiveDiameter: empty edge relation")
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     var regs = Sketches.hllRegisters(nodes, col("node").cast("string"),
       Seq("node")).localCheckpoint(true)
     def nfun(r: DataFrame): Double =
       Sketches.hllEstimateFromRegisters(r, Seq("node"))
-        .agg(sum(col("n_distinct_est"))).head().getDouble(0)
+        .agg(coalesce(sum(col("n_distinct_est")), lit(0.0))).head().getDouble(0)
     def sig(r: DataFrame): (Long, Long) = {
       val row = r.agg(count(lit(1)),
         coalesce(expr("bit_xor(xxhash64(node, bucket, rho))"), lit(0L))).head()
