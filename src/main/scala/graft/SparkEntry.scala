@@ -184,6 +184,64 @@ object SparkEntry {
       s"\nSELECT node, round(rank, 8) AS ppr_r8 FROM r$iters"
   }
 
+  /** DuckDB oracle for q110: the q109 register arithmetic with 6
+    * unrolled propagation rounds, then per-round exact-integer
+    * read-offs — reg_sum summed corpus-wide in HUGEINT and emitted as
+    * a digit STRING (it exceeds BIGINT), the N(r) estimate as
+    * Σ ⌊alpha·m²·2^55·10^4 / reg_sum⌋ (the HUGEINT literal is
+    * [[graft.pipeline.Sketches.HllEstE4Num]]), fixpoint = consecutive
+    * totals equal (reg_sum_total strictly decreases until closure),
+    * ed_reached = 10·N(r) ≥ 9·N(horizon). */
+  private val neighborhoodFnOracleSql: String = {
+    val radius = 6
+    val estNum = graft.pipeline.Sketches.HllEstE4Num
+    val head =
+      """WITH edges AS (
+        | SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src,
+        |   ((doc_id % (SELECT count(*) FROM documents)) * (doc_id % (SELECT count(*) FROM documents)) + 3) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |   (doc_id*7 + 3) % (SELECT count(*) FROM documents)
+        |  FROM documents)),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+        |h AS (SELECT node,
+        |  ('0x' || substring(md5(CAST(node AS VARCHAR)), 1, 15))::BIGINT AS h
+        | FROM nodes),
+        |b0 AS (SELECT node, h % 64 AS bucket,
+        |  CASE WHEN (h >> 6) = 0 THEN 55
+        |       ELSE 55 - length(bin(h >> 6)) END AS rho FROM h)""".stripMargin
+    val rounds = (1 to radius).map { k =>
+      s"""b$k AS (SELECT node, bucket, max(rho) AS rho FROM (
+         |  SELECT node, bucket, rho FROM b${k - 1}
+         |  UNION ALL
+         |  SELECT e.src AS node, r.bucket, r.rho
+         |  FROM edges e JOIN b${k - 1} r ON r.node = e.dst) GROUP BY 1, 2)""".stripMargin
+    }
+    val reads = (0 to radius).map { k =>
+      s"""r$k AS (
+         | SELECT $k AS r, count(*) AS n_nodes,
+         |  CAST(CAST(sum(CAST(reg_sum AS HUGEINT)) AS HUGEINT) AS VARCHAR)
+         |    AS reg_sum_total,
+         |  CAST(sum('$estNum'::HUGEINT // CAST(reg_sum AS HUGEINT)) AS BIGINT)
+         |    AS n_sum_est_e4
+         | FROM (
+         |  SELECT node, CAST(sum(1::BIGINT << (55 - rho))
+         |    + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS reg_sum
+         |  FROM b$k GROUP BY 1))""".stripMargin
+    }
+    val unions = (0 to radius).map(k => s"SELECT * FROM r$k").mkString(" UNION ALL ")
+    (Seq(head) ++ rounds ++ reads).mkString(",\n") +
+      s""",\ntbl AS ($unions)
+         |SELECT r, n_nodes, reg_sum_total, n_sum_est_e4,
+         | COALESCE(reg_sum_total = lag(reg_sum_total) OVER (ORDER BY r), false)
+         |   AS is_fixpoint,
+         | n_sum_est_e4 * 10 >= (max(n_sum_est_e4) OVER ()) * 9 AS ed_reached
+         |FROM tbl""".stripMargin
+  }
+
   /** DuckDB oracle for q108: the seeded-hash walk unrolled step by
     * step — at step t the walk picks the out-neighbor minimizing
     * ('0x'||md5("w:start:t:dst")[1..15])::BIGINT (dst tie-break), the
@@ -1466,6 +1524,19 @@ object SparkEntry {
       TopicGraph.hyperBall(degree2Edges(s, d), radius = 3)
     }),
 
+    "q110_neighborhood_fn" -> ((s, d) => {
+      // HyperBall's effective-diameter read-off as a RELATION: the
+      // per-round neighborhood function N(r) over the q109 edge set,
+      // r = 0..6, from the PACKED register propagation (one array<int>
+      // row per node — 64x fewer shuffle rows than the row form the
+      // oracle restates; value-equal by the max-merge law, spec-pinned).
+      // Every column is exact-integer (digit-string totals, floor-
+      // divided 1e4-scaled estimate sums — no float summation), the
+      // strictly-decreasing reg_sum total is the integer fixpoint test,
+      // and ed_reached marks the 0.9-effective-diameter rounds
+      TopicGraph.neighborhoodFunction(degree2Edges(s, d), maxRadius = 6)
+    }),
+
     "q88_ccnet_buckets" -> ((s, d) =>
       // CCNet head/middle/tail stratification: per-LANGUAGE terciles of
       // the unigram-LM score (rounded-then-ranked, doc_id tie-break, so
@@ -2737,6 +2808,8 @@ object SparkEntry {
         | round((0.709::DOUBLE) * 64 * 64 * (1::BIGINT << 55)::DOUBLE
         |   / reg_sum::DOUBLE, 4) AS ball_est
         |FROM agg""".stripMargin,
+
+    "q110_neighborhood_fn" -> neighborhoodFnOracleSql,
 
     "q78_source_prior" ->
       """WITH base AS (

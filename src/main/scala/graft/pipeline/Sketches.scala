@@ -31,6 +31,12 @@ object Sketches {
     * operating point; raise p for tighter bounds). */
   val HllP = 6
   private val HllM = 1 << HllP // 64
+  /** alpha·m²·2^55·10^4 as exact digits (0.709·4096·10^4 = 29 040 640
+    * exactly): the numerator of the 10^4-scaled integer estimate
+    * ⌊HllEstE4Num / reg_sum⌋ that [[graft.pipeline.TopicGraph
+    * .neighborhoodFunction]] sums with no float step (a DuckDB oracle
+    * restates it as a HUGEINT literal). */
+  val HllEstE4Num: String = (BigInt(29040640) * (BigInt(1) << 55)).toString
   /** alpha_64 from the HLL paper's bias table. */
   private val HllAlpha = 0.709
   /** hash width 60 bits (md5 15-hex prefix) ⇒ the post-bucket field is
@@ -279,6 +285,64 @@ object Sketches {
       .groupBy(probeCols: _*)
       .agg(min(coalesce(col("_cms_cnt"), lit(0L))).as("n_est"))
   }
+
+  // ------------------------------------------------------------------
+  // PACKED register layout (Boldi & Vigna 2013 ship HyperBall this way)
+  //
+  // The (group, bucket, rho) ROW layout above is oracle-friendly but
+  // carries up to m = 64 rows per group through every shuffle — on
+  // HyperBall's hottest relation (the per-node register file joined
+  // with the edge list every round) that is a 64x row-count constant
+  // at 10^10-node scale. The packed layout carries ONE fixed-width
+  // array<int> per group (regs[bucket] = rho, 0 = empty register) and
+  // merges with m independent codegen MAX aggregates — full map-side
+  // partial aggregation, whole-stage codegen end to end, identical
+  // register values by the max-merge law. The row form stays as the
+  // spec/oracle twin (packedToRegisterRows bridges, equality spec in
+  // PipelineSpec), so correctness is still DuckDB-checkable while the
+  // scale path shuffles 64x fewer rows.
+  // ------------------------------------------------------------------
+
+  /** Packed register vector of the singleton {key}: array<int> of
+    * length m with regs[bucket(key)] = rho(key) and 0 elsewhere —
+    * pure codegen (one transform over a constant sequence). */
+  def hllPackedSingleton(key: Column): Column = {
+    val h = h60(key)
+    val rest = shiftright(h, HllP)
+    val rho = when(rest === 0L, lit(RestBits + 1))
+      .otherwise(lit(RestBits + 1) - length(bin(rest)))
+    val bucket = (h % HllM).cast("int")
+    transform(sequence(lit(0), lit(HllM - 1)),
+      i => when(i === bucket, rho.cast("int")).otherwise(lit(0)))
+  }
+
+  /** Element-wise max-merge of packed register vectors within groups:
+    * m independent MAX aggregates (DeclarativeAggregate — map-side
+    * partial merge, no udaf, no collect_list) re-packed into one
+    * array. The post-shuffle relation is ONE row per group. */
+  def hllPackedMerge(df: DataFrame, groupCols: Seq[String],
+      regsCol: String = "regs"): DataFrame = {
+    val maxes = (0 until HllM).map(i =>
+      max(element_at(col(regsCol), i + 1)).as(s"_pk_r$i"))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(maxes.head, maxes.tail: _*)
+      .select((groupCols.map(col) :+
+        array((0 until HllM).map(i => col(s"_pk_r$i")): _*).as(regsCol)): _*)
+  }
+
+  /** Packed -> row-form bridge: (groupCols..., bucket, rho) with one
+    * row per OCCUPIED register — exactly the [[hllRegisters]] layout,
+    * so packed files read off through the SAME
+    * [[hllEstimateFromRegisters]] arithmetic and compare 1:1 against
+    * the row-form twin in specs and oracles. */
+  def packedToRegisterRows(df: DataFrame, groupCols: Seq[String],
+      regsCol: String = "regs"): DataFrame =
+    df.select((groupCols.map(col) :+
+        posexplode(col(regsCol)).as(Seq("_pk_b", "_pk_rho"))): _*)
+      .filter(col("_pk_rho") > 0)
+      .select((groupCols.map(col) :+
+        col("_pk_b").cast("long").as("bucket") :+
+        col("_pk_rho").as("rho")): _*)
 
   def hllEstimate(df: DataFrame, key: Column, groupCols: Seq[String]): DataFrame =
     hllEstimateFromRegisters(hllRegisters(df, key, groupCols), groupCols)

@@ -779,14 +779,18 @@ object TopicGraph {
    * only float step is the final division).
    */
   def hyperBall(edges: DataFrame, radius: Int): DataFrame =
-    Sketches.hllEstimateFromRegisters(hyperBallRegisters(edges, radius),
+    Sketches.hllEstimateFromRegisters(
+      Sketches.packedToRegisterRows(
+        hyperBallPackedRegisters(edges, radius), Seq("node")),
       Seq("node")).withColumnRenamed("n_distinct_est", "ball_est")
 
-  /** The propagation loop itself: the (node, bucket, rho) file after
-    * `radius` rounds — by the merge law, EXACTLY the register file of
-    * each node's true r-hop reachable set (spec-pinned against BFS
-    * ground truth). Exposed so callers can keep propagating (effective-
-    * diameter runs read estimates every round) or merge further. */
+  /** ROW-FORM propagation loop — the spec/oracle twin of
+    * [[hyperBallPackedRegisters]] (the q109 DuckDB oracle restates this
+    * layout; PipelineSpec pins packed == row on planted graphs and the
+    * row file against BFS ground truth). The production path is the
+    * packed loop: this layout shuffles up to 64 (node, bucket, rho)
+    * rows per node per round, a 64x row constant on the hottest
+    * relation at graph scale. */
   def hyperBallRegisters(edges: DataFrame, radius: Int): DataFrame = {
     require(radius >= 0, s"radius must be >= 0, got $radius")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -807,6 +811,112 @@ object TopicGraph {
     }
     e.unpersist(false)
     regs
+  }
+
+  /**
+   * PACKED HyperBall propagation — the production layout (Boldi &
+   * Vigna 2013 ship packed registers for exactly this reason): the
+   * register file is ONE fixed-width array<int> per node, a round is
+   * one (file ⋈ edge) join + [[Sketches.hllPackedMerge]]'s 64
+   * independent codegen MAX aggregates, so the dominant shuffle
+   * carries one row per node instead of one row per OCCUPIED register
+   * (up to 64x fewer rows, and map-side partial max-merge collapses
+   * hub fan-in before the exchange). Register VALUES are identical to
+   * [[hyperBallRegisters]] by the max-merge law — spec-pinned via the
+   * [[Sketches.packedToRegisterRows]] bridge.
+   */
+  def hyperBallPackedRegisters(edges: DataFrame, radius: Int): DataFrame = {
+    require(radius >= 0, s"radius must be >= 0, got $radius")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).distinct().persist(lvl)
+    e.count()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var regs = nodes.select(col("node"),
+        Sketches.hllPackedSingleton(col("node").cast("string")).as("regs"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < radius) {
+      regs = Sketches.hllPackedMerge(
+        regs.unionByName(e.join(regs, regs("node") === e("dst"))
+          .select(e("src").as("node"), col("regs"))),
+        Seq("node")).localCheckpoint(true)
+      r += 1
+    }
+    e.unpersist(false)
+    regs
+  }
+
+  /**
+   * Per-round neighborhood-function table — the effective-diameter
+   * read-off as a RELATION (one row per radius r = 0..maxRadius), so
+   * the whole HyperBall product sits under the oracle harness:
+   *   - n_nodes: nodes in the graph (constant across rounds);
+   *   - reg_sum_total: Σ_v reg_sum(v) as an exact decimal digit
+   *     STRING (the per-node indicator sums exceed a BIGINT when
+   *     summed corpus-wide; both engines agree on the digits);
+   *   - n_sum_est_e4: N(r) = Σ_v |ball_r(v)| estimate, carried as the
+   *     exact integer Σ_v ⌊alpha·m²·2^55·10^4 / reg_sum(v)⌋ — a
+   *     floor-divided, 10^4-scaled read-off with NO float summation
+   *     (a double Σ over nodes would be partition-order-dependent);
+   *   - is_fixpoint: registers are max-monotone, so reg_sum_total is
+   *     STRICTLY decreasing until the transitive closure — integer
+   *     equality of consecutive totals IS the fixpoint test;
+   *   - ed_reached: N(r)·fracDen ≥ fracNum·N(maxRadius) — the
+   *     effective diameter at fracNum/fracDen is the smallest r with
+   *     ed_reached (relative to the horizon if the fixpoint is not
+   *     reached by maxRadius, the standard capped read-off).
+   * Propagation is the packed loop; each round's read-off aggregates a
+   * localCheckpoint'd register file, so the relation costs maxRadius
+   * propagation rounds + maxRadius+1 tiny aggregates.
+   */
+  def neighborhoodFunction(edges: DataFrame, maxRadius: Int,
+      fracNum: Int = 9, fracDen: Int = 10): DataFrame = {
+    require(maxRadius >= 0, s"maxRadius must be >= 0, got $maxRadius")
+    require(fracNum > 0 && fracDen >= fracNum,
+      s"fraction must be a rational in (0,1], got $fracNum/$fracDen")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).distinct().persist(lvl)
+    require(e.count() > 0, "neighborhoodFunction: empty edge relation")
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var regs = nodes.select(col("node"),
+        Sketches.hllPackedSingleton(col("node").cast("string")).as("regs"))
+      .localCheckpoint(true)
+    def roundRow(r: Int, rg: DataFrame): DataFrame =
+      Sketches.hllEstimateFromRegisters(
+          Sketches.packedToRegisterRows(rg, Seq("node")), Seq("node"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("reg_sum").cast("decimal(38,0)")).cast("string")
+            .as("reg_sum_total"),
+          sum(expr(s"CAST('${Sketches.HllEstE4Num}' AS DECIMAL(38,0))" +
+            " DIV CAST(reg_sum AS DECIMAL(38,0))")).as("n_sum_est_e4"))
+        .select(lit(r).as("r"), col("n_nodes"), col("reg_sum_total"),
+          col("n_sum_est_e4"))
+    var rows = Seq(roundRow(0, regs))
+    var r = 1
+    while (r <= maxRadius) {
+      regs = Sketches.hllPackedMerge(
+        regs.unionByName(e.join(regs, regs("node") === e("dst"))
+          .select(e("src").as("node"), col("regs"))),
+        Seq("node")).localCheckpoint(true)
+      rows = rows :+ roundRow(r, regs)
+      r += 1
+    }
+    e.unpersist(false)
+    // the read-off table is maxRadius+1 rows — the single-partition
+    // windows below are driver-sized by construction
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("r"))
+    val wAll = Window.orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rows.reduce(_ unionByName _)
+      .withColumn("is_fixpoint", coalesce(
+        col("reg_sum_total") === lag(col("reg_sum_total"), 1).over(w),
+        lit(false)))
+      .withColumn("ed_reached",
+        col("n_sum_est_e4") * fracDen >=
+          max(col("n_sum_est_e4")).over(wAll) * fracNum)
   }
 
   /**
@@ -835,14 +945,19 @@ object TopicGraph {
     require(e.count() > 0, "effectiveDiameter: empty edge relation")
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-    var regs = Sketches.hllRegisters(nodes, col("node").cast("string"),
-      Seq("node")).localCheckpoint(true)
-    def nfun(r: DataFrame): Double =
-      Sketches.hllEstimateFromRegisters(r, Seq("node"))
+    // packed register propagation (one array row per node, see
+    // hyperBallPackedRegisters) — the fixpoint signature hashes the
+    // whole register vector per node, same one-tiny-aggregate cost
+    var regs = nodes.select(col("node"),
+        Sketches.hllPackedSingleton(col("node").cast("string")).as("regs"))
+      .localCheckpoint(true)
+    def nfun(rg: DataFrame): Double =
+      Sketches.hllEstimateFromRegisters(
+          Sketches.packedToRegisterRows(rg, Seq("node")), Seq("node"))
         .agg(coalesce(sum(col("n_distinct_est")), lit(0.0))).head().getDouble(0)
-    def sig(r: DataFrame): (Long, Long) = {
-      val row = r.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(node, bucket, rho))"), lit(0L))).head()
+    def sig(rg: DataFrame): (Long, Long) = {
+      val row = rg.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(node, regs))"), lit(0L))).head()
       (row.getLong(0), row.getLong(1))
     }
     val ns = Seq.newBuilder[Double]
@@ -851,11 +966,10 @@ object TopicGraph {
     var rounds = 0
     var fixed = false
     while (!fixed && rounds < maxRadius) {
-      val next = regs
-        .unionByName(e.join(regs, regs("node") === e("dst"))
-          .select(e("src").as("node"), col("bucket"), col("rho")))
-        .groupBy(col("node"), col("bucket")).agg(max(col("rho")).as("rho"))
-        .localCheckpoint(true)
+      val next = Sketches.hllPackedMerge(
+        regs.unionByName(e.join(regs, regs("node") === e("dst"))
+          .select(e("src").as("node"), col("regs"))),
+        Seq("node")).localCheckpoint(true)
       val cur = sig(next)
       if (cur == prev) fixed = true
       else {

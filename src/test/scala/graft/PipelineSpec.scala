@@ -1221,6 +1221,69 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("packed HyperBall registers EQUAL the row-form twin (values, not estimates)") {
+    // the packed loop (one array<int> row per node, 64 codegen MAX
+    // aggregates) must produce bit-identical register VALUES to the
+    // row-form twin the q109/q110 oracles restate — the max-merge law
+    // makes the layouts interchangeable, this pins it
+    val rnd = new scala.util.Random(31)
+    val n = 40
+    val es = (0 until 2 * n).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+    val edges = es.toDF("src", "dst")
+    for (radius <- Seq(0, 1, 3)) {
+      val row = TopicGraph.hyperBallRegisters(edges, radius)
+        .as[(Long, Long, Int)].collect().toSet
+      val packed = Sketches.packedToRegisterRows(
+          TopicGraph.hyperBallPackedRegisters(edges, radius), Seq("node"))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(packed == row, s"radius $radius: packed != row form")
+    }
+    // and the packed merge law on a plain grouped corpus: singleton
+    // init + group max-merge == hllRegisters
+    val docs = (0 until 300).map(i => (s"g${i % 3}", s"k$i")).toDF("g", "k")
+    val viaPacked = Sketches.packedToRegisterRows(
+        Sketches.hllPackedMerge(
+          docs.select(col("g"), Sketches.hllPackedSingleton(col("k")).as("regs")),
+          Seq("g")), Seq("g"))
+      .as[(String, Long, Int)].collect().toSet
+    val viaRows = Sketches.hllRegisters(docs, col("k"), Seq("g"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(viaPacked == viaRows)
+  }
+
+  test("neighborhoodFunction: exact-integer N(r) table, fixpoint and ed flags") {
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val t = TopicGraph.neighborhoodFunction(chain, maxRadius = 6)
+      .orderBy("r")
+      .as[(Int, Long, String, Long, Boolean, Boolean)].collect()
+    assert(t.length == 7)
+    assert(t.forall(_._2 == 5L), "n_nodes constant = 5")
+    // reg_sum_total strictly decreases until the closure (round 4 on a
+    // 4-edge chain), then stays EXACTLY equal — the integer fixpoint test
+    val totals = t.map(r => BigInt(r._3))
+    for (i <- 1 to 4) assert(totals(i) < totals(i - 1), s"round $i not shrinking")
+    for (i <- 5 to 6) assert(totals(i) == totals(4), s"round $i moved past fixpoint")
+    assert(t.map(_._5).toSeq ==
+      Seq(false, false, false, false, false, true, true), "is_fixpoint flags")
+    // N(r) nondecreasing; ed_reached is an up-set ending at the horizon
+    val ests = t.map(_._4)
+    ests.sliding(2).foreach { case Array(a, b) => assert(b >= a) }
+    val ed = t.map(_._6)
+    assert(ed.last, "horizon always reaches itself")
+    ed.sliding(2).foreach { case Array(a, b) => assert(!a || b, "ed_reached monotone") }
+    // the integer read-off agrees with effectiveDiameter's float one
+    val (_, _, eff) = TopicGraph.effectiveDiameter(chain)
+    assert(t.indexWhere(_._6) == eff, "first ed_reached round == effective diameter")
+    // empty graph refused loudly (the advice-item guard)
+    intercept[IllegalArgumentException] {
+      TopicGraph.neighborhoodFunction(Seq.empty[(Long, Long)].toDF("src", "dst"), 2)
+    }
+    intercept[IllegalArgumentException] {
+      TopicGraph.effectiveDiameter(Seq.empty[(Long, Long)].toDF("src", "dst"))
+    }
+  }
+
   test("effectiveDiameter: fixpoint at the true eccentricity, N(r) consistent with hyperBall") {
     // directed chain 0->1->2->3->4: balls stop growing after exactly 4
     // rounds (the longest path), and N(r) must equal the sum of
