@@ -15,9 +15,12 @@ import java.security.MessageDigest
 object TextFunctions {
 
   /** sha256 hex of a UTF-8 string — the per-row content invariant. */
-  def sha256Hex(s: String): String = {
-    val d = MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
+  def sha256Hex(s: String): String =
+    sha256Hex(s.getBytes(StandardCharsets.UTF_8))
+
+  /** sha256 hex of raw bytes — the binary-payload (multimodal) form. */
+  def sha256Hex(bytes: Array[Byte]): String = {
+    val d = MessageDigest.getInstance("SHA-256").digest(bytes)
     val sb = new StringBuilder(64)
     d.foreach(b => sb.append(f"${b & 0xff}%02x"))
     sb.toString
