@@ -516,12 +516,24 @@ object Dedup {
    * deletion bucket's population is intrinsically ≤ (L+1)·(|Σ|+1)
    * (every member reconstructs the key by one insertion), so there is
    * NO flooded-bucket failure mode to cap, unlike LSH bands. The join
-   * shuffles (key, name) pairs — at crawl scale substitute
-   * xxhash64(key) to shuffle 8-byte keys, and run on the DISTINCT name
-   * relation (names are Zipf-repeated; dedup first is the same
-   * guidance as the MinHash tier).
+   * shuffles 8-byte xxhash64 KEY HASHES, not the ~name-length key
+   * strings ((L+1) of them per name — the stage's shuffle-byte bill at
+   * 10^9 names); a hash collision can only ADD a candidate pair, never
+   * drop one, and the exact Levenshtein verify removes it — the result
+   * is collision-proof EXACT (spec-pinned with a deliberately tiny
+   * 2-bit key space). Run on the DISTINCT name relation (names are
+   * Zipf-repeated; dedup first is the same guidance as the MinHash
+   * tier).
    */
-  def editDistancePairs(rel: DataFrame, name: Column): DataFrame = {
+  def editDistancePairs(rel: DataFrame, name: Column): DataFrame =
+    editDistancePairsKeyed(rel, name, k => xxhash64(k))
+
+  /** [[editDistancePairs]] with an explicit key->join-key mapping —
+    * package-private so specs can force a tiny key space (maximal
+    * collisions) and pin that the verify step absorbs ANY collision
+    * rate; the public entry point uses xxhash64. */
+  private[graft] def editDistancePairsKeyed(rel: DataFrame, name: Column,
+      keyOf: Column => Column): DataFrame = {
     // empty strings are excluded: sequence(1, 0) would step DOWNWARD
     // ([1,0]) and fabricate keys; an empty name is not an entity anyway
     val names = rel.select(name.as("name"))
@@ -534,8 +546,9 @@ object Dedup {
         col("name").substr(lit(1), i - 1),
         col("name").substr(i + 1, length(col("name")) - i)))
     val keyed = names
-      .select(col("name"), explode(concat(array(col("name")), deletions)).as("k"))
+      .select(col("name"), explode(concat(array(col("name")), deletions)).as("kstr"))
       .distinct() // delete_i = delete_j for runs of equal chars
+      .select(keyOf(col("kstr")).as("k"), col("name"))
     val a = keyed.select(col("k"), col("name").as("name_a"))
     val b = keyed.select(col("k"), col("name").as("name_b"))
     a.join(b, Seq("k"))
@@ -581,6 +594,35 @@ object Dedup {
    */
   def jaccardJoinExact(docs: DataFrame, id: Column, text: Column,
       tauNum: Int = 9, tauDen: Int = 10): DataFrame = {
+    val (sorted, meets) = jaccardCandidateMeets(docs, id, text, tauNum, tauDen)
+    val cands = meets
+      .select(col("doc_a"), col("doc_b"))
+      .distinct() // a pair can meet on several shared prefix tokens
+    // exact verify on the candidate set only: gather both token arrays,
+    // intersect map-side, keep tauDen*common >= tauNum*union (integer)
+    val da = sorted.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
+      col("sz").as("sza"))
+    val db = sorted.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
+      col("sz").as("szb"))
+    cands.join(da, "doc_a").join(db, "doc_b")
+      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .filter(lit(tauDen.toLong) * col("c") >=
+        lit(tauNum.toLong) * (col("sza") + col("szb") - col("c")))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("sza") + col("szb") - col("c")))
+          .as("jac"))
+  }
+
+  /**
+   * The blocking stage of [[jaccardJoinExact]]: (sorted token relation,
+   * candidate MEET rows before the pair distinct). Package-private with
+   * filter toggles so specs can MEASURE each filter's residual cut on
+   * the adversarial corpus; production always runs both (they are both
+   * provably complete, see the proofs at the filter sites).
+   */
+  private[graft] def jaccardCandidateMeets(docs: DataFrame, id: Column,
+      text: Column, tauNum: Int, tauDen: Int,
+      posFilter: Boolean = true, sigFilter: Boolean = true): (DataFrame, DataFrame) = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"threshold must be a rational in (0,1], got $tauNum/$tauDen")
     // distinct non-empty whitespace tokens per doc; empty-token removal
@@ -595,23 +637,31 @@ object Dedup {
     // materialized ONCE (localCheckpoint): the plan consumes this
     // relation four times (both prefix sides + both verify gathers) and
     // would otherwise recompute the explode+join+collect chain each time
+    // wsig: 64-bit token-set signature (OR of 1 << (xxhash64(tok) mod
+    // 64)) — 8 extra bytes per prefix row that power the signature
+    // filter below (the PPJoin+ suffix-filter role: bound the overlap
+    // from information BEYOND prefix positions, before the distinct
+    // exchange ever sees the row)
     val sorted = toks.join(dfreq, "tok")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
       .select(col("doc_id"),
         transform(col("ts"), s => s.getField("tok")).as("arr"),
         size(col("ts")).as("sz"))
+      .withColumn("wsig", expr(
+        "aggregate(arr, CAST(0 AS BIGINT), (acc, t) -> " +
+          "acc | shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(t), 64) AS INT)))"))
       .localCheckpoint(true)
     // p = L - ceil(t*L) + 1; ceil via (num*L + den - 1) integer-div den
     // (longs stay exact; the cast truncates an already-integral value)
     val p = (col("sz") - ((lit(tauNum.toLong) * col("sz") + lit(tauDen - 1))
       / lit(tauDen)).cast("int") + 1).as("p")
-    val pref = sorted.select(col("doc_id"), col("sz"),
+    val pref = sorted.select(col("doc_id"), col("sz"), col("wsig"),
         posexplode(slice(col("arr"), lit(1), p)).as(Seq("i0", "tok")))
     val ca = pref.select(col("tok"), col("doc_id").as("doc_a"),
-      col("sz").as("sza"), (col("i0") + 1).as("ia"))
+      col("sz").as("sza"), (col("i0") + 1).as("ia"), col("wsig").as("wsa"))
     val cb = pref.select(col("tok"), col("doc_id").as("doc_b"),
-      col("sz").as("szb"), (col("i0") + 1).as("ib"))
+      col("sz").as("szb"), (col("i0") + 1).as("ib"), col("wsig").as("wsb"))
     // PPJoin positional filter (complete): a qualifying pair's FIRST
     // common token w, met at 1-based positions (ia, ib), has every
     // earlier token of A outside B (the array order IS the global
@@ -628,26 +678,29 @@ object Dedup {
     val posBound = (lit(1L) + least(col("sza") - col("ia"),
       col("szb") - col("ib"))) * lit(tauNum.toLong + tauDen.toLong) >=
       lit(tauNum.toLong) * (col("sza") + col("szb"))
-    val cands = ca.join(cb,
-        ca("tok") === cb("tok") && col("doc_a") < col("doc_b") &&
-          // length filter: min >= t*max, both directions, integer form
-          lit(tauDen.toLong) * col("sza") >= lit(tauNum.toLong) * col("szb") &&
-          lit(tauDen.toLong) * col("szb") >= lit(tauNum.toLong) * col("sza") &&
-          posBound)
-      .select(col("doc_a"), col("doc_b"))
-      .distinct() // a pair can meet on several shared prefix tokens
-    // exact verify on the candidate set only: gather both token arrays,
-    // intersect map-side, keep tauDen*common >= tauNum*union (integer)
-    val da = sorted.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
-      col("sz").as("sza"))
-    val db = sorted.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
-      col("sz").as("szb"))
-    cands.join(da, "doc_a").join(db, "doc_b")
-      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
-      .filter(lit(tauDen.toLong) * col("c") >=
-        lit(tauNum.toLong) * (col("sza") + col("szb") - col("c")))
-      .select(col("doc_a"), col("doc_b"),
-        (col("c").cast("double") / (col("sza") + col("szb") - col("c")))
-          .as("jac"))
+    // SIGNATURE filter (the PPJoin+ suffix-filter role, Xiao et al.
+    // 2008 §4, in Hamming-signature form — cf. the signature-based
+    // set-join filters surveyed in Mann et al. VLDB'16): every XOR bit
+    // between the two 64-bit token-set signatures is set on exactly
+    // one side, and a token of that side hashing to that bit cannot be
+    // in the other doc (its bit would be set there too), so distinct
+    // XOR bits witness distinct symmetric-difference tokens:
+    // |AΔB| >= bit_count(wsa ^ wsb), hence
+    // overlap = (sza+szb-|AΔB|)/2 <= (sza+szb-bit_count)/2. COMPLETE:
+    // never drops a qualifying pair (the bound only ever over-admits —
+    // same-side hash collisions merely weaken it). Jaccard >= num/den
+    // needs 2*overlap*(num+den) >= 2*num*(sza+szb); substitute the
+    // bound (already doubled, so the /2 never leaves integers).
+    val sigBound = (col("sza") + col("szb") -
+      bit_count(col("wsa").bitwiseXOR(col("wsb"))).cast("long")) *
+      lit(tauNum.toLong + tauDen.toLong) >=
+      lit(2L * tauNum) * (col("sza") + col("szb"))
+    val cond = ca("tok") === cb("tok") && col("doc_a") < col("doc_b") &&
+      // length filter: min >= t*max, both directions, integer form
+      lit(tauDen.toLong) * col("sza") >= lit(tauNum.toLong) * col("szb") &&
+      lit(tauDen.toLong) * col("szb") >= lit(tauNum.toLong) * col("sza")
+    val cond1 = if (posFilter) cond && posBound else cond
+    val cond2 = if (sigFilter) cond1 && sigBound else cond1
+    (sorted, ca.join(cb, cond2))
   }
 }

@@ -1969,6 +1969,64 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("editDistancePairs: hashed join keys; verify absorbs ANY collision rate") {
+    // the production join key is xxhash64(deletion key) — 8 bytes on
+    // the wire instead of the ~name-length key string. A collision can
+    // only ADD candidates (the Levenshtein verify removes them), so
+    // even a deliberately CRUSHED 2-bit key space must yield the exact
+    // answer; string keys and 64-bit hashes must agree too
+    val rnd = new scala.util.Random(7)
+    val pool = (0 until 100).map(_ =>
+      (0 until (1 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val names = pool.toDF("n")
+    val viaString = Dedup.editDistancePairsKeyed(names, col("n"), k => k)
+      .as[(String, String)].collect().toSet
+    val viaHash = Dedup.editDistancePairs(names, col("n"))
+      .as[(String, String)].collect().toSet
+    val viaCrushed = Dedup.editDistancePairsKeyed(names, col("n"),
+        k => pmod(xxhash64(k), lit(4)))
+      .as[(String, String)].collect().toSet
+    assert(viaHash == viaString, "64-bit hash keys changed the answer")
+    assert(viaCrushed == viaString, "2-bit keys (maximal collisions) changed the answer")
+  }
+
+  test("jaccardJoinExact: signature filter completeness and >=2x residual cut") {
+    // adversarial low-entropy corpus (the synthetic documents regime):
+    // every doc draws ~2/3 of a 31-word vocabulary, so rarest-first
+    // prefixes concentrate on the same few tokens and the raw prefix
+    // join is output-dense — exactly where the 64-bit token-set
+    // signature bound must prune the residual BEFORE the distinct
+    // exchange
+    val vocab = (0 until 31).map(i => s"w$i")
+    val rnd = new scala.util.Random(13)
+    val docs = (0L until 600L).map { i =>
+      (i, vocab.filter(_ => rnd.nextDouble() < 0.65).mkString(" "))
+    }
+    val docsDf = docs.toDF("doc_id", "text")
+    val (num, den) = (19, 20)
+    val (_, withSig) = Dedup.jaccardCandidateMeets(
+      docsDf, col("doc_id"), col("text"), num, den)
+    val (_, noSig) = Dedup.jaccardCandidateMeets(
+      docsDf, col("doc_id"), col("text"), num, den, sigFilter = false)
+    val (nSig, nNoSig) = (withSig.count(), noSig.count())
+    assert(nNoSig >= 2 * nSig,
+      s"signature filter cut only $nNoSig -> $nSig (< 2x)")
+    // completeness against the brute-force definition (the filter may
+    // only shrink the CANDIDATE set, never the answer)
+    val got = Dedup.jaccardJoinExact(docsDf, col("doc_id"), col("text"), num, den)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    val sets = docs.map { case (i, t) =>
+      i -> t.split(" ").filter(_.nonEmpty).toSet
+    }.filter(_._2.nonEmpty)
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia < ib
+      c = sa.intersect(sb).size; u = sa.union(sb).size
+      if den.toLong * c >= num.toLong * u
+    } yield (ia, ib)).toSet
+    assert(got == want, s"missing ${want.diff(got).take(5)} spurious ${got.diff(want).take(5)}")
+  }
+
   test("cycleMembers: tails excluded, cycles exact, functional guard") {
     // rho: tail 5->4->1 into cycle 1->2->3->1, plus a dead-end chain
     // 10->11->12 and a self-loop 7->7
