@@ -1339,6 +1339,26 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
     }),
 
+    "q111_mixture_upsample" -> ((s, d) => {
+      // deterministic mixture UP-sampling (DoReMi reweighting with
+      // epochs > 1 on rare sources): an explicit target size makes
+      // per-source rates exceed 1 — src1 at weight 0.5 with
+      // N = 6·n_src1 needs rate 3.0 (three integer replicas), src2
+      // rate 1.5 (one replica + a half-probability seeded extra),
+      // src3/src4 rate 0.75 (downsample). Replicas carry the `rep`
+      // training-copy index; dyadic weights keep every rate exactly
+      // representable so the oracle restates the identical IEEE
+      // arithmetic. Output: per-(source, rep) counts — the upsampled
+      // mixture manifest
+      val docs = Tables.documents(s, d)
+      val n1 = docs.filter(col("source") === "src1").count()
+      Curation.mixtureSample(docs,
+        Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.125, "src4" -> 0.125),
+        targetN = Some(6L * n1))
+        .groupBy(col("source"), col("rep"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     "q95_repeated_passages" -> ((s, d) =>
       // cross-document repeated-PASSAGE detection (the substring-level
       // dedup signal of Lee et al. 2022, "Deduplicating Training Data
@@ -2512,6 +2532,34 @@ object SparkEntry {
         | WHERE CAST('0x' || substring(md5('mix:' || doc_id::VARCHAR), 1, 4) AS INT)
         |   < floor((CAST(substring(source, 4) AS INT) + 1) / 20.0 * 65536))
         |SELECT source, count(*) AS n_kept FROM kept GROUP BY 1""".stripMargin,
+
+    "q111_mixture_upsample" ->
+      // restates mixtureSample's upsampling arithmetic verbatim:
+      // rate = (6·n_src1)::DOUBLE · w / n_s (every literal forced
+      // DOUBLE — DuckDB decimal-literal math would diverge), whole
+      // replicas = floor(rate), one extra iff the seeded md5 threshold
+      // draw < floor(frac·65536); replicas exploded as rep = 0..copies−1
+      """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |tgt AS (SELECT CAST(6 * n AS DOUBLE) AS t FROM cnt WHERE source = 'src1'),
+        |rates AS (
+        | SELECT c.source,
+        |  (SELECT t FROM tgt) * (CASE c.source
+        |     WHEN 'src1' THEN 0.5::DOUBLE WHEN 'src2' THEN 0.25::DOUBLE
+        |     WHEN 'src3' THEN 0.125::DOUBLE ELSE 0.125::DOUBLE END) / c.n AS rate
+        | FROM cnt c WHERE c.source IN ('src1', 'src2', 'src3', 'src4')),
+        |parts AS (
+        | SELECT source, CAST(floor(rate) AS INT) AS whole,
+        |  CAST(floor((rate - floor(rate)) * 65536.0) AS BIGINT) AS thr
+        | FROM rates),
+        |docsx AS (
+        | SELECT d.source, p.whole + CASE
+        |   WHEN CAST('0x' || substring(md5('mix:' || d.doc_id::VARCHAR), 1, 4) AS INT)
+        |     < p.thr THEN 1 ELSE 0 END AS ncopies
+        | FROM documents d JOIN parts p USING (source))
+        |SELECT source, CAST(rep AS INT) AS rep, count(*) AS n_docs
+        |FROM (SELECT source, unnest(range(0, ncopies)) AS rep
+        |      FROM docsx WHERE ncopies > 0)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q95_repeated_passages" ->
       // restates Dedup.rollingFingerprints verbatim with HUGEINT math:

@@ -73,33 +73,80 @@ object Curation {
    * source catalogs are metadata-sized (a 100 TB corpus has dozens of
    * sources, not millions). Weights for sources absent from the corpus
    * are ignored; corpus sources with no weight are dropped (weight 0).
+   *
+   * UPSAMPLING (`targetN = Some(N)`): DoReMi-style reweighting
+   * routinely asks for MORE of a rare high-quality source than it has
+   * (epochs > 1); with an explicit target size the per-source rate
+   * r_s = N·w_s/n_s may exceed 1, realized deterministically as
+   * ⌊r_s⌋ integer replicas of every document (an exploded `rep`
+   * column 0..⌊r_s⌋−1, the training-copy index) plus one extra
+   * replica iff the document's seeded md5 threshold draw falls below
+   * the fractional remainder — the same 65536-bucket hash family, so
+   * E[out_s] = N·w_s exactly, every engine and cluster size replays
+   * the identical replica set, and a document's copies never depend
+   * on other documents (map-side after the #sources-row broadcast).
+   * With `targetN = None` the output is the downsample-only maximum
+   * (N = min_s n_s/w_s, no rep column — no row is ever repeated).
    */
   def mixtureSample(docs: DataFrame, weights: Map[String, Double],
-      seed: String = "mix:"): DataFrame = {
+      seed: String = "mix:", targetN: Option[Long] = None): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0.0),
       "mixtureSample: weights must be positive")
+    require(targetN.forall(_ > 0), s"mixtureSample: targetN must be positive")
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = weights.filter { case (s, _) => counts.contains(s) }
     require(present.nonEmpty,
       "mixtureSample: no weighted source present in the corpus")
-    val nTarget = present.map { case (s, w) => counts(s) / w }.min
     val spark = docs.sparkSession
-    val rows = present.toSeq.sortBy(_._1).map { case (s, w) =>
-      org.apache.spark.sql.Row(s,
-        math.floor(math.min(1.0, nTarget * w / counts(s)) * 65536.0).toLong)
+    val h4 = conv(substring(md5(concat(lit(seed), col("doc_id").cast("string"))),
+      1, 4), 16, 10).cast("long")
+    targetN match {
+      case None =>
+        val nTarget = present.map { case (s, w) => counts(s) / w }.min
+        val rows = present.toSeq.sortBy(_._1).map { case (s, w) =>
+          org.apache.spark.sql.Row(s,
+            math.floor(math.min(1.0, nTarget * w / counts(s)) * 65536.0).toLong)
+        }
+        val thr = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("source",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("thr",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        docs.join(broadcast(thr), Seq("source"))
+          .filter(h4 < col("thr"))
+          .drop("thr")
+      case Some(n) =>
+        // rate = N·w/n_s; whole part = integer replicas, fractional
+        // part = one seeded-threshold replica. The rate arithmetic is
+        // (N.toDouble * w) / n_s in THIS order — the DuckDB oracle
+        // restates the identical IEEE expression
+        val rows = present.toSeq.sortBy(_._1).map { case (s, w) =>
+          val rate = n.toDouble * w / counts(s)
+          val whole = math.floor(rate)
+          org.apache.spark.sql.Row(s, whole.toInt,
+            math.floor((rate - whole) * 65536.0).toLong)
+        }
+        val parts = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("source",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("whole",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("thr",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        docs.join(broadcast(parts), Seq("source"))
+          .withColumn("_ncopies",
+            col("whole") + when(h4 < col("thr"), 1).otherwise(0))
+          // sequence() steps DOWNWARD for a negative span — filter the
+          // zero-copy rows out before it can fabricate replicas
+          .filter(col("_ncopies") > 0)
+          .withColumn("rep", explode(sequence(lit(0), col("_ncopies") - 1)))
+          .drop("whole", "thr", "_ncopies")
     }
-    val thr = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("source",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("thr",
-          org.apache.spark.sql.types.LongType, nullable = false))))
-    docs.join(broadcast(thr), Seq("source"))
-      .filter(conv(substring(md5(concat(lit(seed), col("doc_id").cast("string"))),
-        1, 4), 16, 10).cast("long") < col("thr"))
-      .drop("thr")
   }
 
   /**

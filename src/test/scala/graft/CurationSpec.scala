@@ -112,6 +112,51 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Curation.mixtureSample(d2, w) }
   }
 
+  test("mixture UPsampling: integer replicas + seeded fractional extras, partitioning-independent") {
+    // 3 sources 3000/3000/1000; target N = 5000 with weights
+    // 0.2/0.3/0.5 gives rates 1000/3000=1/3 (downsample),
+    // 1500/3000=0.5 (downsample), 2500/1000=2.5 (UPSAMPLE: two full
+    // replicas + a half-probability third)
+    val d = spark.range(7000).toDF("doc_id")
+      .withColumn("source",
+        when(col("doc_id") < 3000, "a").when(col("doc_id") < 6000, "b")
+          .otherwise("c"))
+    val w = Map("a" -> 0.2, "b" -> 0.3, "c" -> 0.5)
+    val out = Curation.mixtureSample(d, w, targetN = Some(5000L))
+    val byRep = out.groupBy("source", "rep").count()
+      .as[(String, Int, Long)].collect()
+      .map { case (s0, r0, n0) => (s0, r0) -> n0 }.toMap
+    // upsampled source: replicas 0 and 1 carry EVERY doc, replica 2 is
+    // the seeded ~50% remainder; downsampled sources have rep 0 only
+    assert(byRep(("c", 0)) == 1000L && byRep(("c", 1)) == 1000L)
+    assert(math.abs(byRep(("c", 2)) - 500L) <= 60, s"c rep2: ${byRep(("c", 2))}")
+    assert(!byRep.contains(("a", 1)) && !byRep.contains(("b", 1)))
+    // proportions track N*w
+    val bySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(math.abs(bySrc("a") - 1000L) <= 60, s"a: ${bySrc("a")}")
+    assert(math.abs(bySrc("b") - 1500L) <= 60, s"b: ${bySrc("b")}")
+    assert(math.abs(bySrc("c") - 2500L) <= 60, s"c: ${bySrc("c")}")
+    // the fractional replica reuses the SAME per-doc draw as the
+    // downsample path: a doc gets the extra copy iff its seed hash
+    // falls below the fractional threshold — so c's rep-2 membership
+    // equals the 50%-downsample membership of source c
+    val rep2Ids = out.filter(col("source") === "c" && col("rep") === 2)
+      .select("doc_id").as[Long].collect().toSet
+    val halfC = Curation.mixtureSample(
+        d.filter(col("source") === "c"), Map("c" -> 1.0),
+        targetN = Some(500L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(rep2Ids == halfC, "fractional replica draw != the seeded threshold draw")
+    // partitioning-independence and determinism (replica set identical)
+    val again = Curation.mixtureSample(d.repartition(17), w, targetN = Some(5000L))
+      .select("source", "doc_id", "rep").as[(String, Long, Int)].collect().toSet
+    assert(again == out.select("source", "doc_id", "rep")
+      .as[(String, Long, Int)].collect().toSet)
+    // downsample-only default is unchanged by the extension: no rep
+    // column in the None path
+    assert(!Curation.mixtureSample(d, w).columns.contains("rep"))
+  }
+
   test("stratified sample: exactly k per stratum, key-deterministic, partitioning-independent") {
     val d = spark.range(997).toDF("doc_id")
       .withColumn("lang", (col("doc_id") % 3).cast("string"))
