@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
  */
 object Bench {
 
+  /** Best-observed CLEAN wall time of the 250k-row sweep probe on this
+    * host (round-6 calibration: 0.94-1.65 s across six quiet warm
+    * passes, best 0.94; see BASELINE.md round-6 protocol note). Dirty-row deflation factors are published
+    * relative to this ABSOLUTE reference so a bench run throttled
+    * uniformly end-to-end — whose in-run probe ratios all look clean —
+    * still self-flags every row. Optimistic by construction: factors
+    * are clamped at >= 1. */
+  val SweepProbeCleanRef = 1.10
+
   /** The timed job: the full extraction pipeline of the north star —
     * parse + segment + mention emission (map-side), alias closure
     * (iterative join; small side), distinct triple materialization
@@ -160,18 +169,29 @@ object Bench {
     // makes the block comparable round-over-round ----
     val sf1Json = runHeavy10x(spark, sfDir) + runHeavyEmb10x(spark, sfDir)
     // the sweep runs LAST, i.e. entirely inside the post-sf1 throttle
-    // window (round-4 verdict #2: sweep q64 recorded 6.0 s at sf0.1
-    // while the SAME operator on 10x data, measured on fresh credits,
-    // took 4.7 s — a host artifact, not a plan property). Two
-    // defenses: (a) the shuffle-heavy rows — the ones that absorb
-    // burst-credit decay hardest — are timed three times and MEDIANed;
-    // (b) a fixed machine probe brackets the sweep so round-over-round
-    // comparisons can deflate by host state (probe ratio ≈ how
-    // throttled this window was).
+    // window. The round-5 lesson (verdict #1): medianing a few rows and
+    // bracketing the WHOLE sweep with two probes detects a dirty window
+    // but never ACTS on it — BENCH_r05's official record (probes
+    // 73.4/17.5 s vs ~2.2 clean, q41 at 259.7 s vs 3.45) was unusable.
+    // The protocol is now SELF-CORRECTING at block granularity:
+    //   - the sweep runs in blocks of 8 queries, a machine probe
+    //     between blocks (each block is bracketed by two probes);
+    //   - a block whose worse bracket diverges >1.5x from the round's
+    //     BEST probe was measured in a throttle pocket: it is
+    //     re-measured (up to 2 retry rounds, keeping the attempt with
+    //     the cleanest brackets);
+    //   - every published row either has clean brackets or appears in
+    //     `queries_dirty` with its probe-deflation factor attached
+    //     (probe_ratio = worse bracket / SweepProbeCleanRef, the
+    //     probe's best-observed clean value on this host — so a
+    //     UNIFORMLY throttled run, where every in-run ratio looks
+    //     clean, still self-flags via the absolute reference);
+    //   - heavy shuffle-bound rows keep their median-of-3 within the
+    //     block on top.
     def sweepProbe(): Double = {
       import spark.implicits._
       val t0 = System.nanoTime()
-      spark.range(500000L).repartition(64)
+      spark.range(250000L).repartition(64)
         .map(i => CorpusGen.file(i, scale = 4).content.length).reduce(_ + _)
       (System.nanoTime() - t0) / 1e9
     }
@@ -180,19 +200,62 @@ object Bench {
       "q70_dedup_keep_list", "q85_disambiguation",
       "q102_editdist_pairs", "q105_jaccard_join_exact", "q97_kcore",
       "q98_lpa_communities")
-    val probePre = sweepProbe()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeQuery(name: String): Double = {
+      val fn = SparkEntry.queries(name)
       def onePass(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       val t1 = onePass()
-      val t = if (!heavySweep(name)) t1
-        else Seq(t1, onePass(), onePass()).sorted.apply(1)
-      name -> t
+      if (!heavySweep(name)) t1
+      else Seq(t1, onePass(), onePass()).sorted.apply(1)
     }
-    val probePost = sweepProbe()
+    val blocks = SparkEntry.queries.keys.toSeq.sorted.grouped(8).toSeq
+    final case class BlockMeas(times: Seq[(String, Double)],
+        pPre: Double, pPost: Double) {
+      def bracket: Double = math.max(pPre, pPost)
+    }
+    val allProbes = scala.collection.mutable.ArrayBuffer[Double]()
+    def probe(): Double = { val v = sweepProbe(); allProbes += v; v }
+    val meas = scala.collection.mutable.ArrayBuffer[BlockMeas]()
+    sweepProbe() // discarded JIT warm-up: a cold first probe (measured
+    // 5.7 s vs ~1.1 warm) would false-flag the first block as dirty
+    var pCur = probe()
+    val probePre = pCur
+    blocks.foreach { b =>
+      val times = b.map(q => q -> timeQuery(q))
+      val pNext = probe()
+      meas += BlockMeas(times, pCur, pNext)
+      pCur = pNext
+    }
+    var retried = 0
+    for (_ <- 1 to 2) {
+      val best = allProbes.min
+      for (i <- meas.indices if meas(i).bracket > 1.5 * best) {
+        val p0 = probe()
+        val times = blocks(i).map(q => q -> timeQuery(q))
+        val p1 = probe()
+        val cand = BlockMeas(times, p0, p1)
+        if (cand.bracket < meas(i).bracket) meas(i) = cand
+        retried += 1
+      }
+    }
+    val bestProbe = allProbes.min
+    val results = meas.toSeq.flatMap(_.times)
+    // dirty rows carry their deflation factor vs the ABSOLUTE clean
+    // reference (not just the round's best window): a run throttled
+    // end-to-end has internally-consistent probes but still self-flags
+    val dirty = meas.toSeq.filter(m =>
+      m.bracket > 1.5 * bestProbe || m.bracket > 1.5 * SweepProbeCleanRef)
+    val dirtyJson = dirty.flatMap { m =>
+      val ratio = math.max(1.0, m.bracket / SweepProbeCleanRef)
+      m.times.map { case (q, t) =>
+        "\"" + q + "\":" +
+          f"""{"t":$t%.3f,"probe_ratio":$ratio%.2f,"t_deflated":${t / ratio}%.3f}"""
+      }
+    }.mkString("{", ",", "}")
+    val probePost = allProbes.last
     spark.stop()
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
@@ -201,6 +264,10 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":""" + qs +
         f""","sweep_probe_pre":$probePre%.2f,"sweep_probe_post":$probePost%.2f,""" +
+        f""""sweep_probe_best":$bestProbe%.2f,"sweep_probe_clean_ref":$SweepProbeCleanRef%.2f,""" +
+        s""""sweep_blocks_retried":$retried,""" +
+        s""""sweep_probes":${allProbes.map(v => f"$v%.2f").mkString("[", ",", "]")},""" +
+        s""""queries_dirty":$dirtyJson,""" +
         s""""sf":"$sfDir","throughput":{"files":$nFiles,"triples":$nTriples,""" +
         scalingJson + "}," + sf1Json +
         f""""triple_precision":$prP%.4f,"triple_recall":$prR%.4f,""" +
@@ -213,6 +280,17 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+  }
+
+  /** The sweep's machine probe, reusable by the sf1 blocks: each block
+    * emits its own probe brackets so round-over-round comparison can
+    * deflate by host state (same 250k-row job as the sweep probe). */
+  private def blockProbe(spark: SparkSession): Double = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    spark.range(250000L).repartition(64)
+      .map(i => CorpusGen.file(i, scale = 4).content.length).reduce(_ + _)
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** Build (once, cached) a deterministic 10x slice of the sf-dir
@@ -282,7 +360,9 @@ object Bench {
           }
         q -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
+      val pPre = blockProbe(spark)
       val passes = (1 to 3).map(_ => onePass())
+      val pPost = blockProbe(spark)
       val med = heavy.map { q =>
         val ts = passes.map(_.toMap.apply(q))
         // any failed pass poisons the row: -1 sentinel, not a timing
@@ -294,6 +374,7 @@ object Bench {
         p.map { case (_, v) => f"$v%.3f" }.mkString("[", ",", "]"))
         .mkString("[", ",", "]")
       s""""sf1":{"docs":$nDocs,$qj,"errs":[${errs.mkString(",")}],""" +
+        f""""probe_pre":$pPre%.2f,"probe_post":$pPost%.2f,""" +
         s""""pass_order":[${heavy.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""passes":$passJson},"""
     } catch { case e: Throwable =>
@@ -354,7 +435,9 @@ object Bench {
           }
         q -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
+      val pPre = blockProbe(spark)
       val passes = (1 to 3).map(_ => onePass())
+      val pPost = blockProbe(spark)
       val med = heavy.map { q =>
         val ts = passes.map(_.toMap.apply(q))
         q -> (if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(ts.length / 2))
@@ -365,6 +448,7 @@ object Bench {
         p.map { case (_, v) => f"$v%.3f" }.mkString("[", ",", "]"))
         .mkString("[", ",", "]")
       s""""sf1_emb":{"vectors":$nVecs,$qj,"errs":[${errs.mkString(",")}],""" +
+        f""""probe_pre":$pPre%.2f,"probe_post":$pPost%.2f,""" +
         s""""passes":$passJson},"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] sf1_emb block failed: ${e.getMessage}")
