@@ -242,6 +242,60 @@ object SparkEntry {
          |FROM tbl""".stripMargin
   }
 
+  /** DuckDB oracle for q112: the q110 register rounds read off as
+    * per-node 1e4-scaled ball estimates, combined with the rearranged
+    * telescoping weights w_0 = −L, w_r = L/r − L/(r+1), w_R = L/R
+    * (L = lcm(1..R) = 12 at R = 4) — h_scaled is exact integer
+    * arithmetic end to end, matching TopicGraph.harmonicCentrality. */
+  private val harmonicCentralityOracleSql: String = {
+    val radius = 4
+    val bigL = 12L
+    def weight(r: Int): Long =
+      if (r == 0) -bigL
+      else if (r == radius) bigL / radius
+      else bigL / r - bigL / (r + 1)
+    val estNum = graft.pipeline.Sketches.HllEstE4Num
+    val head =
+      """WITH edges AS (
+        | SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src,
+        |   ((doc_id % (SELECT count(*) FROM documents)) * (doc_id % (SELECT count(*) FROM documents)) + 3) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |   (doc_id*7 + 3) % (SELECT count(*) FROM documents)
+        |  FROM documents)),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+        |h AS (SELECT node,
+        |  ('0x' || substring(md5(CAST(node AS VARCHAR)), 1, 15))::BIGINT AS h
+        | FROM nodes),
+        |b0 AS (SELECT node, h % 64 AS bucket,
+        |  CASE WHEN (h >> 6) = 0 THEN 55
+        |       ELSE 55 - length(bin(h >> 6)) END AS rho FROM h)""".stripMargin
+    val rounds = (1 to radius).map { k =>
+      s"""b$k AS (SELECT node, bucket, max(rho) AS rho FROM (
+         |  SELECT node, bucket, rho FROM b${k - 1}
+         |  UNION ALL
+         |  SELECT e.src AS node, r.bucket, r.rho
+         |  FROM edges e JOIN b${k - 1} r ON r.node = e.dst) GROUP BY 1, 2)""".stripMargin
+    }
+    val ests = (0 to radius).map { k =>
+      s"""e$k AS (
+         | SELECT node, CAST('$estNum'::HUGEINT // CAST(sum(1::BIGINT << (55 - rho))
+         |   + (64 - count(*)) * (1::BIGINT << 55) AS HUGEINT) AS BIGINT) AS est
+         | FROM b$k GROUP BY 1)""".stripMargin
+    }
+    val hExpr = (0 to radius)
+      .map(k => s"(${weight(k)}) * e$k.est").mkString(" + ")
+    val joins = (1 to radius).map(k => s"JOIN e$k USING (node)").mkString(" ")
+    (Seq(head) ++ rounds ++ ests).mkString(",\n") +
+      s"""\nSELECT node, CAST($hExpr AS BIGINT) AS h_scaled,
+         | round(CAST($hExpr AS DOUBLE) / ${1e4 * bigL}, 6) AS h_harmonic
+         |FROM e0 $joins
+         |ORDER BY h_scaled DESC, node LIMIT 100""".stripMargin
+  }
+
   /** DuckDB oracle for q108: the seeded-hash walk unrolled step by
     * step — at step t the walk picks the out-neighbor minimizing
     * ('0x'||md5("w:start:t:dst")[1..15])::BIGINT (dst tie-break), the
@@ -1557,6 +1611,19 @@ object SparkEntry {
       TopicGraph.neighborhoodFunction(degree2Edges(s, d), maxRadius = 6)
     }),
 
+    "q112_harmonic_centrality" -> ((s, d) => {
+      // harmonic centrality via HyperBall (Boldi & Vigna's headline
+      // application): H(v) = Σ 1/d(v,u) from per-round ball sizes,
+      // truncated at radius 4 — packed register propagation, the 1/r
+      // weights cleared by lcm(1..4) = 12 so h_scaled is a plain long
+      // (no float summation; h_harmonic is one per-row division).
+      // Top-100 by centrality (node tie-break) — the seed-selection
+      // shape this read-off exists for
+      TopicGraph.harmonicCentrality(degree2Edges(s, d), radius = 4)
+        .orderBy(col("h_scaled").desc, col("node"))
+        .limit(100)
+    }),
+
     "q88_ccnet_buckets" -> ((s, d) =>
       // CCNet head/middle/tail stratification: per-LANGUAGE terciles of
       // the unigram-LM score (rounded-then-ranked, doc_id tie-break, so
@@ -2858,6 +2925,8 @@ object SparkEntry {
         |FROM agg""".stripMargin,
 
     "q110_neighborhood_fn" -> neighborhoodFnOracleSql,
+
+    "q112_harmonic_centrality" -> harmonicCentralityOracleSql,
 
     "q78_source_prior" ->
       """WITH base AS (

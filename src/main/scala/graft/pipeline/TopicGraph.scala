@@ -920,6 +920,67 @@ object TopicGraph {
   }
 
   /**
+   * Harmonic centrality via HyperBall (Boldi & Vigna 2013 — the
+   * paper's headline application): H(v) = Σ_{u reachable, u≠v}
+   * 1/d(v,u), estimated from per-round ball sizes as
+   * Σ_{r=1..R} (|ball_r(v)| − |ball_{r−1}(v)|)/r — every node first
+   * counted at its exact hop distance; truncating at R ignores
+   * contributions < 1/R (the standard capped read-off; the exact
+   * per-pair BFS alternative is O(V·E) and infeasible at graph scale).
+   *
+   * EXACT-INTEGER read-off: ball sizes are the floor-divided
+   * 10^4-scaled estimates (⌊alpha·m²·2^55·10^4 / reg_sum⌋, no float
+   * anywhere), and the 1/r weights are cleared by scaling with
+   * L = lcm(1..R) — rearranging the telescoping sum gives per-round
+   * integer coefficients w_0 = −L, w_r = L/r − L/(r+1) (r < R),
+   * w_R = L/R, so the output h_scaled(v) = Σ_r w_r·est_e4_r(v) is a
+   * plain long both engines agree on bit-for-bit (registers only
+   * grow, so est_e4 is nondecreasing and h_scaled ≥ 0). h_harmonic =
+   * h_scaled / (10^4·L) is the one float step, a single per-row
+   * division. Propagation is the packed loop; one union of R+1
+   * weighted read-offs + one sum aggregate on (node, long) rows.
+   */
+  def harmonicCentrality(edges: DataFrame, radius: Int): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).distinct().persist(lvl)
+    require(e.count() > 0, "harmonicCentrality: empty edge relation")
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var regs = nodes.select(col("node"),
+        Sketches.hllPackedSingleton(col("node").cast("string")).as("regs"))
+      .localCheckpoint(true)
+    def lcm(a: Long, b: Long): Long = a / BigInt(a).gcd(BigInt(b)).toLong * b
+    val bigL = (1L to radius.toLong).reduce(lcm)
+    def weight(r: Int): Long =
+      if (r == 0) -bigL
+      else if (r == radius) bigL / radius
+      else bigL / r - bigL / (r + 1)
+    def weighted(r: Int, rg: DataFrame): DataFrame =
+      Sketches.hllEstimateFromRegisters(
+          Sketches.packedToRegisterRows(rg, Seq("node")), Seq("node"))
+        .select(col("node"),
+          (expr(s"CAST('${Sketches.HllEstE4Num}' AS DECIMAL(38,0))" +
+            " DIV CAST(reg_sum AS DECIMAL(38,0))") * lit(weight(r))).as("part"))
+    var parts = Seq(weighted(0, regs))
+    var r = 1
+    while (r <= radius) {
+      regs = Sketches.hllPackedMerge(
+        regs.unionByName(e.join(regs, regs("node") === e("dst"))
+          .select(e("src").as("node"), col("regs"))),
+        Seq("node")).localCheckpoint(true)
+      parts = parts :+ weighted(r, regs)
+      r += 1
+    }
+    e.unpersist(false)
+    parts.reduce(_ unionByName _)
+      .groupBy(col("node"))
+      .agg(sum(col("part")).as("h_scaled"))
+      .select(col("node"), col("h_scaled"),
+        round(col("h_scaled").cast("double") / lit(1e4 * bigL), 6).as("h_harmonic"))
+  }
+
+  /**
    * Neighborhood function + effective diameter — the read-off HyperBall
    * exists for (Boldi & Vigna 2013 run it exactly this way): iterate
    * the register propagation to its FIXPOINT (registers are

@@ -1310,6 +1310,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(ns2.last > ns2.head, "balls grew on the cycle")
   }
 
+  test("harmonicCentrality: telescoped read-off equals the per-round definition") {
+    val rnd = new scala.util.Random(17)
+    val n = 30
+    val es = (0 until 2 * n).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+      .filter { case (a, b) => a != b }
+    val edges = es.toDF("src", "dst")
+    val radius = 3
+    val bigL = 6L // lcm(1..3)
+    // independent reference: per-round 1e4-scaled ball estimates from
+    // the ROW-form registers (the spec twin), then the DEFINITION
+    // H_scaled = Σ_{r=1..R} (est_r − est_{r−1}) · (L/r) in BigInt
+    val cNum = BigInt(Sketches.HllEstE4Num)
+    def estsAt(r: Int): Map[Long, BigInt] =
+      Sketches.hllEstimateFromRegisters(
+          TopicGraph.hyperBallRegisters(edges, r), Seq("node"))
+        .select(col("node"), col("reg_sum"))
+        .as[(Long, Long)].collect()
+        .map { case (v, rs) => v -> cNum / BigInt(rs) }.toMap
+    val perRound = (0 to radius).map(estsAt)
+    val want = perRound(0).keys.map { v =>
+      v -> (1 to radius).map(r =>
+        (perRound(r)(v) - perRound(r - 1)(v)) * (bigL / r)).sum
+    }.toMap
+    val got = TopicGraph.harmonicCentrality(edges, radius)
+      .select(col("node"), col("h_scaled"), col("h_harmonic"))
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == want.size)
+    got.foreach { case (v, hs, hh) =>
+      assert(BigInt(hs) == want(v), s"node $v: $hs vs ${want(v)}")
+      assert(math.abs(hh - math.round(hs / (1e4 * bigL) * 1e6) / 1e6) < 1e-9)
+      assert(hs >= 0L, "registers only grow - h_scaled is nonnegative")
+    }
+    // star: leaves reach nothing (H = 0 exactly); the center reaches
+    // every leaf at distance 1 (H > 0)
+    val star = (1L to 20L).map(l => (0L, l)).toDF("src", "dst")
+    val hs = TopicGraph.harmonicCentrality(star, 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(hs(0L) > 0L, "center sees its ball grow")
+    (1L to 20L).foreach(l => assert(hs(l) == 0L, s"leaf $l must be exactly 0"))
+  }
+
   test("pageRank invariants on random graphs (seeded)") {
     // mass conserved, every rank >= teleport floor (1-d)/n, ranks
     // positive — on arbitrary graphs incl. dangling nodes and cycles
