@@ -296,6 +296,71 @@ object SparkEntry {
          |ORDER BY h_scaled DESC, node LIMIT 100""".stripMargin
   }
 
+  /** q114's fixed merge table: rank-3 consumes rank-1's and rank-2's
+    * outputs — exercises hierarchical subword construction. */
+  private val Q114Merges: Seq[(String, String)] =
+    Seq(("e", "</w>"), ("t", "h"), ("th", "e</w>"), ("a", "n"))
+
+  /** SQL for one simultaneous BPE merge on a DOUBLE-SPACE-encoded
+    * token string expression (Tokenizer scaladoc: the encoding makes
+    * plain left-to-right replace exactly the simultaneous merge). */
+  private def bpeMergeSql(enc: String, l: String, r: String): String =
+    s"replace($enc, ' $l  $r ', ' $l$r ')"
+
+  /** encode / decode between single- and double-space token strings. */
+  private def bpeEncSql(toks: String) = s"('  ' || replace($toks, ' ', '  ') || '  ')"
+  private def bpeDecSql(enc: String) = s"trim(replace($enc, '  ', ' '))"
+
+  /** DuckDB oracle for q113: 4 unrolled Sennrich rounds over the
+    * word-frequency vocab — pair counts via lateral range unnest,
+    * argmax with the (cnt DESC, l, r) tie-break, merge applied through
+    * the same double-space replace the engine uses. */
+  private val bpeMergesOracleSql: String = {
+    val k = 4
+    val head =
+      """WITH words AS (
+        | SELECT w AS word, count(*) AS freq
+        | FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        | WHERE w <> '' GROUP BY 1),
+        |v0 AS (SELECT freq,
+        |  array_to_string(string_split(word, ''), ' ') || ' </w>' AS toks
+        | FROM words)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      val merged = bpeMergeSql(bpeEncSql("toks"),
+        s"' || (SELECT l FROM m$i) || '", s"' || (SELECT r FROM m$i) || '")
+      s"""p$i AS (
+         | SELECT s.t[u.i] AS l, s.t[u.i + 1] AS r, sum(s.freq) AS cnt
+         | FROM (SELECT freq, string_split(toks, ' ') AS t FROM v${i - 1}) s,
+         |      unnest(range(1, len(s.t))) AS u(i)
+         | GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$i AS (SELECT freq, ${bpeDecSql(merged)} AS toks FROM v${i - 1})""".stripMargin
+    }
+    val out = (1 to k).map(i =>
+      s"""SELECT CAST($i AS INT) AS rank, l AS "left", r AS "right",
+         | CAST(cnt AS BIGINT) AS pair_count FROM m$i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    (Seq(head) ++ rounds).mkString(",\n") + "\n" + out
+  }
+
+  /** DuckDB oracle for q114: char-split + marker per word, the fixed
+    * merge chain as nested replaces, subword histogram. */
+  private val bpeTokensOracleSql: String = {
+    val chain = Q114Merges.foldLeft(bpeEncSql("toks")) {
+      case (e, (l, r)) => bpeMergeSql(e, l, r)
+    }
+    s"""WITH base AS (
+       | SELECT array_to_string(list_transform(
+       |   list_filter(string_split(text, ' '), w -> w <> ''),
+       |   w -> array_to_string(string_split(w, ''), ' ') || ' </w>'), ' ')
+       |  AS toks
+       | FROM documents),
+       |m AS (SELECT ${bpeDecSql(chain)} AS toks FROM base)
+       |SELECT t AS token, count(*) AS cnt
+       |FROM (SELECT unnest(string_split(toks, ' ')) AS t FROM m)
+       |WHERE t <> '' GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB oracle for q108: the seeded-hash walk unrolled step by
     * step — at step t the walk picks the out-neighbor minimizing
     * ('0x'||md5("w:start:t:dst")[1..15])::BIGINT (dst tie-break), the
@@ -1624,6 +1689,38 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "q113_bpe_merges" -> ((s, d) =>
+      // distributed BPE tokenizer TRAINING (Sennrich 2016), 4 merge
+      // rounds: ONE corpus shuffle (word-frequency vocab, map-side
+      // partial count), then per round a vocab-sized adjacent-pair
+      // SUM (map-side partial) + a single argmax row via TakeOrdered
+      // + a map-side codegen `replace` merge on the double-space
+      // encoding (Tokenizer scaladoc: the encoding makes plain
+      // left-to-right replace EXACTLY the simultaneous BPE merge,
+      // consecutive runs included). Ties break (cnt desc, l, r) —
+      // engine/partitioning deterministic. Oracle: 4 unrolled rounds
+      Tokenizer.learnMerges(Tables.documents(s, d), k = 4)),
+
+    "q114_bpe_tokens" -> ((s, d) =>
+      // tokenizer APPLICATION with a fixed merge table (the
+      // inference half): char-split + </w> per word, one chained
+      // codegen replace per merge — pure map-side, zero shuffle until
+      // the vocab-bounded histogram count. The table exercises
+      // hierarchical merges (rank-3 consumes rank-1's and rank-2's
+      // outputs)
+      Tokenizer.bpeHistogram(Tables.documents(s, d), Q114Merges)),
+
+    "q115_dsir_select" -> ((s, d) =>
+      // DSIR data selection (Xie et al. 2023): hashed-unigram
+      // importance weights of every document against the lang='en'
+      // TARGET distribution, fixed-point per-bucket log-ratios
+      // (integer per-doc sums — no float-summation hash risk), top-300
+      // by score. Two 256-row map-side-combined count aggs, a
+      // 256-entry broadcast map literal, zero-shuffle scoring,
+      // TakeOrdered selection (Curation.dsirSelect scaladoc)
+      Curation.dsirSelect(Tables.documents(s, d),
+        target = col("lang") === "en", k = 300)),
+
     "q88_ccnet_buckets" -> ((s, d) =>
       // CCNet head/middle/tail stratification: per-LANGUAGE terciles of
       // the unigram-LM score (rounded-then-ranked, doc_id tie-break, so
@@ -2927,6 +3024,34 @@ object SparkEntry {
     "q110_neighborhood_fn" -> neighborhoodFnOracleSql,
 
     "q112_harmonic_centrality" -> harmonicCentralityOracleSql,
+
+    "q113_bpe_merges" -> bpeMergesOracleSql,
+
+    "q114_bpe_tokens" -> bpeTokensOracleSql,
+
+    "q115_dsir_select" ->
+      s"""WITH tokb AS (
+         | SELECT doc_id, lang = 'en' AS is_t, substring(md5(t), 1, 2) AS bk
+         | FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+         |       FROM documents)
+         | WHERE t <> ''),
+         |cnts AS (
+         | SELECT bk, count(*) AS cr,
+         |  sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+         | FROM tokb GROUP BY 1),
+         |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cnts),
+         |l AS (
+         | SELECT bk, CAST(floor((ln(ct + 1) - ln(cr + 1)
+         |   - ln((SELECT tt FROM tot) + 256)
+         |   + ln((SELECT tr FROM tot) + 256)) * 1e6) AS BIGINT) AS l_fp
+         | FROM cnts),
+         |sc AS (
+         | SELECT doc_id, count(*) AS n_tok, sum(l_fp) AS score_fp
+         | FROM tokb JOIN l USING (bk) GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(sc.n_tok, 0) AS BIGINT) AS n_tok,
+         | CAST(coalesce(sc.score_fp, 0) AS BIGINT) AS score_fp
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY score_fp DESC, d.doc_id LIMIT 300""".stripMargin,
 
     "q78_source_prior" ->
       """WITH base AS (

@@ -76,4 +76,102 @@ final class Checkpoints(spark: SparkSession, baseDir: String) {
     if (!base.isDirectory) Seq.empty
     else base.listFiles().toSeq.map(_.getName).filter(isCommitted).sorted
   }
+
+  // ------------------------------------------------------------------
+  // Snapshot VERSIONS + time travel (the Iceberg snapshot-log shape:
+  // every commit is a new immutable snapshot, a single atomically-
+  // swung pointer names the current one, history stays readable, and
+  // rollback is a pointer move — no data rewrite). Version data lives
+  // under `_versions/` — the `_` prefix keeps Spark's parquet reader
+  // from picking version files up when scanning the stage dir itself.
+  // ------------------------------------------------------------------
+
+  private def versionsDir(name: String) = s"${stageDir(name)}/_versions"
+  private def versionDir(name: String, v: Long) =
+    f"${versionsDir(name)}/v$v%05d"
+  private def headPath(name: String) = Paths.get(s"${stageDir(name)}/_HEAD")
+  private def vManifest(name: String, v: Long) =
+    Paths.get(s"${versionDir(name, v)}/_VMANIFEST")
+
+  private def isVersionCommitted(name: String, v: Long): Boolean =
+    Files.exists(vManifest(name, v)) && {
+      val m = try Files.readString(vManifest(name, v)) catch { case _: Exception => "" }
+      m.startsWith("{") && m.trim.endsWith("}") && m.contains("\"rows\"")
+    }
+
+  /** Committed versions of a stage, ascending. */
+  def versions(name: String): Seq[Long] = {
+    val d = new java.io.File(versionsDir(name))
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq.map(_.getName)
+      .collect { case s if s.startsWith("v") => s.drop(1).toLong }
+      .filter(isVersionCommitted(name, _)).sorted
+  }
+
+  /** Current version per the HEAD pointer; None if never committed.
+    * A garbage pointer is a LOUD failure (Iceberg treats metadata-
+    * pointer corruption as manual-repair, not silent fallback). */
+  def currentVersion(name: String): Option[Long] = {
+    if (!Files.exists(headPath(name))) None
+    else {
+      val s = try Files.readString(headPath(name)).trim catch { case _: Exception => "" }
+      val v = try Some(s.toLong) catch { case _: NumberFormatException => None }
+      v match {
+        case Some(n) if isVersionCommitted(name, n) => Some(n)
+        case _ => throw new IllegalStateException(
+          s"checkpoint stage '$name': HEAD pointer is corrupt or names an " +
+            s"uncommitted version ('$s') — refusing to guess; repair or rollback")
+      }
+    }
+  }
+
+  private def swingHead(name: String, v: Long): Unit = {
+    Files.createDirectories(Paths.get(stageDir(name)))
+    val tmp = Paths.get(s"${stageDir(name)}/_HEAD.tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, headPath(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /**
+   * Commit a NEW snapshot version of a stage: data + per-version
+   * manifest first, HEAD pointer swung last (tmp + atomic rename) —
+   * a crash leaves HEAD on the previous complete snapshot. Returns
+   * the new version number. The log is monotone: committing after a
+   * [[rollback]] allocates past the rolled-back versions (old
+   * snapshots stay readable — Iceberg semantics).
+   */
+  def commitVersion(name: String)(compute: => DataFrame): Long = {
+    val v = versions(name).lastOption.getOrElse(0L) + 1L
+    val df = compute
+    df.write.mode("overwrite").parquet(versionDir(name, v))
+    val persisted = spark.read.parquet(versionDir(name, v))
+    val rows = persisted.count()
+    val tmp = Paths.get(s"${versionDir(name, v)}/_VMANIFEST.tmp")
+    Files.writeString(tmp, s"""{"stage":"$name","version":$v,"rows":$rows}""")
+    Files.move(tmp, vManifest(name, v),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    swingHead(name, v)
+    v
+  }
+
+  /** Read a stage snapshot: HEAD when `version` is None (loud if no
+    * commit exists), else the named version (time travel). */
+  def readVersion(name: String, version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(name).getOrElse(
+      throw new IllegalStateException(
+        s"checkpoint stage '$name': no committed snapshot to read")))
+    require(isVersionCommitted(name, v),
+      s"checkpoint stage '$name': version $v is not a committed snapshot")
+    spark.read.parquet(versionDir(name, v))
+  }
+
+  /** Roll HEAD back to an earlier committed version — a pointer move,
+    * no data rewrite; later snapshots stay in the log. */
+  def rollback(name: String, version: Long): Unit = {
+    require(isVersionCommitted(name, version),
+      s"checkpoint stage '$name': cannot roll back to uncommitted version $version")
+    swingHead(name, version)
+  }
 }

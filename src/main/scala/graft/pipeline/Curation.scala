@@ -328,4 +328,68 @@ object Curation {
       .join(scored, Seq("doc_id"))
       .withColumn("bucket", ntile(buckets).over(w))
   }
+
+  /** Number of hashed-feature buckets for [[dsirSelect]]: the md5
+    * two-hex-char prefix space (the [[hashBucket]] family). */
+  val DsirBuckets = 256
+
+  /**
+   * DSIR data selection (Xie et al. 2023, "Data Selection for Language
+   * Models via Importance Resampling"): score every raw document by
+   * its hashed-n-gram importance weight against a TARGET distribution
+   * (here hashed unigrams — the paper's hashed-feature reduction with
+   * n = 1), keep the top `k`.
+   *
+   *   score(x) = Σ_tokens [ ln p̂_target(bucket) − ln p̂_raw(bucket) ]
+   *
+   * with +1-smoothed bucket counts over the 256-bucket md5-prefix
+   * space. Each per-bucket log-ratio is FIXED-POINT (floor(·1e6) as a
+   * long) so the per-document Σ is an integer sum — partition-order
+   * independent, no float-summation hash risk; the only floats are the
+   * 256 per-bucket `ln` evaluations, computed once and restated
+   * verbatim by the oracle (the q80 ln discipline).
+   *
+   * Scale shape: bucket counts are two map-side-combined 256-row
+   * aggregates (one corpus pass); the 256-entry log-ratio table is a
+   * driver-bounded collect folded into a MAP LITERAL, so scoring is a
+   * zero-shuffle map-side `aggregate` over each document's own tokens;
+   * selection is orderBy+limit — TakeOrdered, a map-side partial
+   * top-k, never a global sort materialization. At 100 TB: one scan
+   * for counts, one scan for scoring, k rows out.
+   *
+   * `target` marks the target subcorpus (a Column predicate over
+   * `docs`' columns, e.g. lang = 'en'); target ⊆ raw keeps every
+   * scored bucket present in the raw counts.
+   */
+  def dsirSelect(docs: DataFrame, target: Column, k: Int,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"dsirSelect: k=$k must be positive")
+    val b = DsirBuckets
+    val tokb = docs
+      .select(col("doc_id"), target.as("is_t"),
+        explode(split(col(textCol), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("is_t"), substring(md5(col("t")), 1, 2).as("bk"))
+    val counts = tokb.groupBy(col("bk")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    // ln term order matters for IEEE equality with the oracle:
+    // ((ln(ct+1) − ln(cr+1)) − ln(tt+B)) + ln(tr+B)
+    val totals = counts.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val lfp = counts.crossJoin(broadcast(totals))
+      .select(col("bk"),
+        floor((log(col("ct") + 1) - log(col("cr") + 1)
+          - log(col("tt") + b) + log(col("tr") + b)) * 1e6)
+          .cast("long").as("l_fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // ≤256 rows
+    val lmap = typedlit(lfp)
+    val toks = filter(split(col(textCol), " "), w => w =!= "")
+    docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        aggregate(toks, lit(0L),
+          (acc, t) => acc + element_at(lmap, substring(md5(t), 1, 2)))
+          .as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -236,4 +236,51 @@ class CurationSpec extends AnyFunSuite {
     assert(chunks.toSeq == Seq(
       "t1 t2 t3 t4 t5", "t6 t7 t8 t9 t10", "t11 t12 t13"))
   }
+
+  test("dsirSelect matches a naive driver-side reference and ranks target-like docs first") {
+    // target = lang 'en'; docs sharing the en vocabulary must outscore
+    // docs drawn from the disjoint de vocabulary
+    val rows = Seq(
+      (1L, "alpha beta gamma", "en"), (2L, "alpha beta beta", "en"),
+      (3L, "zug zwang blitz", "de"), (4L, "zug blitz blitz", "de"),
+      (5L, "alpha beta gamma alpha", "xx"), // en-like, unlabeled
+      (6L, "zug zwang zwang blitz", "xx"), // de-like, unlabeled
+      (7L, "", "xx"))
+    val d = rows.toDF("doc_id", "text", "lang")
+    val got = Curation.dsirSelect(d, col("lang") === "en", k = 7)
+      .as[(Long, Long, Long)].collect().toSeq
+
+    // naive reference: 256-bucket smoothed log-ratio, fixed-point
+    def bk(t: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2)
+    val toks = rows.flatMap { case (id, t, l) =>
+      t.split(" ").filter(_.nonEmpty).map(w => (id, bk(w), l == "en")) }
+    val cr = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ct = toks.filter(_._3).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val (tr, tt) = (toks.size.toLong, toks.count(_._3).toLong)
+    val lfp = cr.map { case (b, c) =>
+      b -> math.floor((math.log(ct.getOrElse(b, 0L) + 1) - math.log(c + 1)
+        - math.log(tt + 256.0) + math.log(tr + 256.0)) * 1e6).toLong }
+    val want = rows.map { case (id, t, _) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      (id, ws.length.toLong, ws.map(w => lfp(bk(w))).sum)
+    }.sortBy { case (id, _, s) => (-s, id) }
+    assert(got == want)
+    // en-vocab docs (1, 2, 5) all rank above every de-vocab doc (3, 4, 6)
+    val rank = got.map(_._1).zipWithIndex.toMap
+    for (hi <- Seq(1L, 2L, 5L); lo <- Seq(3L, 4L, 6L))
+      assert(rank(hi) < rank(lo), s"doc $hi should outrank doc $lo")
+  }
+
+  test("dsirSelect is partitioning-independent and k-truncates deterministically") {
+    val d = (0L until 400L).map { i =>
+      (i, if (i % 3 == 0) "aa bb cc" else "dd ee ff", if (i % 5 == 0) "en" else "xx")
+    }.toDF("doc_id", "text", "lang")
+    val a = Curation.dsirSelect(d, col("lang") === "en", k = 50)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = Curation.dsirSelect(d.repartition(17), col("lang") === "en", k = 50)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.size == 50)
+  }
 }

@@ -224,4 +224,51 @@ class ResilienceSpec extends AnyFunSuite {
       assert(rep.contains("\"stages\""))
     } finally m.close()
   }
+
+  test("snapshot versions: commit log, time travel, rollback, monotone reuse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-ver").toString
+    val cp = new Checkpoints(spark, dir)
+    assert(cp.versions("t") == Seq.empty && cp.currentVersion("t").isEmpty)
+    assert(cp.commitVersion("t") { spark.range(10).toDF() } == 1L)
+    assert(cp.commitVersion("t") { spark.range(20).toDF() } == 2L)
+    assert(cp.commitVersion("t") { spark.range(30).toDF() } == 3L)
+    assert(cp.versions("t") == Seq(1L, 2L, 3L))
+    assert(cp.currentVersion("t").contains(3L))
+    // HEAD read + time travel (history stays readable after new commits)
+    assert(cp.readVersion("t").count() == 30L)
+    assert(cp.readVersion("t", Some(1L)).count() == 10L)
+    assert(cp.readVersion("t", Some(2L)).count() == 20L)
+    // rollback = pointer move; the log keeps v3 readable
+    cp.rollback("t", 2L)
+    assert(cp.currentVersion("t").contains(2L))
+    assert(cp.readVersion("t").count() == 20L)
+    assert(cp.readVersion("t", Some(3L)).count() == 30L)
+    // committing after rollback allocates PAST the rolled-back version
+    assert(cp.commitVersion("t") { spark.range(40).toDF() } == 4L)
+    assert(cp.versions("t") == Seq(1L, 2L, 3L, 4L))
+    assert(cp.readVersion("t").count() == 40L)
+    // a fresh registry over the same dir sees the same log (restart)
+    val cp2 = new Checkpoints(spark, dir)
+    assert(cp2.currentVersion("t").contains(4L))
+    assert(cp2.readVersion("t", Some(1L)).count() == 10L)
+  }
+
+  test("snapshot versions: corrupt HEAD fails loudly; uncommitted rollback refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-verbad").toString
+    val cp = new Checkpoints(spark, dir)
+    cp.commitVersion("t") { spark.range(5).toDF() }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/t/_HEAD"), "garbage")
+    intercept[IllegalStateException] { cp.currentVersion("t") }
+    intercept[IllegalStateException] { cp.readVersion("t") }
+    // repair is an explicit rollback to a committed version
+    cp.rollback("t", 1L)
+    assert(cp.readVersion("t").count() == 5L)
+    intercept[IllegalArgumentException] { cp.rollback("t", 99L) }
+    // a torn _VMANIFEST drops that version from the committed log
+    val vm = java.nio.file.Paths.get(s"$dir/t/_versions/v00001/_VMANIFEST")
+    val full = java.nio.file.Files.readString(vm)
+    java.nio.file.Files.writeString(vm, full.take(full.length / 2))
+    assert(new Checkpoints(spark, dir).versions("t") == Seq.empty)
+  }
 }
