@@ -361,6 +361,46 @@ object SparkEntry {
        |WHERE t <> '' GROUP BY 1""".stripMargin
   }
 
+  /** DuckDB oracle for q116: Gonzalez greedy k-center unrolled — seed
+    * = min vec_id, each round the argmax of the running min cosine
+    * distance (vec_id tie-break), the exact engine arithmetic
+    * (1 − dot/(‖a‖·‖b‖), zero-norm at distance 1). */
+  private val kCenterOracleSql: String = {
+    val k = 6
+    def distSql(v: String, c: String): String =
+      s"""CASE WHEN $v.nn * (SELECT nn FROM $c) = 0 THEN 1.0
+         |   ELSE 1.0 - list_cosine_similarity($v.embedding::DOUBLE[],
+         |     (SELECT embedding FROM $c)::DOUBLE[]) END""".stripMargin
+    val head =
+      """WITH e AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v*v))) AS nn
+        | FROM embeddings),
+        |c1 AS (SELECT vec_id, embedding, nn FROM e ORDER BY vec_id LIMIT 1),
+        |d1 AS (
+        | SELECT v.vec_id, v.embedding, v.nn, """.stripMargin +
+        distSql("v", "c1") +
+        " AS d\n FROM e v WHERE v.vec_id <> (SELECT vec_id FROM c1))"
+    val rounds = (2 to k).map { i =>
+      val upd =
+        if (i == k) ""
+        else s""",
+           |d$i AS (
+           | SELECT v.vec_id, v.embedding, v.nn,
+           |  least(v.d, ${distSql("v", s"c$i")}) AS d
+           | FROM d${i - 1} v
+           | WHERE v.vec_id <> (SELECT vec_id FROM c$i))""".stripMargin
+      s"""c$i AS (SELECT vec_id, embedding, nn, d FROM d${i - 1}
+         | ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin + upd
+    }
+    val out = (s"""SELECT CAST(1 AS INT) AS sel_rank,
+       | (SELECT vec_id FROM c1) AS vec_id, 0.0 AS radius_r6""".stripMargin +:
+      (2 to k).map(i =>
+        s"SELECT CAST($i AS INT), vec_id, round(d, 6) + 0.0 FROM c$i"))
+      .mkString("\nUNION ALL\n")
+    (Seq(head) ++ rounds).mkString(",\n") + "\n" + out
+  }
+
   /** DuckDB oracle for q108: the seeded-hash walk unrolled step by
     * step — at step t the walk picks the out-neighbor minimizing
     * ('0x'||md5("w:start:t:dst")[1..15])::BIGINT (dst tie-break), the
@@ -1721,6 +1761,15 @@ object SparkEntry {
       Curation.dsirSelect(Tables.documents(s, d),
         target = col("lang") === "en", k = 300)),
 
+    "q116_kcenter_select" -> ((s, d) =>
+      // greedy k-center (Gonzalez 1985) DIVERSITY selection over the
+      // embedding corpus — the coreset complement to q115's
+      // importance selection: 6 centers, each round ONE map-side
+      // min-distance update vs the new center + a TakeOrdered(1)
+      // argmax; output is the non-increasing coverage-radius sequence
+      // (Similarity.kCenterSelect scaladoc)
+      Similarity.kCenterSelect(Tables.embeddings(s, d), k = 6)),
+
     "q88_ccnet_buckets" -> ((s, d) =>
       // CCNet head/middle/tail stratification: per-LANGUAGE terciles of
       // the unigram-LM score (rounded-then-ranked, doc_id tie-break, so
@@ -3052,6 +3101,8 @@ object SparkEntry {
          | CAST(coalesce(sc.score_fp, 0) AS BIGINT) AS score_fp
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY score_fp DESC, d.doc_id LIMIT 300""".stripMargin,
+
+    "q116_kcenter_select" -> kCenterOracleSql,
 
     "q78_source_prior" ->
       """WITH base AS (

@@ -969,4 +969,70 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /**
+   * Greedy k-center selection (Gonzalez 1985, the classic farthest-
+   * point 2-approximation) — the DIVERSITY-based data-selection
+   * complement to importance/quality selection ([[graft.pipeline
+   * .Curation]]'s DSIR): coreset-style pruning keeps the k most
+   * mutually-distant embeddings (Sener & Savarese 2018 use exactly
+   * this selector for active learning / data subset selection).
+   *
+   * Deterministic: the seed is the min-id vector; each round adds the
+   * point maximizing its current min cosine-DISTANCE to the selected
+   * set (ties by vec_id). Zero-norm vectors sit at distance 1 from
+   * everything (the cosine(=0) convention of [[cosine]]).
+   *
+   * Scale shape: the working relation carries (vec_id, embedding,
+   * norm, d) where d is the running min-distance — each round is ONE
+   * map-side update against the single new center (a broadcast-free
+   * array literal) plus a TakeOrdered(1) argmax (map-side partial
+   * top-1, no global sort); lineage is cut per round. k rounds = k
+   * corpus scans, the inherent cost of the greedy algorithm — never
+   * O(n·k) pairwise state, never a k-way shuffle.
+   *
+   * Returns (sel_rank, vec_id, radius_r6): radius is the point's
+   * min-distance at selection time — the k-center coverage radius
+   * sequence, non-increasing; the seed reports 0.0 by convention.
+   */
+  def kCenterSelect(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"kCenterSelect: k=$k must be positive")
+    val spark = emb.sparkSession
+    val base = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nn"))
+    val seed = base.orderBy(col("vec_id").asc).limit(1)
+      .collect().headOption.getOrElse(
+        throw new IllegalArgumentException("kCenterSelect: empty corpus"))
+    def distTo(cv: Column, cn: Column): Column =
+      when(col("nn") * cn === 0, lit(1.0))
+        .otherwise(lit(1.0) - dot(col("embedding"), cv) / (col("nn") * cn))
+    val sel = scala.collection.mutable.ArrayBuffer(
+      (1, seed.getLong(0), 0.0))
+    // selected ids are EXCLUDED from the candidate relation rather
+    // than relying on d(x,x)=0 — under the cosine convention a
+    // zero-norm vector is at distance 1 even from itself
+    var cur = base.filter(col("vec_id") =!= seed.getLong(0))
+      .withColumn("d",
+        distTo(typedlit(seed.getSeq[Float](1)), lit(seed.getDouble(2))))
+      .localCheckpoint()
+    var i = 2
+    while (i <= k) {
+      val top = cur.orderBy(col("d").desc, col("vec_id").asc).limit(1)
+        .collect().head // 1-row argmax read per round, bounded
+      sel += ((i, top.getLong(0), top.getDouble(3)))
+      if (i < k) {
+        cur = cur.filter(col("vec_id") =!= top.getLong(0))
+          .withColumn("d", least(col("d"),
+            distTo(typedlit(top.getSeq[Float](1)), lit(top.getDouble(2)))))
+          .localCheckpoint()
+      }
+      i += 1
+    }
+    spark.createDataFrame(sel.toSeq.map { case (r, id, d) =>
+      // HALF_UP like SQL round(); + 0.0 normalizes a -0.0 from a
+      // cos-slightly-over-1 ulp so both engines print the same zero
+      (r, id, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0)
+    }).toDF("sel_rank", "vec_id", "radius_r6")
+  }
 }

@@ -2207,4 +2207,62 @@ class PipelineSpec extends AnyFunSuite {
       assert(dist == local, s"trial $trial iters=$iters")
     }
   }
+
+  test("k-center selection matches a naive driver-side Gonzalez reference") {
+    val rnd = new scala.util.Random(71)
+    val corpus = (0 until 60).map { i =>
+      val c = i % 6
+      val base = Array.tabulate(16)(j => if (j % 6 == c) 1.0f else 0.0f)
+      (i.toLong, base.map(_ + rnd.nextGaussian().toFloat * 0.05f))
+    }
+    val got = Similarity.kCenterSelect(corpus.toDF("vec_id", "embedding"), k = 6)
+      .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+
+    // naive reference with the same double arithmetic
+    def distD(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      for (j <- a.indices) {
+        dp += a(j).toDouble * b(j); na += a(j).toDouble * a(j)
+        nb += b(j).toDouble * b(j)
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      if (nn == 0) 1.0 else 1.0 - dp / nn
+    }
+    var sel = Vector((1, 0L, 0.0))
+    var d = corpus.filter(_._1 != 0L)
+      .map { case (id, v) => id -> distD(v, corpus(0)._2) }.toMap
+    for (i <- 2 to 6) {
+      val (id, dd) = d.toSeq.minBy { case (id, dd) => (-dd, id) }
+      sel :+= ((i, id, dd))
+      val cv = corpus(id.toInt)._2
+      d = (d - id).map { case (x, dx) =>
+        x -> math.min(dx, distD(corpus(x.toInt)._2, cv)) }
+    }
+    val want = sel.map { case (r, id, dd) =>
+      (r, id, BigDecimal(dd).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0) }
+    assert(got == want)
+    // coverage radius is non-increasing after the seed, 6 distinct centers
+    assert(got.drop(1).map(_._3) == got.drop(1).map(_._3).sorted.reverse)
+    assert(got.map(_._2).distinct.size == 6)
+    // the greedy picks one center per planted cluster (6 clusters)
+    assert(got.map(_._2 % 6).toSet.size == 6)
+  }
+
+  test("k-center selection: zero vectors sit at distance 1; partitioning-independent") {
+    val rows = Seq(
+      (1L, Array.fill(8)(0.0f)), (2L, Array.tabulate(8)(j => if (j == 0) 1.0f else 0.0f)),
+      (3L, Array.tabulate(8)(j => if (j == 1) 1.0f else 0.0f)),
+      (4L, Array.tabulate(8)(j => if (j == 0) 1.0f else 0.0f)))
+    val a = Similarity.kCenterSelect(rows.toDF("vec_id", "embedding"), k = 3)
+      .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+    val b = Similarity.kCenterSelect(
+      rows.toDF("vec_id", "embedding").repartition(5), k = 3)
+      .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(a == b)
+    // seed = zero vector (min id) at radius 0; everything else is at
+    // distance 1 from it, ties by id -> vec 2; then the orthogonal 3
+    assert(a.map(x => (x._1, x._2)) == Seq((1, 1L), (2, 2L), (3, 3L)))
+    assert(a(1)._3 == 1.0)
+  }
 }
