@@ -147,6 +147,41 @@ object SparkEntry {
       s"\nSELECT node, round(rank, 8) AS rank_r8 FROM r$iters"
   }
 
+  /** DuckDB oracle for q117: HITS unrolled — 4 iterations of the
+    * L1-normalized half-steps as CTEs (h_t from a_{t-1}, a_t from
+    * h_t), the same IEEE expressions TopicGraph.hits uses; the
+    * normalizing totals are 1-row scalar subqueries. Every step CTE is
+    * MATERIALIZED — DuckDB inlines plain CTEs, and this 8-level chain
+    * references each level ~3× (join + scalar total), which inlining
+    * turns into a 3^8 evaluation blow-up. */
+  private val hitsOracleSql: String = {
+    val iters = 4
+    val head =
+      s"""WITH $aliasEdgesSql,
+         |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges)),
+         |a0 AS (SELECT node, 1.0::DOUBLE AS a FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""h${i}r AS MATERIALIZED (
+         |  SELECT e.src AS node, sum(p.a) AS s
+         |  FROM edges e JOIN a${i - 1} p ON e.dst = p.node GROUP BY 1),
+         |h$i AS MATERIALIZED (
+         |  SELECT nd.node, coalesce(r.s, 0.0) / (SELECT sum(s) FROM h${i}r) AS h
+         |  FROM nodes nd LEFT JOIN h${i}r r ON nd.node = r.node),
+         |a${i}r AS MATERIALIZED (
+         |  SELECT e.dst AS node, sum(p.h) AS s
+         |  FROM edges e JOIN h$i p ON e.src = p.node GROUP BY 1),
+         |a$i AS MATERIALIZED (
+         |  SELECT nd.node, coalesce(r.s, 0.0) / (SELECT sum(s) FROM a${i}r) AS a
+         |  FROM nodes nd LEFT JOIN a${i}r r ON nd.node = r.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT h$iters.node, round(h$iters.h, 8) AS hub_r8,
+         |  round(a$iters.a, 8) AS auth_r8
+         |FROM h$iters JOIN a$iters ON h$iters.node = a$iters.node""".stripMargin
+  }
+
   /** DuckDB oracle for q106: personalized PageRank unrolled like
     * [[pageRankOracleSql]], with the uniform teleport replaced by the
     * per-node seed mass m (1/|S| on the 3 lexicographically-smallest
@@ -1229,6 +1264,20 @@ object SparkEntry {
           col("rank"))
     }),
 
+    "q118_sim_sq8" -> ((s, d) => {
+      // SQ8-quantized ANN: per-dimension [min,max] snapped to 256
+      // uniform levels (the FAISS/Lucene int8 compression tier — 4×
+      // the scan IO reduction at near-exact recall), searched with the
+      // same broadcast brute force as the exact q43 path, so the two
+      // slots isolate exactly the quantizer's recall cost
+      val emb = Tables.embeddings(s, d)
+      val rec = Similarity.sq8Reconstruct(emb)
+      val probes = rec.filter(col("vec_id") % 50 === 0)
+      Similarity.bruteForceTopK(probes, rec, 5)
+        .select(col("probe_id"), col("cand_id"), round(col("cos"), 4).as("cos"),
+          col("rank"))
+    }),
+
     "q44_sim_lsh" -> ((s, d) => {
       // multi-band sign-LSH ANN: 4 independent hash tables (union of
       // bucket joins), bucket granularity AUTO-DERIVED from the corpus
@@ -1325,6 +1374,17 @@ object SparkEntry {
       // (localThreshold = 0) value-equal to it
       TopicGraph.pageRank(aliasEdges(s, d), iters = 5, damping = 0.85)
         .select(col("node"), round(col("rank"), 8).as("rank_r8"))),
+
+    "q117_hits" -> ((s, d) =>
+      // hub/authority split of the q75 importance prior (Kleinberg
+      // HITS, L1-normalized, fixed 4 iterations): authorities feed the
+      // disambiguation stage, hubs flag index/directory files. Same
+      // alias edge set, same adaptive driver fast path discipline;
+      // PipelineSpec pins the distributed loop (localThreshold = 0)
+      // value-equal
+      TopicGraph.hits(aliasEdges(s, d), iters = 4)
+        .select(col("node"), round(col("hub"), 8).as("hub_r8"),
+          round(col("auth"), 8).as("auth_r8"))),
 
     "q76_cooccur_pmi" -> ((s, d) => {
       // entity co-occurrence PMI — the relation-extraction signal
@@ -1770,6 +1830,29 @@ object SparkEntry {
       // (Similarity.kCenterSelect scaladoc)
       Similarity.kCenterSelect(Tables.embeddings(s, d), k = 6)),
 
+    "q120_weighted_sample" -> ((s, d) => {
+      // Efraimidis–Spirakis weighted sampling without replacement,
+      // length-weighted: key = ln(u)/w with a seeded 65536-grid md5
+      // uniform, top-200 keys = an exact prob-∝-weight draw. Plan is
+      // map-side scoring + TakeOrderedAndProject (k rows per task, no
+      // global sort)
+      val docs = Tables.documents(s, d)
+      Curation.weightedSample(docs, length(col("text")).cast("double"), k = 200)
+        .select(col("doc_id"), col("lang"), length(col("text")).as("w"))
+    }),
+
+    "q119_temperature_mix" -> ((s, d) => {
+      // temperature-scaled mixture (XLM/mT5 α-smoothing, α = 0.5 over
+      // languages): weights DERIVED from corpus counts (w ∝ n^α, the
+      // ascending-key left-fold normalizer), realized through the
+      // exact-N replica machinery — low-resource langs upsample with
+      // integer replicas + a seeded fractional extra. Output: the
+      // per-(lang, rep) mixture manifest
+      val docs = Tables.documents(s, d)
+      Curation.temperatureMixture(docs, "lang", alpha = 0.5, total = 1000)
+        .groupBy(col("lang"), col("rep")).agg(count(lit(1)).as("n_docs"))
+    }),
+
     "q88_ccnet_buckets" -> ((s, d) =>
       // CCNet head/middle/tail stratification: per-LANGUAGE terciles of
       // the unigram-LM score (rounded-then-ranked, doc_id tie-break, so
@@ -1821,6 +1904,24 @@ object SparkEntry {
         .select(col("p.src").as("src"), col("p.dst").as("dst"))
         .filter(col("src") =!= col("dst"))
       TopicGraph.triangles(edges)
+    }),
+
+    "q121_ktruss" -> ((s, d) => {
+      // 3-round 4-truss peel of the q81 token-adjacency graph: every
+      // surviving edge has >= 2 mutual neighbors after each round —
+      // the community-core filter one notch above q97's k-core
+      // (which keeps bridge edges between dense zones; the truss
+      // drops them). Adaptive driver fast path at this graph size;
+      // PipelineSpec pins the distributed loop value-equal
+      val docs = Tables.documents(s, d)
+      val pairs = zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("src"), b.as("dst")))
+      val edges = docs.select(explode(pairs).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      TopicGraph.kTrussPeel(edges, k = 4, rounds = 3)
     }),
 
     "q48_fingerprint" -> ((s, d) =>
@@ -2463,6 +2564,37 @@ object SparkEntry {
          |    ORDER BY cos DESC, cand_id ASC) AS rank
          | FROM scored) WHERE rank <= 5""".stripMargin,
 
+    "q118_sim_sq8" ->
+      // restates sq8Reconstruct verbatim: per-dim min/max, code =
+      // round((v−mn)·255/(mx−mn)) clamped [0,255] (round is HALF-UP /
+      // ties-away in both engines), decode mn + code·(mx−mn)/255,
+      // degenerate dim → mn; then the q43 brute-force top-5 over the
+      // reconstructed vectors
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |dims AS (
+         | SELECT vec_id, CAST(z[2] AS INT) AS i, CAST(z[1] AS DOUBLE) AS v
+         | FROM (SELECT vec_id,
+         |   unnest(list_zip(emb, generate_series(1, len(emb)))) AS z FROM e)),
+         |stats AS MATERIALIZED (
+         | SELECT i, min(v) AS mn, max(v) AS mx FROM dims GROUP BY 1),
+         |dec AS MATERIALIZED (
+         | SELECT d.vec_id, list(CASE WHEN s.mx = s.mn THEN s.mn
+         |   ELSE s.mn + least(greatest(
+         |     round((d.v - s.mn) * 255.0::DOUBLE / (s.mx - s.mn)),
+         |     0.0::DOUBLE), 255.0::DOUBLE) * (s.mx - s.mn) / 255.0::DOUBLE END
+         |   ORDER BY d.i) AS embedding
+         | FROM dims d JOIN stats s USING (i) GROUP BY 1),
+         |scored AS (
+         | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |  ${safeCosSql("p", "c")} AS cos
+         | FROM dec p JOIN dec c ON p.vec_id <> c.vec_id
+         | WHERE p.vec_id % 50 = 0)
+         |SELECT probe_id, cand_id, round(cos, 4) AS cos, rank FROM (
+         | SELECT probe_id, cand_id, cos,
+         |  row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos DESC, cand_id ASC) AS rank
+         | FROM scored) WHERE rank <= 5""".stripMargin,
+
     "q44_sim_lsh" ->
       (s"""WITH $signLshBkCte,
         |cand AS (
@@ -2601,6 +2733,8 @@ object SparkEntry {
         |FROM top t JOIN dwr d USING (doc_id) WHERE rk = 1""".stripMargin,
 
     "q75_pagerank" -> pageRankOracleSql,
+
+    "q117_hits" -> hitsOracleSql,
 
     "q76_cooccur_pmi" ->
       s"""WITH ds AS (
@@ -2771,6 +2905,45 @@ object SparkEntry {
         | FROM documents d JOIN parts p USING (source))
         |SELECT source, CAST(rep AS INT) AS rep, count(*) AS n_docs
         |FROM (SELECT source, unnest(range(0, ncopies)) AS rep
+        |      FROM docsx WHERE ncopies > 0)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q120_weighted_sample" ->
+      // restates weightedSample verbatim: u = (md5-h4 + 1)/65536 on
+      // DOUBLE, key = ln(u)/length(text), top-200 by key desc with
+      // doc_id tie-break
+      """SELECT doc_id, lang, length(text) AS w
+        |FROM documents
+        |WHERE length(text)::DOUBLE > 0.0::DOUBLE
+        |ORDER BY ln((CAST('0x' || substring(md5('ws:' || doc_id::VARCHAR), 1, 4)
+        |    AS INT) + 1)::DOUBLE / 65536.0::DOUBLE)
+        |  / length(text)::DOUBLE DESC, doc_id ASC
+        |LIMIT 200""".stripMargin,
+
+    "q119_temperature_mix" ->
+      // restates temperatureMixture verbatim: z = ordered list_sum of
+      // pow(n, 0.5) over langs (the engine's ascending-key left fold —
+      // bitwise-equal, verified), rate = (1000·(pow/z))/n in the exact
+      // IEEE order, then q111's whole/thr/md5 replica machinery
+      """WITH cnt AS MATERIALIZED (
+        |  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+        |zz AS (SELECT list_sum(list(pow(n::DOUBLE, 0.5::DOUBLE)
+        |         ORDER BY lang)) AS z FROM cnt),
+        |rates AS (
+        | SELECT lang, (1000.0::DOUBLE * (pow(n::DOUBLE, 0.5::DOUBLE)
+        |   / (SELECT z FROM zz))) / n::DOUBLE AS rate
+        | FROM cnt),
+        |parts AS (
+        | SELECT lang, CAST(floor(rate) AS INT) AS whole,
+        |  CAST(floor((rate - floor(rate)) * 65536.0::DOUBLE) AS BIGINT) AS thr
+        | FROM rates),
+        |docsx AS (
+        | SELECT d.lang, p.whole + CASE
+        |   WHEN CAST('0x' || substring(md5('mix:' || d.doc_id::VARCHAR), 1, 4) AS INT)
+        |     < p.thr THEN 1 ELSE 0 END AS ncopies
+        | FROM documents d JOIN parts p USING (lang))
+        |SELECT lang, CAST(rep AS INT) AS rep, count(*) AS n_docs
+        |FROM (SELECT lang, unnest(range(0, ncopies)) AS rep
         |      FROM docsx WHERE ncopies > 0)
         |GROUP BY 1, 2""".stripMargin,
 
@@ -3338,6 +3511,38 @@ object SparkEntry {
         |  UNION ALL SELECT b FROM t
         |  UNION ALL SELECT c FROM t)
         |SELECT node, count(*) AS n_tri FROM n GROUP BY node""".stripMargin,
+
+    "q121_ktruss" ->
+      // restates kTrussPeel verbatim: 3 unrolled peel rounds, support
+      // per edge = common-neighbor count via the doubled adjacency
+      // join, HAVING >= k-2 = 2 (absent edges have support 0 and
+      // drop); MATERIALIZED against DuckDB CTE inlining
+      """WITH raw AS (
+        |  SELECT z[1] AS src, z[2] AS dst
+        |  FROM (SELECT unnest(list_zip(toks[1:length(toks)-1], toks[2:length(toks)])) AS z
+        |        FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+        |  WHERE z[1] <> z[2]),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM raw),
+        |a0 AS MATERIALIZED (
+        |  SELECT u AS x, v AS y FROM e0 UNION ALL SELECT v AS x, u AS y FROM e0),
+        |e1 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e0 e
+        |  JOIN a0 a ON a.x = e.u JOIN a0 b ON b.x = e.v AND a.y = b.y
+        |  GROUP BY e.u, e.v HAVING count(*) >= 2),
+        |a1 AS MATERIALIZED (
+        |  SELECT u AS x, v AS y FROM e1 UNION ALL SELECT v AS x, u AS y FROM e1),
+        |e2 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e1 e
+        |  JOIN a1 a ON a.x = e.u JOIN a1 b ON b.x = e.v AND a.y = b.y
+        |  GROUP BY e.u, e.v HAVING count(*) >= 2),
+        |a2 AS MATERIALIZED (
+        |  SELECT u AS x, v AS y FROM e2 UNION ALL SELECT v AS x, u AS y FROM e2),
+        |e3 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e2 e
+        |  JOIN a2 a ON a.x = e.u JOIN a2 b ON b.x = e.v AND a.y = b.y
+        |  GROUP BY e.u, e.v HAVING count(*) >= 2)
+        |SELECT u, v FROM e3""".stripMargin,
 
     "q48_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,

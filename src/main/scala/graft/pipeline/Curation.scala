@@ -87,13 +87,17 @@ object Curation {
    * on other documents (map-side after the #sources-row broadcast).
    * With `targetN = None` the output is the downsample-only maximum
    * (N = min_s n_s/w_s, no rep column — no row is ever repeated).
+   *
+   * `keyCol` selects the mixture key (default the `source` column —
+   * any metadata-cardinality string column works, e.g. `lang`).
    */
   def mixtureSample(docs: DataFrame, weights: Map[String, Double],
-      seed: String = "mix:", targetN: Option[Long] = None): DataFrame = {
+      seed: String = "mix:", targetN: Option[Long] = None,
+      keyCol: String = "source"): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0.0),
       "mixtureSample: weights must be positive")
     require(targetN.forall(_ > 0), s"mixtureSample: targetN must be positive")
-    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val counts = docs.groupBy(col(keyCol).as("source")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = weights.filter { case (s, _) => counts.contains(s) }
     require(present.nonEmpty,
@@ -111,11 +115,11 @@ object Curation {
         val thr = spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1),
           org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StructField(keyCol,
               org.apache.spark.sql.types.StringType, nullable = false),
             org.apache.spark.sql.types.StructField("thr",
               org.apache.spark.sql.types.LongType, nullable = false))))
-        docs.join(broadcast(thr), Seq("source"))
+        docs.join(broadcast(thr), Seq(keyCol))
           .filter(h4 < col("thr"))
           .drop("thr")
       case Some(n) =>
@@ -132,13 +136,13 @@ object Curation {
         val parts = spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1),
           org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StructField(keyCol,
               org.apache.spark.sql.types.StringType, nullable = false),
             org.apache.spark.sql.types.StructField("whole",
               org.apache.spark.sql.types.IntegerType, nullable = false),
             org.apache.spark.sql.types.StructField("thr",
               org.apache.spark.sql.types.LongType, nullable = false))))
-        docs.join(broadcast(parts), Seq("source"))
+        docs.join(broadcast(parts), Seq(keyCol))
           .withColumn("_ncopies",
             col("whole") + when(h4 < col("thr"), 1).otherwise(0))
           // sequence() steps DOWNWARD for a negative span — filter the
@@ -147,6 +151,71 @@ object Curation {
           .withColumn("rep", explode(sequence(lit(0), col("_ncopies") - 1)))
           .drop("whole", "thr", "_ncopies")
     }
+  }
+
+  /**
+   * Temperature-scaled mixture sampling — the multilingual α-smoothing
+   * recipe (XLM, mBERT, mT5: sample language/source s with probability
+   * ∝ n_s^α): α = 1 keeps natural proportions, α → 0 approaches
+   * uniform, the standard 0.3–0.7 band boosts low-resource keys
+   * without drowning the head. Weights are DERIVED from the corpus
+   * (w_s = n_s^α / Σ_t n_t^α over the per-key counts — the same
+   * metadata-sized driver aggregate [[mixtureSample]] already takes)
+   * and realized by [[mixtureSample]]'s exact-N replica machinery, so
+   * rare keys upsample with integer replicas + one seeded fractional
+   * extra and the whole draw is engine/cluster-size reproducible.
+   *
+   * The normalizer Σ_t n_t^α is a LEFT FOLD over keys in ascending
+   * key order — pinned so the DuckDB oracle (an ordered list_sum) and
+   * any re-implementation reproduce the identical IEEE double.
+   */
+  def temperatureMixture(docs: DataFrame, keyCol: String, alpha: Double,
+      total: Long, seed: String = "mix:"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperatureMixture: alpha=$alpha outside (0, 1]")
+    require(total > 0, s"temperatureMixture: total=$total must be positive")
+    val counts = docs.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureMixture: empty corpus")
+    val pow = counts.toSeq.sortBy(_._1)
+      .map { case (k, n) => k -> math.pow(n.toDouble, alpha) }
+    val z = pow.map(_._2).foldLeft(0.0)(_ + _)
+    val weights = pow.map { case (k, p) => k -> p / z }.toMap
+    mixtureSample(docs, weights, seed, Some(total), keyCol)
+  }
+
+  /**
+   * Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+   * Spirakis 2006, the A-ES / exponential-clocks scheme): document i
+   * draws u_i uniform from a seeded md5 on the 65536-grid
+   * (u = (h4+1)/65536 ∈ (0,1]) and gets key ln(u_i)/w_i; the k
+   * LARGEST keys are distributed exactly as a sequential
+   * probability-∝-weight draw without replacement (keys are
+   * -Exp(w_i) clocks — the classic proof). The pretraining use:
+   * quality- or length-weighted corpus subsetting where the fixed-rate
+   * mixture/stratified samplers can't express per-document weights.
+   *
+   * Deterministic and engine/cluster-size independent: the draw is a
+   * pure function of (seed, doc_id, weight). Documents with
+   * non-positive weight are excluded (zero probability).
+   *
+   * Scale shape: scoring is one map-side codegen pass (no UDF, no
+   * shuffle); selection is TakeOrderedAndProject — each task ships at
+   * most k rows, so a 100 TB corpus moves k rows per partition and
+   * never sorts globally. Ties (same key) break by doc_id.
+   */
+  def weightedSample(docs: DataFrame, weight: Column, k: Int,
+      seed: String = "ws:"): DataFrame = {
+    require(k >= 1, s"weightedSample: k=$k must be positive")
+    val h4 = conv(substring(md5(concat(lit(seed), col("doc_id").cast("string"))),
+      1, 4), 16, 10).cast("long")
+    val key = log((h4 + lit(1)).cast("double") / lit(65536.0)) /
+      weight.cast("double")
+    docs.filter(weight.cast("double") > 0.0)
+      .withColumn("es_key", key)
+      .orderBy(col("es_key").desc, col("doc_id").asc)
+      .limit(k)
+      .drop("es_key")
   }
 
   /**

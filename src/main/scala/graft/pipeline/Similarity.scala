@@ -1035,4 +1035,49 @@ object Similarity {
         .toDouble + 0.0)
     }).toDF("sel_rank", "vec_id", "radius_r6")
   }
+
+  /**
+   * SQ8 scalar quantization round-trip: per-dimension global [min,max]
+   * over the corpus, each coordinate snapped to the nearest of 256
+   * uniform levels — code = round(255·(v−mn)/(mx−mn)) clamped to
+   * [0,255], reconstructed as mn + code·(mx−mn)/255 (a degenerate
+   * constant dimension reconstructs exactly). This is the standard
+   * vector-store compression tier (FAISS `SQ8`, Lucene/Elasticsearch
+   * int8 HNSW): 4× the footprint reduction of float32 with near-exact
+   * recall, sitting BETWEEN the exact float path (q43) and the lossy
+   * PQ tier ([[pqTopK]] — 32× but codebook-trained).
+   *
+   * Scale shape: the stats pass is one partial aggregation bounded by
+   * the embedding dimensionality (a dims-row driver read, like the PQ
+   * codebook reads); encode/decode is a single codegen'd map-side
+   * `transform` against two broadcast-literal arrays — no shuffle. At
+   * warehouse scale the int8 codes + the (mn, mx) manifest are what
+   * you'd persist and scan (4 bytes → 1 byte per coordinate of scan
+   * IO); the reconstruction here feeds the same broadcast brute-force
+   * search as the exact path, so recall loss comes ONLY from the
+   * quantizer, never the search.
+   *
+   * Returns (vec_id, embedding) with the reconstructed double vector.
+   * Deterministic: round is HALF_UP — ties away from zero, exactly
+   * DuckDB's round(DOUBLE), so the oracle restates the arithmetic
+   * verbatim.
+   */
+  def sq8Reconstruct(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val stats = e.select(posexplode(col("emb")).as(Seq("i", "v")))
+      .groupBy(col("i")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("i")).collect() // bounded by the embedding dimension
+    require(stats.nonEmpty, "sq8Reconstruct: empty corpus")
+    val mn = stats.map(_.getDouble(1)).toSeq
+    val mx = stats.map(_.getDouble(2)).toSeq
+    e.select(col("vec_id"),
+      transform(col("emb"), (v, i) => {
+        val m = get(typedlit(mn), i)
+        val x = get(typedlit(mx), i)
+        when(x === m, m).otherwise(
+          m + least(greatest(round((v - m) * lit(255.0) / (x - m)),
+            lit(0.0)), lit(255.0)) * (x - m) / lit(255.0))
+      }).as("embedding"))
+  }
 }

@@ -1352,4 +1352,262 @@ object TopicGraph {
         org.apache.spark.sql.types.StructField("node", nodeType),
         org.apache.spark.sql.types.StructField("community", nodeType))))
   }
+
+  /**
+   * HITS hubs & authorities (Kleinberg 1999, JACM 46(5)) — the
+   * link-analysis complement to [[pageRank]]'s single importance
+   * score: a hub score (points AT good authorities) and an authority
+   * score (pointed at BY good hubs), mutually reinforcing. In the KG
+   * pipeline the split matters where PageRank conflates: a directory/
+   * index file is a hub (links everywhere, rarely linked), a core
+   * API entity is an authority — the disambiguation stage wants the
+   * authority signal, the crawl-frontier/boilerplate stage the hub
+   * signal.
+   *
+   * Fixed `iters` synchronous iterations, L1 normalization after each
+   * half-step (divide by the total — sqrt-free, so the DuckDB oracle
+   * restates the exact arithmetic): h ← normalize(Σ_{u→v} a(v)),
+   * then a ← normalize(Σ_{u→v} h(u)), from a ≡ 1. Edges are taken as
+   * a multiset (no dedup), matching [[pageRank]].
+   *
+   * Scale shape mirrors [[pageRank]]: each half-step is one edge-vs-
+   * score equi-join + groupBy (partial aggregation map-side), the
+   * 1-row normalization aggregate rides broadcast (never the driver),
+   * shuffle partitions adapted to edge count, every-4th-iteration
+   * localCheckpoint, driver fast path below `localThreshold` edges
+   * with the distributed loop spec-pinned value-equal.
+   *
+   * Output: (node, hub, auth) for every node of the edge relation;
+   * both columns sum to 1.
+   */
+  def hits(edges: DataFrame, iters: Int = 4,
+      localThreshold: Long = 4000000L): DataFrame = {
+    require(iters >= 1, s"hits: iters=$iters must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sess = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).persist(lvl)
+    requireOneIdType("hits", e)
+    val nEdges = e.count()
+    require(nEdges > 0, "hits: empty edge relation")
+    if (nEdges <= localThreshold) {
+      val out = hitsLocal(e, iters)
+      e.unpersist(false)
+      return out
+    }
+    val parts = math.max(1, math.min(
+      sess.sparkContext.defaultParallelism, (nEdges / 50000L).toInt))
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct().persist(lvl)
+      var auth = nodes.withColumn("auth", lit(1.0)).persist(lvl)
+      auth.count()
+      var hub: DataFrame = null
+      var it = 0
+      while (it < iters) {
+        val hRaw = e
+          .join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hs"))
+        val hTot = hRaw.agg(sum(col("hs")).as("ht"))
+        val newHub = nodes.join(hRaw, Seq("node"), "left_outer")
+          .crossJoin(broadcast(hTot))
+          .select(col("node"),
+            (coalesce(col("hs"), lit(0.0)) / col("ht")).as("hub"))
+          .persist(lvl)
+        val aRaw = e
+          .join(newHub.select(col("node").as("src"), col("hub")), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("as_"))
+        val aTot = aRaw.agg(sum(col("as_")).as("at"))
+        val stepped = nodes.join(aRaw, Seq("node"), "left_outer")
+          .crossJoin(broadcast(aTot))
+          .select(col("node"),
+            (coalesce(col("as_"), lit(0.0)) / col("at")).as("auth"))
+          .persist(lvl)
+        it += 1
+        // cut auth's lineage periodically; hub re-derives from the
+        // (checkpointed) auth chain, so its own lineage stays shallow
+        val next = if (it % 4 == 0) stepped.localCheckpoint(true) else stepped
+        next.count()
+        newHub.count()
+        auth.unpersist(false)
+        if (hub != null) hub.unpersist(false)
+        hub = newHub
+        auth = if (next ne stepped) { stepped.unpersist(false); next } else next
+      }
+      val out = hub.join(auth, Seq("node"))
+        .select(col("node"), col("hub"), col("auth")).localCheckpoint(true)
+      hub.unpersist(false)
+      auth.unpersist(false)
+      nodes.unpersist(false)
+      e.unpersist(false)
+      out
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /**
+   * Bounded k-truss peel (Cohen 2008): `rounds` synchronous rounds of
+   * "drop every edge supporting fewer than k−2 triangles", over the
+   * canonical undirected simple graph (least/greatest, self-loops and
+   * duplicates removed). A converged round removes nothing, so the
+   * output equals the TRUE k-truss whenever peeling converges within
+   * `rounds` (spec-pinned against a driver reference); the exported
+   * semantics stays the fixed, engine-independent "r-round peel" that
+   * the DuckDB oracle unrolls — deterministic at any scale. KG use:
+   * one notch stronger than k-core as a community-core filter — an
+   * edge survives only with k−2 mutual neighbors, so the bridge/hub
+   * noise edges k-core keeps peel away here.
+   *
+   * Each round enumerates triangles ONCE with the same degree-ordered
+   * compact-forward orientation as [[triangles]] (wedge fan-out
+   * Σ outdeg² ≤ O(m^1.5) — never a naive adjacency join on a hub),
+   * explodes each triangle to its 3 canonical edges, counts support
+   * per edge (map-side partial agg), and inner-joins the counts back
+   * (zero-support edges are simply absent — dropped, as k ≥ 3
+   * requires). Per-round localCheckpoint cuts lineage; early exit when
+   * the edge count stops shrinking. Driver fast path below
+   * `localThreshold` edges, spec-pinned equal at localThreshold = 0.
+   */
+  def kTrussPeel(edges: DataFrame, k: Int, rounds: Int,
+      localThreshold: Long = 4000000L): DataFrame = {
+    require(k >= 3, s"kTrussPeel: k=$k must be >= 3")
+    require(rounds >= 1, s"kTrussPeel: rounds=$rounds must be >= 1")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    var cur = und.localCheckpoint(true)
+    var n = cur.count()
+    if (n <= localThreshold) return kTrussLocal(cur, k, rounds)
+    var r = 0
+    var done = n == 0
+    while (r < rounds && !done) {
+      val sup = triangleEdgeSupport(cur)
+      val next = cur.join(sup, Seq("u", "v"))
+        .filter(col("sup") >= k - 2)
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val m = next.count()
+      done = m == n || m == 0
+      n = m
+      cur = next
+      r += 1
+    }
+    cur
+  }
+
+  /** Per-edge triangle support of a canonical undirected relation
+    * (u < v, distinct): the [[triangles]] compact-forward enumeration,
+    * each triangle exploded to its 3 canonical edges and counted.
+    * Returns (u, v, sup) for edges in >= 1 triangle, checkpointed. */
+  private def triangleEdgeSupport(und: DataFrame): DataFrame = {
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val orient = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("a"),
+      when(uFirst, col("v")).otherwise(col("u")).as("b"),
+      when(uFirst, struct(col("dv").as("kd"), col("v").as("kn")))
+        .otherwise(struct(col("du").as("kd"), col("u").as("kn"))).as("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = orient.as("e1")
+      .join(orient.as("e2"), col("e1.a") === col("e2.a") &&
+        col("e1.bkey") < col("e2.bkey"))
+      .select(col("e1.a").as("ta"), col("e1.b").as("tb"), col("e2.b").as("tc"))
+    val tri = wedges.join(
+      orient.select(col("a").as("tb"), col("b").as("tc")), Seq("tb", "tc"))
+    val sup = tri.select(explode(array(
+        struct(least(col("ta"), col("tb")).as("u"),
+          greatest(col("ta"), col("tb")).as("v")),
+        struct(least(col("ta"), col("tc")).as("u"),
+          greatest(col("ta"), col("tc")).as("v")),
+        struct(least(col("tb"), col("tc")).as("u"),
+          greatest(col("tb"), col("tc")).as("v")))).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+      .localCheckpoint(true)
+    orient.unpersist(false)
+    sup
+  }
+
+  /** Driver-side k-truss peel twin — same canonical (u, v) schema and
+    * round semantics as the distributed loop. */
+  private def kTrussLocal(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = und.sparkSession
+    var es = und.collect().map(r => (r.get(0), r.get(1))).toSet
+    var r = 0
+    var done = es.isEmpty
+    while (r < rounds && !done) {
+      val adj = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.HashSet[Any]]
+      es.foreach { case (u, v) =>
+        adj.getOrElseUpdate(u, scala.collection.mutable.HashSet.empty) += v
+        adj.getOrElseUpdate(v, scala.collection.mutable.HashSet.empty) += u
+      }
+      val next = es.filter { case (u, v) =>
+        val (su, sv) = (adj(u), adj(v))
+        val (small, big) = if (su.size <= sv.size) (su, sv) else (sv, su)
+        small.count(big.contains) >= k - 2
+      }
+      done = next.size == es.size || next.isEmpty
+      es = next
+      r += 1
+    }
+    val tpe = und.schema.fields(0).dataType
+    val rows = es.toVector.map { case (u, v) =>
+      org.apache.spark.sql.Row(u, v)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("u", tpe),
+        org.apache.spark.sql.types.StructField("v", tpe))))
+  }
+
+  /** Driver-side HITS twin — same math, same (node, hub, auth) schema
+    * as the distributed loop. */
+  private def hitsLocal(e: DataFrame, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect()
+    val nodeSet = scala.collection.mutable.LinkedHashSet.empty[Any]
+    val edgeList = rows.map { r =>
+      val (s, d) = (r.get(0), r.get(1))
+      nodeSet += s; nodeSet += d
+      (s, d)
+    }
+    val nodes = nodeSet.toVector
+    var auth = nodes.map(nd => nd -> 1.0).toMap
+    var hub = Map.empty[Any, Double]
+    var it = 0
+    while (it < iters) {
+      val hRaw = scala.collection.mutable.HashMap.empty[Any, Double]
+        .withDefaultValue(0.0)
+      edgeList.foreach { case (s, d) => hRaw(s) += auth(d) }
+      val ht = hRaw.values.sum
+      hub = nodes.map(nd => nd -> hRaw(nd) / ht).toMap
+      val aRaw = scala.collection.mutable.HashMap.empty[Any, Double]
+        .withDefaultValue(0.0)
+      edgeList.foreach { case (s, d) => aRaw(d) += hub(s) }
+      val at = aRaw.values.sum
+      auth = nodes.map(nd => nd -> aRaw(nd) / at).toMap
+      it += 1
+    }
+    val nodeType = e.schema.fields(0).dataType
+    val out = nodes.map(nd =>
+      org.apache.spark.sql.Row(nd, hub(nd), auth(nd)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("hub",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("auth",
+          org.apache.spark.sql.types.DoubleType))))
+  }
 }

@@ -157,6 +157,82 @@ class CurationSpec extends AnyFunSuite {
     assert(!Curation.mixtureSample(d, w).columns.contains("rep"))
   }
 
+  test("temperature mixture: alpha flattens proportions, key column honored, guards") {
+    // heavily skewed 2-key corpus: 6400 "big" vs 100 "small"
+    val d = spark.range(6500).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") < 6400, "big").otherwise("small"))
+      .withColumn("source", lit("s"))
+    def share(alpha: Double): Double = {
+      val out = Curation.temperatureMixture(d, "lang", alpha, total = 2000L)
+      val m = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+      m("small").toDouble / (m("small") + m("big"))
+    }
+    // natural share of "small" is 100/6500 ≈ 1.5%; alpha = 1 keeps it,
+    // alpha = 0.5 lifts toward sqrt proportions 10/(80+10) ≈ 11%
+    val s1 = share(1.0)
+    val s05 = share(0.5)
+    assert(math.abs(s1 - 100.0 / 6500) < 0.01, s"alpha=1 share $s1")
+    assert(math.abs(s05 - 10.0 / 90) < 0.02, s"alpha=0.5 share $s05")
+    assert(s05 > 2 * s1)
+    // total size tracks the requested N for both temperatures
+    val n05 = Curation.temperatureMixture(d, "lang", 0.5, 2000L).count()
+    assert(math.abs(n05 - 2000L) <= 100, s"n=$n05")
+    // keyed on a non-source column: the source column passes through
+    val cols = Curation.temperatureMixture(d, "lang", 0.5, 2000L).columns
+    assert(cols.contains("source") && cols.contains("rep"))
+    // determinism under repartition
+    val a = Curation.temperatureMixture(d, "lang", 0.5, 2000L)
+      .select("doc_id", "rep").as[(Long, Int)].collect().toSet
+    val b = Curation.temperatureMixture(d.repartition(13), "lang", 0.5, 2000L)
+      .select("doc_id", "rep").as[(Long, Int)].collect().toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Curation.temperatureMixture(d, "lang", 0.0, 2000L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.temperatureMixture(d, "lang", 1.5, 2000L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.temperatureMixture(d, "lang", 0.5, 0L)
+    }
+  }
+
+  test("weighted sample: prob tracks weight, matches driver reference, guards") {
+    // 500 light docs (w=1) + 100 heavy docs (w=50)
+    val d = spark.range(600).toDF("doc_id")
+      .withColumn("w", when(col("doc_id") < 500, 1.0).otherwise(50.0))
+    val got = Curation.weightedSample(d, col("w"), k = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.size == 100)
+    // driver reference with the same formula
+    def h4(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ws:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(2).map(b => f"$b%02x").mkString, 16)
+    }
+    val want = (0L until 600L)
+      .map { id =>
+        val w = if (id < 500) 1.0 else 50.0
+        (id, math.log((h4(id) + 1).toDouble / 65536.0) / w)
+      }
+      .sortBy { case (id, key) => (-key, id) }.take(100).map(_._1).toSet
+    assert(got == want)
+    // heavy docs (1/6 of corpus, 10x total weight mass) dominate the draw
+    val nHeavy = got.count(_ >= 500L)
+    assert(nHeavy > 60, s"heavy selected: $nHeavy/100")
+    // without replacement: k > positive-weight population returns all of it
+    val zeroed = d.withColumn("w",
+      when(col("doc_id") < 590, 0.0).otherwise(col("w")))
+    assert(Curation.weightedSample(zeroed, col("w"), k = 100).count() == 10)
+    // partitioning-independent
+    val again = Curation.weightedSample(d.repartition(11), col("w"), k = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      Curation.weightedSample(d, col("w"), k = 0)
+    }
+  }
+
   test("stratified sample: exactly k per stratum, key-deterministic, partitioning-independent") {
     val d = spark.range(997).toDF("doc_id")
       .withColumn("lang", (col("doc_id") % 3).cast("string"))

@@ -2249,6 +2249,144 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._2 % 6).toSet.size == 6)
   }
 
+  test("k-truss peel: cores survive, bridges/pendants peel, cascade, both paths equal") {
+    // two K4 cliques + a bridge edge + a pendant triangle: the 4-truss
+    // is exactly the two K4s (every K4 edge has 2 mutual neighbors;
+    // the bridge has 0, the pendant-triangle edges at most 1)
+    val k4a = for { i <- 0 to 3; j <- (i + 1) to 3 } yield (s"a$i", s"a$j")
+    val k4b = for { i <- 0 to 3; j <- (i + 1) to 3 } yield (s"b$i", s"b$j")
+    val noise = Seq(("a0", "b0"), ("a0", "p1"), ("a1", "p1"))
+    val edges = (k4a ++ k4b ++ noise).toDF("src", "dst")
+    val out = TopicGraph.kTrussPeel(edges, k = 4, rounds = 3)
+      .as[(String, String)].collect().toSet
+    assert(out == (k4a ++ k4b).toSet)
+    val dist = TopicGraph.kTrussPeel(edges, k = 4, rounds = 3,
+      localThreshold = 0).as[(String, String)].collect().toSet
+    assert(dist == out)
+    // k-core contrast: the whole pendant triangle survives a 2-core
+    // but not the 3-truss... and a 3-truss keeps any triangle — the
+    // bridge edge alone distinguishes: in NO triangle, gone at k=3
+    val t3 = TopicGraph.kTrussPeel(edges, k = 3, rounds = 1)
+      .as[(String, String)].collect().toSet
+    assert(!t3.contains(("a0", "b0")) && t3.contains(("a0", "p1")))
+    // triangle strip: peeling CASCADES — boundary triangles unravel
+    // one layer per round until nothing is left
+    val strip = (0 to 3).flatMap(i =>
+      Seq((s"v$i", s"v${i + 1}"), (s"v${i + 1}", s"v${i + 2}"),
+        (s"v$i", s"v${i + 2}"))).distinct.toDF("src", "dst")
+    val r1 = TopicGraph.kTrussPeel(strip, k = 4, rounds = 1).count()
+    val r9 = TopicGraph.kTrussPeel(strip, k = 4, rounds = 9).count()
+    assert(r1 > 0 && r9 == 0, s"strip: r1=$r1 r9=$r9")
+    val r1d = TopicGraph.kTrussPeel(strip, k = 4, rounds = 1,
+      localThreshold = 0).count()
+    assert(r1d == r1)
+    // long ids work; canonicalization dedups direction + self-loops
+    val lk4 = (for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j))
+    val lEdges = (lk4 ++ lk4.map(_.swap) ++ Seq((2L, 2L))).toDF("src", "dst")
+    assert(TopicGraph.kTrussPeel(lEdges, k = 4, rounds = 2)
+      .as[(Long, Long)].collect().toSet == lk4.toSet)
+    intercept[IllegalArgumentException] {
+      TopicGraph.kTrussPeel(edges, k = 2, rounds = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TopicGraph.kTrussPeel(edges, k = 4, rounds = 0)
+    }
+  }
+
+  test("sq8 reconstruct: half-step error bound, constant dims exact, search recall") {
+    val rnd = new scala.util.Random(83)
+    val corpus = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      // planted clusters + a CONSTANT dim (idx 8) + a wide-range dim
+      val v = Array.tabulate(10) { j =>
+        if (j == 8) 2.5f
+        else if (j == 9) (i.toFloat - 100f) // range ~[-100, 100)
+        else if (j % 4 == c) 1.0f + rnd.nextGaussian().toFloat * 0.05f
+        else rnd.nextGaussian().toFloat * 0.05f
+      }
+      (i, v)
+    }
+    val df = corpus.toDF("vec_id", "embedding")
+    val rec = Similarity.sq8Reconstruct(df)
+      .as[(Long, Array[Double])].collect().toMap
+    // per-dim error <= half a quantization step; constant dim exact
+    val byDim = Array.tabulate(10)(j => corpus.map(_._2(j).toDouble))
+    for (j <- 0 until 10) {
+      val (mn, mx) = (byDim(j).min, byDim(j).max)
+      val step = if (mx == mn) 0.0 else (mx - mn) / 255.0
+      corpus.foreach { case (id, v) =>
+        val err = math.abs(rec(id)(j) - v(j))
+        assert(err <= step / 2 + 1e-12, s"dim $j id $id err $err step $step")
+      }
+    }
+    assert(corpus.forall { case (id, _) => rec(id)(8) == 2.5 })
+    // quantized top-1 matches the exact float top-1 on separated
+    // clusters for every probe (the quantizer must not break recall)
+    val recDf = Similarity.sq8Reconstruct(df)
+    val probes = recDf.filter(col("vec_id") % 40 === 0)
+    val top1q = Similarity.bruteForceTopK(probes, recDf, 1)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toMap
+    val top1e = Similarity.bruteForceTopK(
+        df.filter(col("vec_id") % 40 === 0), df, 1)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toMap
+    assert(top1q.keySet == top1e.keySet)
+    val agree = top1q.count { case (p, c) => top1e(p) == c }
+    assert(agree >= top1q.size - 1, s"top-1 agreement $agree/${top1q.size}")
+    // partitioning-independent (stats pass is a global aggregate)
+    val rec2 = Similarity.sq8Reconstruct(df.repartition(7))
+      .as[(Long, Array[Double])].collect().toMap
+    assert(corpus.forall { case (id, _) => rec(id).sameElements(rec2(id)) })
+    intercept[IllegalArgumentException] {
+      Similarity.sq8Reconstruct(
+        Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"))
+    }
+  }
+
+  test("hits: hub/authority split, L1 mass, both paths equal, guards") {
+    // two hubs into a shared authority + a chain edge: h1,h2 point at
+    // s (authority); s points at t so it is also a (weak) hub
+    val edges = Seq(
+      ("h1", "s"), ("h2", "s"), ("h1", "x"), ("s", "t")).toDF("src", "dst")
+    val local = TopicGraph.hits(edges, iters = 6)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // both score vectors are L1-normalized
+    assert(math.abs(local.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(local.values.map(_._2).sum - 1.0) < 1e-9)
+    // s is the top authority; h1 (2 out-edges into authorities) is the
+    // top hub; pure sinks have hub 0, pure sources authority 0
+    assert(local("s")._2 > local("x")._2 && local("s")._2 > local("t")._2)
+    assert(local("h1")._1 > local("h2")._1 && local("h1")._1 > local("s")._1)
+    assert(local("t")._1 == 0.0 && local("h1")._2 == 0.0)
+    val dist = TopicGraph.hits(edges, iters = 6, localThreshold = 0)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(dist.keySet == local.keySet)
+    dist.foreach { case (n, (h, a)) =>
+      assert(math.abs(h - local(n)._1) < 1e-9, s"node $n hub")
+      assert(math.abs(a - local(n)._2) < 1e-9, s"node $n auth")
+    }
+    intercept[IllegalArgumentException] {
+      TopicGraph.hits(Seq.empty[(String, String)].toDF("src", "dst"))
+    }
+    intercept[IllegalArgumentException] {
+      TopicGraph.hits(edges, iters = 0)
+    }
+  }
+
+  test("hits: symmetric complete bipartite graph gives uniform scores per side") {
+    val edges = (for { s <- Seq(1L, 2L, 3L); d <- Seq(10L, 11L) }
+      yield (s, d)).toDF("src", "dst")
+    val r = TopicGraph.hits(edges, iters = 4)
+      .as[(Long, Double, Double)].collect()
+    val (src, dst) = r.partition(_._1 < 10L)
+    assert(src.map(_._2).distinct.length == 1) // equal hubs
+    assert(dst.map(_._3).distinct.length == 1) // equal auths
+    assert(math.abs(src.head._2 - 1.0 / 3) < 1e-12)
+    assert(math.abs(dst.head._3 - 1.0 / 2) < 1e-12)
+    assert(src.forall(_._3 == 0.0) && dst.forall(_._2 == 0.0))
+  }
+
   test("k-center selection: zero vectors sit at distance 1; partitioning-independent") {
     val rows = Seq(
       (1L, Array.fill(8)(0.0f)), (2L, Array.tabulate(8)(j => if (j == 0) 1.0f else 0.0f)),
