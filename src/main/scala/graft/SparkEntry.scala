@@ -147,6 +147,48 @@ object SparkEntry {
       s"\nSELECT node, round(rank, 8) AS rank_r8 FROM r$iters"
   }
 
+  /** DuckDB oracle for q122: BM25 restated verbatim — per-term tf via
+    * list_filter columns, the 1-row N/avgdl/df aggregate (avgdl as an
+    * exact integer sum divided once), the Lucene idf and the
+    * left-associated per-query contribution sum, ranking over the
+    * ROUNDED score with doc_id tie-break (so a sub-ulp ln() divergence
+    * between libms cannot flip ranks). */
+  private val bm25OracleSql: String = {
+    val qs = Seq(1 -> Seq("hash", "join"), 2 -> Seq("window", "scan", "table"),
+      3 -> Seq("spark", "stream"))
+    val terms = qs.flatMap(_._2).distinct.sorted
+    val tfCols = terms.map(t =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(",\n    ")
+    val dfCols = terms.map(t =>
+      s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)::BIGINT AS df_$t")
+      .mkString(",\n    ")
+    def contrib(t: String): String =
+      s"""ln(1.0::DOUBLE + ((SELECT n FROM st)::DOUBLE - (SELECT df_$t FROM st)::DOUBLE + 0.5::DOUBLE)
+         |      / ((SELECT df_$t FROM st)::DOUBLE + 0.5::DOUBLE))
+         |    * (tf_$t::DOUBLE * (1.2::DOUBLE + 1.0::DOUBLE))
+         |    / (tf_$t::DOUBLE + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
+         |        + 0.75::DOUBLE * dl::DOUBLE / (SELECT avgdl FROM st)))""".stripMargin
+    val scoredSelects = qs.map { case (qid, qterms) =>
+      s"SELECT $qid AS query_id, doc_id,\n  " +
+        qterms.map(contrib).mkString("\n  + ") + " AS score\n FROM tf"
+    }.mkString("\n UNION ALL\n")
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, length(toks) AS dl,
+       |    $tfCols
+       |  FROM base),
+       |st AS MATERIALIZED (
+       |  SELECT count(*)::BIGINT AS n,
+       |    sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl,
+       |    $dfCols
+       |  FROM tf),
+       |scored AS ($scoredSelects)
+       |SELECT query_id, doc_id, round(score, 6) AS score_r6, rank FROM (
+       |  SELECT query_id, doc_id, score, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY round(score, 6) DESC, doc_id ASC) AS rank FROM scored)
+       |WHERE rank <= 10""".stripMargin
+  }
+
   /** DuckDB oracle for q117: HITS unrolled — 4 iterations of the
     * L1-normalized half-steps as CTEs (h_t from a_{t-1}, a_t from
     * h_t), the same IEEE expressions TopicGraph.hits uses; the
@@ -1906,6 +1948,35 @@ object SparkEntry {
       TopicGraph.triangles(edges)
     }),
 
+    "q123_incremental_cc" -> ((s, d) => {
+      // incremental component maintenance: the committed alias-graph
+      // component index absorbs a batch of new edges via the
+      // contracted label graph — never re-reading the base edge set.
+      // Output equals a full recompute over the union (the oracle
+      // states exactly that recompute)
+      val base = aliasEdges(s, d)
+      val committed = TopicGraph.connectedComponents(base)
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val delta = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 7) % n).as("dst"))
+      TopicGraph.incrementalComponents(committed, delta)
+    }),
+
+    "q122_bm25" -> ((s, d) =>
+      // BM25 top-10 retrieval for a fixed 3-query workload — the
+      // benchmark-retrieval/contamination-audit shape. Plan: ONE
+      // map-side corpus pass building per-term tf COLUMNS (no
+      // explode, no inverted-index shuffle), a 1-row N/avgdl/df
+      // aggregate, literal-idf scoring, WindowGroupLimit top-k
+      TextAnalysis.bm25TopK(Tables.documents(s, d),
+        queries = Seq(
+          1 -> Seq("hash", "join"),
+          2 -> Seq("window", "scan", "table"),
+          3 -> Seq("spark", "stream")),
+        k = 10)),
+
     "q121_ktruss" -> ((s, d) => {
       // 3-round 4-truss peel of the q81 token-adjacency graph: every
       // surviving edge has >= 2 mutual neighbors after each round —
@@ -2735,6 +2806,27 @@ object SparkEntry {
     "q75_pagerank" -> pageRankOracleSql,
 
     "q117_hits" -> hitsOracleSql,
+
+    "q122_bm25" -> bm25OracleSql,
+
+    "q123_incremental_cc" ->
+      // the incremental merge must EQUAL a full recompute over the
+      // union graph — the oracle states that recompute: recursive
+      // min-label reachability closure over alias ∪ delta edges
+      s"""WITH RECURSIVE $aliasEdgesSql,
+         |extra AS (
+         |  SELECT doc_id AS src,
+         |    (doc_id*13+7) % (SELECT count(*) FROM documents) AS dst
+         |  FROM documents WHERE doc_id % 25 = 0),
+         |alle AS (SELECT src, dst FROM edges
+         |  UNION ALL SELECT src, dst FROM extra),
+         |sym AS (SELECT src, dst FROM alle
+         |  UNION SELECT dst AS src, src AS dst FROM alle),
+         |reach(n, m) AS (
+         | SELECT src, src FROM sym
+         | UNION
+         | SELECT s.dst, r.m FROM reach r JOIN sym s ON s.src = r.n)
+         |SELECT n AS node, min(m) AS label FROM reach GROUP BY n""".stripMargin,
 
     "q76_cooccur_pmi" ->
       s"""WITH ds AS (

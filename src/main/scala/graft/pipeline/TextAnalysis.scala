@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -238,5 +239,78 @@ object TextAnalysis {
       .join(broadcast(marg.select(col("surface").as("sb"), col("n").as("nb"))), Seq("sb"))
       .select(col("sa"), col("sb"), col("n_ab"),
         log((col("n_ab") * nDocs).cast("double") / (col("na") * col("nb"))).as("pmi"))
+  }
+
+  /**
+   * BM25 top-k retrieval (Robertson & Zaragoza 2009, the Lucene
+   * `1 + (N−df+0.5)/(df+0.5)` IDF variant) for a FIXED query
+   * workload — the benchmark-retrieval / contamination-audit shape:
+   * score(D, q) = Σ_{t∈q} ln(1 + (N−df_t+0.5)/(df_t+0.5)) ·
+   * tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl)).
+   *
+   * Scale shape — deliberately NOT the explode-and-shuffle inverted
+   * index: query terms are known up front, so per-doc tf for each
+   * term is a fixed COLUMN (one codegen `filter` HOF per term over
+   * the token array — a single map-side corpus pass, no explode, no
+   * groupBy); N/avgdl/df all come from ONE 1-row aggregate (driver
+   * read bounded by #terms); scoring is map-side column math against
+   * literal idf constants; the only exchange is the per-query top-k
+   * (row_number window → WindowGroupLimit partial top-k, ≤ k rows
+   * per task). At 100 TB: one scan, k·|queries| rows out.
+   *
+   * Determinism: per-doc score is a FIXED-ORDER sum over the query's
+   * terms (each term contributes exactly one conditional column —
+   * never a shuffle-order float sum); ranking is over the ROUNDED
+   * score (6 dp) with doc_id tie-break, so a sub-ulp libm divergence
+   * between engines cannot flip ranks. avgdl is an exact integer sum
+   * divided once. The DuckDB oracle restates every expression.
+   *
+   * Output: (query_id, doc_id, score_r6, rank ≤ k) for every query.
+   */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Int, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25TopK: queries must be non-empty")
+    require(k >= 1, s"bm25TopK: k=$k must be positive")
+    val terms = queries.flatMap(_._2).distinct.sorted
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("toks"), x => x === t)).as(s"tf_$i")
+    }
+    val tf = base.select(Seq(col("doc_id"), col("dl")) ++ tfCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val statAggs = Seq(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val st = tf.agg(statAggs.head, statAggs.tail: _*).head() // 1 bounded row
+    val n = st.getAs[Long]("n")
+    val avgdl = st.getAs[Double]("avgdl")
+    val idf = terms.indices.map { i =>
+      val dfT = st.getAs[Long](s"df_$i")
+      math.log(1.0 + (n.toDouble - dfT.toDouble + 0.5) / (dfT.toDouble + 0.5))
+    }
+    val scored = queries.map { case (qid, qterms) =>
+      val sc = qterms.map { t =>
+        val i = terms.indexOf(t)
+        val tfc = col(s"tf_$i").cast("double")
+        lit(idf(i)) * (tfc * lit(k1 + 1.0)) /
+          (tfc + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+      }.reduceLeft(_ + _)
+      tf.select(lit(qid).as("query_id"), col("doc_id"), sc.as("score"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("score"), 6).desc, col("doc_id").asc)
+    val out = scored
+      .withColumn("score_r6", round(col("score"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score_r6"), col("rank"))
+      .localCheckpoint(true)
+    tf.unpersist(false)
+    out
   }
 }

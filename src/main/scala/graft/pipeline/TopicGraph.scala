@@ -237,6 +237,55 @@ object TopicGraph {
    * joins the FULL original edge relation, where contraction's rounds
    * shrink — the reason contraction is now the default.
    */
+  /**
+   * INCREMENTAL connected components: fold a batch of NEW edges into a
+   * committed (node, label) component index — the dedup-index
+   * merge-commit twin of [[connectedComponents]], completing the
+   * incremental tier (q82 text-vs-index, q94/streaming ANN-vs-index).
+   *
+   * Correctness: labels are component MINIMA, so contracting every
+   * labeled endpoint of the delta to its label preserves reachability
+   * and minima — components of the contracted delta graph carry
+   * exactly the union graph's true minima. The output therefore equals
+   * `connectedComponents(baseEdges ∪ newEdges)` over (index ∪ delta)
+   * nodes WITHOUT ever touching the base edge set (spec-pinned on
+   * seeded random graph pairs).
+   *
+   * Scale shape: two joins of the DELTA against the index (|ΔE|
+   * rows), one CC bounded by the labels the delta touches (never
+   * corpus-sized), then ONE index-sized relabel join against the
+   * merge map (≤ touched-component rows — broadcastable; AQE picks
+   * it). That final join is the only full-index work: exactly the
+   * shape an index merge-commit wants at a billion committed nodes.
+   */
+  def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
+      localThreshold: Long = 4000000L): DataFrame = {
+    val l = labels.select(col("node"), col("label"))
+    val e = newEdges.select(col("src"), col("dst"))
+    requireOneIdType("incrementalComponents", e,
+      Some(l.select(col("node"))))
+    require(l.schema.fields(1).dataType == l.schema.fields(0).dataType,
+      "incrementalComponents: label type must match the node type")
+    val mapped = e
+      .join(l.select(col("node").as("src"), col("label").as("lsrc")),
+        Seq("src"), "left_outer")
+      .join(l.select(col("node").as("dst"), col("label").as("ldst")),
+        Seq("dst"), "left_outer")
+      .select(coalesce(col("lsrc"), col("src")).as("src"),
+        coalesce(col("ldst"), col("dst")).as("dst"))
+    val mergeMap = connectedComponents(mapped,
+        localThreshold = localThreshold)
+      .select(col("node").as("olab"), col("label").as("nlab"))
+    val newNodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .join(l.select(col("node")), Seq("node"), "left_anti")
+      .withColumn("label", col("node"))
+    l.unionByName(newNodes)
+      .join(mergeMap, col("label") === col("olab"), "left_outer")
+      .select(col("node"), coalesce(col("nlab"), col("label")).as("label"))
+  }
+
   private[graft] def connectedComponentsMinLabel(edges: DataFrame,
       maxIter: Int = 30): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

@@ -2249,6 +2249,96 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._2 % 6).toSet.size == 6)
   }
 
+  test("incremental components equal a full recompute; merges and new nodes handled") {
+    // base: {1,2,3} chain + {10,11}; labels committed
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val committed = TopicGraph.connectedComponents(base)
+    // delta: merge the two committed components via a NEW node 20,
+    // plus a fresh isolated pair {30,31}
+    val delta = Seq((3L, 20L), (20L, 10L), (30L, 31L)).toDF("src", "dst")
+    val got = TopicGraph.incrementalComponents(committed, delta)
+      .as[(Long, Long)].collect().toMap
+    val want = TopicGraph.connectedComponents(base.unionByName(delta))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(got(11L) == 1L && got(20L) == 1L && got(31L) == 30L)
+    // seeded random graph pairs: incremental == full recompute
+    val rnd = new scala.util.Random(59)
+    for (trial <- 0 until 3) {
+      val b = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2).toDF("src", "dst")
+      val dl = Seq.fill(25)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(p => p._1 != p._2).toDF("src", "dst")
+      val inc = TopicGraph.incrementalComponents(
+          TopicGraph.connectedComponents(b), dl)
+        .as[(Long, Long)].collect().toMap
+      val full = TopicGraph.connectedComponents(b.unionByName(dl))
+        .as[(Long, Long)].collect().toMap
+      assert(inc == full, s"trial $trial")
+    }
+    // distributed contraction path under the hood agrees
+    val incD = TopicGraph.incrementalComponents(committed, delta,
+      localThreshold = 0).as[(Long, Long)].collect().toMap
+    assert(incD == got)
+    intercept[IllegalArgumentException] {
+      TopicGraph.incrementalComponents(committed,
+        Seq(("a", "b")).toDF("src", "dst"))
+    }
+  }
+
+  test("bm25 retrieval: exact driver-reference match, length norm, top-k, guards") {
+    val corpus = Seq(
+      (1L, "hash join hash"),
+      (2L, "hash join x x x x x x x"),
+      (3L, "hash hash hash hash"),
+      (4L, "join"),
+      (5L, "x y z"),
+      (6L, "hash join hash p p p p p"))
+    val docs = corpus.toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, Seq(1 -> Seq("hash", "join")), k = 6)
+      .as[(Int, Long, Double, Int)].collect().toSeq.sortBy(_._4)
+    // independent plain-Scala reference with the same formula
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / corpus.size
+    def tf(id: Long, t: String) = toks(id).count(_ == t).toDouble
+    def df(t: String) = toks.values.count(_.contains(t)).toDouble
+    def idf(t: String) = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+    def score(id: Long): Double = Seq("hash", "join").map { t =>
+      idf(t) * (tf(id, t) * (1.2 + 1.0)) /
+        (tf(id, t) + 1.2 * ((1.0 - 0.75) + 0.75 * toks(id).size / avgdl))
+    }.reduceLeft(_ + _)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = corpus.map(_._1).map(id => (id, r6(score(id))))
+      .sortBy { case (id, sc) => (-sc, id) }.zipWithIndex
+      .map { case ((id, sc), i) => (1, id, sc, i + 1) }
+    assert(got == want)
+    val rank = got.map(r => r._2 -> r._4).toMap
+    // doc 1 (both terms, tf_hash=2, short) beats everything
+    assert(rank(1L) == 1)
+    // length normalization: same tf as doc 1, padded doc ranks lower
+    assert(rank(1L) < rank(6L))
+    // no-term doc scores 0 and comes last
+    assert(rank(5L) == 6 && got.find(_._2 == 5L).get._3 == 0.0)
+    // k truncates; multi-query output carries each query_id
+    val multi = TextAnalysis.bm25TopK(docs,
+      Seq(1 -> Seq("hash"), 2 -> Seq("join")), k = 2)
+      .as[(Int, Long, Double, Int)].collect()
+    assert(multi.length == 4 && multi.map(_._1).toSet == Set(1, 2))
+    // partitioning-independent
+    val again = TextAnalysis.bm25TopK(docs.repartition(7),
+      Seq(1 -> Seq("hash", "join")), k = 6)
+      .as[(Int, Long, Double, Int)].collect().toSeq.sortBy(_._4)
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(docs, Seq(1 -> Seq.empty), k = 2)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(docs, Seq(1 -> Seq("hash")), k = 0)
+    }
+  }
+
   test("k-truss peel: cores survive, bridges/pendants peel, cascade, both paths equal") {
     // two K4 cliques + a bridge edge + a pendant triangle: the 4-truss
     // is exactly the two K4s (every K4 edge has 2 mutual neighbors;
