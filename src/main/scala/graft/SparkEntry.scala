@@ -1948,6 +1948,26 @@ object SparkEntry {
       TopicGraph.triangles(edges)
     }),
 
+    "q124_neighbor_sample" -> ((s, d) => {
+      // GraphSAGE-style 2-hop neighbor sampling with fan-outs (2, 2)
+      // over a ragged-degree synthetic graph (out-degree 1–4 by doc_id
+      // residue, ids reduced before squaring — the q109/ADVICE
+      // overflow rule): seeded-md5 ranked, dst tie-break — the bounded
+      // GNN minibatch computation graph, ≤ 6 rows per root at ANY
+      // degree skew
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val id = col("doc_id")
+      val e = docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst"))
+        .unionByName(docs.filter(id % 2 === 0)
+          .select(id.as("src"), (((id % n) * (id % n) + 3) % n).as("dst")))
+        .unionByName(docs.filter(id % 5 === 0)
+          .select(id.as("src"), ((id * 11 + 1) % n).as("dst")))
+        .unionByName(docs.filter(id % 10 === 0)
+          .select(id.as("src"), ((id * 13 + 7) % n).as("dst")))
+      TopicGraph.sampleNeighbors(e, fanouts = Seq(2, 2))
+    }),
+
     "q123_incremental_cc" -> ((s, d) => {
       // incremental component maintenance: the committed alias-graph
       // component index absorbs a batch of new edges via the
@@ -2808,6 +2828,41 @@ object SparkEntry {
     "q117_hits" -> hitsOracleSql,
 
     "q122_bm25" -> bm25OracleSql,
+
+    "q124_neighbor_sample" ->
+      // restates sampleNeighbors verbatim: distinct edges, hop-1
+      // row_number over md5('nbr:' || root || ':' || src || ':' ||
+      // dst) with dst tie-break, frontier = distinct (root, dst),
+      // hop-2 the same window after the frontier join
+      """WITH ne AS MATERIALIZED (
+        | SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src,
+        |   (doc_id*7 + 3) % (SELECT count(*) FROM documents) AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |   ((doc_id % (SELECT count(*) FROM documents)) * (doc_id % (SELECT count(*) FROM documents)) + 3) % (SELECT count(*) FROM documents)
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11 + 1) % (SELECT count(*) FROM documents)
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*13 + 7) % (SELECT count(*) FROM documents)
+        |  FROM documents WHERE doc_id % 10 = 0)),
+        |l1 AS MATERIALIZED (
+        | SELECT root, src, dst, 1 AS hop FROM (
+        |  SELECT src AS root, src, dst,
+        |   row_number() OVER (PARTITION BY src
+        |     ORDER BY md5('nbr:' || src || ':' || src || ':' || dst), dst) AS rn
+        |  FROM ne) WHERE rn <= 2),
+        |f1 AS MATERIALIZED (SELECT DISTINCT root, dst AS src FROM l1),
+        |l2 AS (
+        | SELECT root, src, dst, 2 AS hop FROM (
+        |  SELECT f.root, e.src, e.dst,
+        |   row_number() OVER (PARTITION BY f.root, e.src
+        |     ORDER BY md5('nbr:' || f.root || ':' || e.src || ':' || e.dst), e.dst) AS rn
+        |  FROM f1 f JOIN ne e ON e.src = f.src) WHERE rn <= 2)
+        |SELECT root, hop, src, dst FROM l1
+        |UNION ALL SELECT root, hop, src, dst FROM l2""".stripMargin,
 
     "q123_incremental_cc" ->
       // the incremental merge must EQUAL a full recompute over the

@@ -1496,6 +1496,57 @@ object TopicGraph {
   }
 
   /**
+   * Deterministic layered neighbor sampling (the GraphSAGE / GNN
+   * minibatch-preparation shape, Hamilton et al. 2017): for every
+   * root node, sample at most `fanouts(0)` out-neighbors, then for
+   * each sampled frontier node at most `fanouts(1)` of ITS neighbors,
+   * and so on — the bounded computation graph a sampled-neighborhood
+   * trainer consumes. The sample is a pure function of
+   * (seed, root, src, dst): neighbors rank by a seeded md5 over the
+   * triple (dst tie-break) and the top `f` survive, so every engine,
+   * run, and cluster size draws the identical subgraph, and hub nodes
+   * contribute at most `f` edges per (root, hop) instead of their
+   * full degree — the exact fan-out control that makes GNN prep
+   * feasible on a power-law graph.
+   *
+   * Scale shape: hop h is one equi-join of the (root-bounded)
+   * frontier against the edge relation plus a (root, src) window that
+   * Catalyst runs as a WindowGroupLimit partial top-k before the
+   * exchange — ≤ f rows ship per (root, frontier-node) per map task;
+   * output is ≤ Π fanouts rows per root regardless of degree skew.
+   *
+   * Output: (root, hop, src, dst) sampled edges, hop = 1-based layer.
+   */
+  def sampleNeighbors(edges: DataFrame, fanouts: Seq[Int],
+      seed: String = "nbr:"): DataFrame = {
+    require(fanouts.nonEmpty && fanouts.forall(_ >= 1),
+      s"sampleNeighbors: fanouts $fanouts must all be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src"), col("dst")).distinct()
+    def pick(rel: DataFrame, f: Int): DataFrame = {
+      val w = Window.partitionBy(col("root"), col("src"))
+        .orderBy(md5(concat(lit(seed), col("root").cast("string"), lit(":"),
+          col("src").cast("string"), lit(":"),
+          col("dst").cast("string"))).asc, col("dst").asc)
+      rel.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= f).drop("rn")
+    }
+    val l1 = pick(e.select(col("src").as("root"), col("src"), col("dst")),
+      fanouts.head).withColumn("hop", lit(1))
+    var acc = l1
+    var frontier = l1
+    fanouts.drop(1).zipWithIndex.foreach { case (f, i) =>
+      val next = pick(frontier.select(col("root"), col("dst").as("src"))
+          .distinct()
+          .join(e, Seq("src")), f)
+        .withColumn("hop", lit(i + 2))
+      acc = acc.unionByName(next)
+      frontier = next
+    }
+    acc.select(col("root"), col("hop"), col("src"), col("dst"))
+  }
+
+  /**
    * Bounded k-truss peel (Cohen 2008): `rounds` synchronous rounds of
    * "drop every edge supporting fewer than k−2 triangles", over the
    * canonical undirected simple graph (least/greatest, self-loops and

@@ -2249,6 +2249,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._2 % 6).toSet.size == 6)
   }
 
+  test("neighbor sampling: fanout bound, real-edge subset, frontier consistency, seeds") {
+    // hub with 10 out-neighbors; each neighbor has 3 second-layer edges
+    val edges = ((1L to 10L).map(i => (0L, i)) ++
+      (1L to 10L).flatMap(i =>
+        Seq((i, 100L + i), (i, 200L + i), (i, 300L + i)))).toDF("src", "dst")
+    val out = TopicGraph.sampleNeighbors(edges, Seq(3, 2))
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val es = edges.as[(Long, Long)].collect().toSet
+    assert(out.forall { case (_, _, u, v) => es.contains((u, v)) })
+    out.groupBy(r => (r._1, r._2, r._3)).foreach { case ((_, hop, _), g) =>
+      assert(g.size <= (if (hop == 1) 3 else 2), s"fanout exceeded: $g")
+    }
+    // the hub keeps exactly 3 of its 10 hop-1 neighbors
+    assert(out.count(r => r._1 == 0L && r._2 == 1) == 3)
+    // every hop-2 src is a hop-1 dst OF THE SAME ROOT
+    val h1 = out.filter(_._2 == 1).map(r => (r._1, r._4)).toSet
+    assert(out.filter(_._2 == 2).forall(r => h1.contains((r._1, r._3))))
+    // deg-3 frontier nodes get exactly 2 hop-2 edges
+    assert(out.count(r => r._1 == 0L && r._2 == 2) == 6)
+    // deterministic under repartition
+    val again = TopicGraph.sampleNeighbors(edges.repartition(7), Seq(3, 2))
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(again.toSet == out.toSet && again.size == out.size)
+    // a different seed draws a different hub sample
+    val mine = out.filter(r => r._1 == 0L && r._2 == 1).map(_._4).toSet
+    val other = TopicGraph.sampleNeighbors(edges, Seq(3, 2), seed = "other:")
+      .as[(Long, Int, Long, Long)].collect()
+      .filter(r => r._1 == 0L && r._2 == 1).map(_._4).toSet
+    assert(other != mine)
+    intercept[IllegalArgumentException] {
+      TopicGraph.sampleNeighbors(edges, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TopicGraph.sampleNeighbors(edges, Seq(2, 0))
+    }
+  }
+
   test("incremental components equal a full recompute; merges and new nodes handled") {
     // base: {1,2,3} chain + {10,11}; labels committed
     val base = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
