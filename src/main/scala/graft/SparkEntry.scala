@@ -508,6 +508,48 @@ object SparkEntry {
     (head +: walks).mkString(",\n") + "\n" + unions
   }
 
+  /** DuckDB oracle for q126: the node2vec walk unrolled — step 1
+    * unbiased (q108 arithmetic, seed n2v), steps ≥ 2 minimize
+    * key · class with the EXACT integer class weights (return = 4,
+    * triangle = 1, else 2); triangle membership via a LEFT JOIN of
+    * (prev, dst) against the edge set. */
+  private val node2vecOracleSql: String = {
+    val steps = 5
+    val head =
+      """WITH edges AS (
+        | SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src,
+        |   ((doc_id % (SELECT count(*) FROM documents)) * (doc_id % (SELECT count(*) FROM documents)) + 3) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |   (doc_id*7 + 3) % (SELECT count(*) FROM documents)
+        |  FROM documents)),
+        |w0 AS (SELECT DISTINCT src AS start, src AS node FROM edges),
+        |w1 AS (SELECT start, prev, node FROM (
+        |  SELECT w.start, w.node AS prev, e.dst AS node,
+        |   row_number() OVER (PARTITION BY w.start ORDER BY
+        |    ('0x' || substring(md5('n2v:' || w.start || ':1:' || e.dst), 1, 15))::BIGINT ASC,
+        |    e.dst ASC) AS rk
+        |  FROM w0 w JOIN edges e ON w.node = e.src) WHERE rk = 1)""".stripMargin
+    val walks = (2 to steps).map { t =>
+      s"""w$t AS (SELECT start, prev, node FROM (
+         |  SELECT w.start, w.node AS prev, e.dst AS node,
+         |   row_number() OVER (PARTITION BY w.start ORDER BY
+         |    ('0x' || substring(md5('n2v:' || w.start || ':$t:' || e.dst), 1, 15))::BIGINT
+         |     * (CASE WHEN e.dst = w.prev THEN 4
+         |        WHEN tri.src IS NOT NULL THEN 1 ELSE 2 END) ASC,
+         |    e.dst ASC) AS rk
+         |  FROM w${t - 1} w JOIN edges e ON w.node = e.src
+         |  LEFT JOIN edges tri ON tri.src = w.prev AND tri.dst = e.dst)
+         | WHERE rk = 1)""".stripMargin
+    }
+    val unions = (s"SELECT start, 0 AS step, node FROM w0" +:
+      (1 to steps).map(t => s"SELECT start, $t AS step, node FROM w$t"))
+      .mkString("\nUNION ALL ")
+    (Seq(head) ++ walks).mkString(",\n") + "\n" + unions
+  }
+
   /** Shared sentence-window regroup + annotate chain (the q35/q68
     * family — ner-corpus/03's group+merge over this corpus's 10-token
     * window convention): posexplode -> window grouping ->
@@ -1796,6 +1838,17 @@ object SparkEntry {
       TopicGraph.randomWalks(edges, starts, steps = 5)
     }),
 
+    "q126_node2vec" -> ((s, d) => {
+      // deterministic node2vec corpus: the q108 walk upgraded to the
+      // second-order (p, q) bias — p=4 discourages returning, q=2
+      // biases toward the previous node's neighborhood — realized as
+      // an exact integer key·class minimization (no FP, the oracle
+      // replays it bit-for-bit); step 1 unbiased per the paper
+      val edges = degree2Edges(s, d)
+      val starts = edges.select(col("src").as("node")).distinct()
+      TopicGraph.node2vecWalks(edges, starts, steps = 5, p = 4, q = 2)
+    }),
+
     "q109_hyperball" -> ((s, d) => {
       // HyperBall: per-node 3-hop neighborhood-size estimates by HLL
       // register propagation (register-wise max along edges = EXACTLY
@@ -1947,6 +2000,24 @@ object SparkEntry {
         .filter(col("src") =!= col("dst"))
       TopicGraph.triangles(edges)
     }),
+
+    "q127_zipf_slope" -> ((s, d) =>
+      // per-language Zipf power-law slope over the top-32 terms —
+      // corpus-health distribution gate (natural text ≈ −1). The
+      // regression runs in exact fixed-point integer sums (the DSIR
+      // trick), so aggregation order can never move the hash
+      TextAnalysis.zipfSlope(Tables.documents(s, d), "lang", topK = 32)
+        .withColumnRenamed("grp", "lang")),
+
+    "q125_winnowing" -> ((s, d) =>
+      // MOSS winnowing match report: robust-winnowed 4-gram/4-window
+      // fingerprints, common-code elimination at df<=5 (bounds the
+      // self-join fan-out at df² per hash), pairs ranked by distinct
+      // shared fingerprints — the code-clone complement of q95's
+      // content-defined passage mining (winnowing guarantees any
+      // shared >=7-token run yields a shared fingerprint)
+      Dedup.winnowingPairs(Tables.documents(s, d), k = 4, w = 4,
+        maxDf = 5)),
 
     "q124_neighbor_sample" -> ((s, d) => {
       // GraphSAGE-style 2-hop neighbor sampling with fan-outs (2, 2)
@@ -2829,6 +2900,68 @@ object SparkEntry {
 
     "q122_bm25" -> bm25OracleSql,
 
+    "q127_zipf_slope" ->
+      // restates zipfSlope verbatim: dense (count DESC, term ASC)
+      // rank, fixed-point x/y = floor(ln·1e6) longs, exact integer
+      // sums, the least-squares slope materialized once and rounded
+      """WITH tok AS (
+        |  SELECT lang AS grp, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |cnt AS MATERIALIZED (
+        |  SELECT grp, t, count(*)::BIGINT AS c FROM tok
+        |  WHERE t <> '' GROUP BY 1, 2),
+        |top AS MATERIALIZED (
+        |  SELECT grp, c, r FROM (
+        |   SELECT grp, c,
+        |    row_number() OVER (PARTITION BY grp ORDER BY c DESC, t ASC) AS r
+        |   FROM cnt) WHERE r <= 32),
+        |fp AS (
+        |  SELECT grp,
+        |   CAST(floor(ln(r::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT) AS x,
+        |   CAST(floor(ln(c::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT) AS y
+        |  FROM top),
+        |ag AS (
+        |  SELECT grp, count(*)::BIGINT AS n_terms, sum(x)::BIGINT AS sx,
+        |   sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy,
+        |   sum(x*x)::BIGINT AS sxx
+        |  FROM fp GROUP BY 1)
+        |SELECT grp AS lang, n_terms,
+        | round((n_terms * sxy - sx * sy)::DOUBLE
+        |   / (n_terms * sxx - sx * sx)::DOUBLE, 6) AS slope_r6
+        |FROM ag WHERE n_terms >= 3""".stripMargin,
+
+    "q125_winnowing" ->
+      // restates winnowing verbatim: 4-gram 60-bit md5-prefix hashes,
+      // per-window-start rightmost-minimal pick (rank by h ASC, pos
+      // DESC), full windows only, DISTINCT (doc, h, pos) then
+      // (doc, h); df<=5 common-code elimination; pair count of
+      // DISTINCT shared hashes
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, len(t) - 3 AS ng, u - 1 AS pos,
+        |    CAST('0x' || substring(md5(array_to_string(t[u:u+3], ' ')), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS u
+        |        FROM tk WHERE len(t) >= 7)),
+        |win AS MATERIALIZED (
+        |  SELECT s.doc_id, g.h, g.pos,
+        |    row_number() OVER (PARTITION BY s.doc_id, s.pos
+        |      ORDER BY g.h ASC, g.pos DESC) AS rn
+        |  FROM grams s JOIN grams g ON g.doc_id = s.doc_id
+        |    AND g.pos BETWEEN s.pos AND s.pos + 3
+        |  WHERE s.pos <= s.ng - 4),
+        |fps AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, h FROM win WHERE rn = 1),
+        |rare AS MATERIALIZED (
+        |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df
+        |                 FROM fps GROUP BY 1) WHERE df <= 5),
+        |kept AS MATERIALIZED (SELECT f.doc_id, f.h FROM fps f JOIN rare r ON r.h = f.h)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(DISTINCT a.h) AS n_shared
+        |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
     "q124_neighbor_sample" ->
       // restates sampleNeighbors verbatim: distinct edges, hop-1
       // row_number over md5('nbr:' || root || ':' || src || ':' ||
@@ -3341,6 +3474,8 @@ object SparkEntry {
         |SELECT node, CAST(min(d) AS INT) AS dist FROM walk GROUP BY node""".stripMargin,
 
     "q108_random_walks" -> randomWalksOracleSql,
+
+    "q126_node2vec" -> node2vecOracleSql,
 
     "q109_hyperball" ->
       // the q99 register arithmetic (60-bit md5-prefix hash of the node

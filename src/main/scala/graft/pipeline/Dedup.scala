@@ -703,4 +703,77 @@ object Dedup {
     val cond2 = if (sigFilter) cond1 && sigBound else cond1
     (sorted, ca.join(cb, cond2))
   }
+
+  /**
+   * Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+   * the MOSS code-plagiarism selector): token k-grams hash to 60-bit
+   * md5 prefixes, and each sliding window of `w` consecutive gram
+   * hashes selects its RIGHTMOST MINIMAL hash (the robust winnowing
+   * rule), deduplicated by position. Guarantees: any shared substring
+   * of ≥ w+k−1 tokens yields at least one shared fingerprint
+   * (no-miss), and expected density is 2/(w+1) fingerprints per gram
+   * — a bounded, position-aware sketch that the rolling-fingerprint
+   * passage miner (q95) does not give (it samples by content mask,
+   * winnowing guarantees per-window coverage).
+   *
+   * Implementation: grams are one map-side pass (`transform` over the
+   * token array — no explode until the gram relation, which carries
+   * only (doc_id, pos, hash) longs); the window selection is a
+   * per-doc window frame `rows [0, w−1]` taking min over
+   * (hash, −pos) structs — rightmost-tie for free from lexicographic
+   * struct order; selection dedups to DISTINCT (doc_id, hash, pos).
+   *
+   * Returns (doc_id, pos, h): the fingerprint set.
+   */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4)
+      : DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowing: k=$k, w=$w must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val grams = docs
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= k + w - 1)
+      .withColumn("ng", size(col("t")) - k + 1)
+      .select(col("doc_id"), col("ng"), posexplode(
+        transform(sequence(lit(0), size(col("t")) - k),
+          i => array_join(slice(col("t"), i + lit(1), lit(k)), " ")))
+        .as(Seq("pos", "gram")))
+      .withColumn("h",
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"))
+      .drop("gram")
+    val wf = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(0, w - 1)
+    grams
+      .withColumn("pick", min(struct(col("h"), (-col("pos")).as("np"))).over(wf))
+      .filter(col("pos") <= col("ng") - w) // full windows only
+      .select(col("doc_id"), (-col("pick.np")).as("pos"),
+        col("pick.h").as("h"))
+      .distinct()
+  }
+
+  /**
+   * MOSS-style match report over [[winnowingFingerprints]]: candidate
+   * document pairs ranked by the number of DISTINCT shared
+   * fingerprint hashes, after dropping fingerprints seen in more than
+   * `maxDf` documents — the common-code elimination step MOSS applies
+   * for boilerplate (a fingerprint in hundreds of files is idiom, not
+   * plagiarism) which simultaneously bounds the self-join fan-out at
+   * maxDf² per hash. Shuffles carry only (doc_id, h) longs.
+   */
+  def winnowingPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
+      maxDf: Int = 5): DataFrame = {
+    require(maxDf >= 2, s"winnowingPairs: maxDf=$maxDf must be >= 2")
+    val fps = winnowingFingerprints(docs, k, w)
+      .select(col("doc_id"), col("h")).distinct()
+    val rare = fps.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("h"))
+    val kept = fps.join(rare, Seq("h"))
+    kept.select(col("h"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("h")).as("n_shared"))
+  }
 }

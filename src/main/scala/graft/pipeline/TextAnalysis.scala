@@ -242,6 +242,56 @@ object TextAnalysis {
   }
 
   /**
+   * Per-group Zipf slope — the power-law exponent of the token
+   * frequency-rank curve, fit by least squares over the top `topK`
+   * terms of each group (language/source): the standard corpus-health
+   * diagnostic (natural text sits near −1; template/boilerplate
+   * corpora flatten, spam steepens — Gopher and CCNet both gate on
+   * distributional shape).
+   *
+   * Determinism: the regression runs in FIXED-POINT — x = ⌊ln(rank)·
+   * 1e6⌋ and y = ⌊ln(count)·1e6⌋ as longs, so the per-group sums
+   * Σx, Σy, Σxy, Σx² are exact integers regardless of aggregation
+   * order (the DSIR trick — no float-summation hash risk; magnitudes
+   * stay ≤ ~5e16 ≪ 2^63 for topK ≤ 64). The slope materializes as a
+   * double only in the final one-row-per-group expression, restated
+   * verbatim by the oracle. Ranks are dense by (count DESC, term ASC).
+   *
+   * Scale shape: one explode + one (group, term) count (map-side
+   * partial), a per-group WindowGroupLimit top-K, then a topK-row-per-
+   * group exact-integer aggregate — vocabulary-sized shuffles only.
+   *
+   * Output: (group, n_terms, slope_r6) — slope rounded to 6 dp.
+   */
+  def zipfSlope(docs: DataFrame, groupCol: String, topK: Int = 32)
+      : DataFrame = {
+    require(topK >= 3 && topK <= 64, s"zipfSlope: topK=$topK outside [3, 64]")
+    val tok = docs.select(col(groupCol).as("grp"),
+        explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val counts = tok.groupBy(col("grp"), col("t")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("c").desc, col("t").asc)
+    val top = counts.withColumn("r", row_number().over(w))
+      .filter(col("r") <= topK)
+    val xfp = floor(log(col("r").cast("double")) * lit(1e6)).cast("long")
+    val yfp = floor(log(col("c").cast("double")) * lit(1e6)).cast("long")
+    top.select(col("grp"), xfp.as("x"), yfp.as("y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      // a <3-term group has a degenerate (possibly 0) denominator —
+      // excluded rather than emitting an engine-specific NaN/Inf
+      .filter(col("n_terms") >= 3)
+      .select(col("grp"), col("n_terms"),
+        round((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+          .cast("double"), 6).as("slope_r6"))
+  }
+
+  /**
    * BM25 top-k retrieval (Robertson & Zaragoza 2009, the Lucene
    * `1 + (N−df+0.5)/(df+0.5)` IDF variant) for a FIXED query
    * workload — the benchmark-retrieval / contamination-audit shape:
@@ -268,7 +318,8 @@ object TextAnalysis {
    * Output: (query_id, doc_id, score_r6, rank ≤ k) for every query.
    */
   def bm25TopK(docs: DataFrame, queries: Seq[(Int, Seq[String])], k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      checkpoint: Boolean = true): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "bm25TopK: queries must be non-empty")
     require(k >= 1, s"bm25TopK: k=$k must be positive")
@@ -304,12 +355,15 @@ object TextAnalysis {
     }.reduce(_ unionByName _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("score"), 6).desc, col("doc_id").asc)
-    val out = scored
+    val shaped = scored
       .withColumn("score_r6", round(col("score"), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("score_r6"), col("rank"))
-      .localCheckpoint(true)
+    // checkpoint=false keeps the lazy plan visible (PlanSpec inspects
+    // it) at the cost of leaving tf cached for the plan's lifetime
+    if (!checkpoint) return shaped
+    val out = shaped.localCheckpoint(true)
     tf.unpersist(false)
     out
   }

@@ -1148,6 +1148,87 @@ object TopicGraph {
     layers.result().reduce(_ unionByName _)
   }
 
+  /**
+   * Deterministic node2vec walks (Grover & Leskovec 2016): the
+   * SECOND-ORDER biased extension of [[randomWalks]] — at step t the
+   * walk at `cur` with predecessor `prev` scores every out-neighbor x
+   * with the q108 seeded 60-bit md5 key and picks the x minimizing
+   * key · w(x), where w is the INTEGER inverse-bias class of the
+   * paper's (p, q) scheme: w = p for the return edge (x = prev),
+   * w = 1 for a triangle edge (prev→x exists), w = q otherwise.
+   * Larger w ⇒ proportionally less likely to win the min — the
+   * deterministic analog of sampling ∝ 1/w — and the product stays in
+   * exact integer arithmetic (key < 2^60, w ≤ 8: no overflow, no FP,
+   * so the DuckDB oracle replays it bit-for-bit). Step 1 has no
+   * predecessor and is unbiased, as in the paper.
+   *
+   * p > 1 & q = 1 ⇒ DFS-flavored (return discouraged); q > 1 & p = 1
+   * ⇒ BFS-flavored (stay near the previous neighborhood) — the
+   * exploration dial the embedding corpus wants.
+   *
+   * Scale: per step, ONE ids-only equi-join frontier×edges for the
+   * candidates, ONE (prev, x)-keyed membership join against the edge
+   * set for the triangle class (both hash joins on long pairs), one
+   * map-side partial min per start. State is (start, prev, node) —
+   * never a path array.
+   *
+   * Output: (start, step, node) rows, step 0..steps.
+   */
+  def node2vecWalks(edges: DataFrame, starts: DataFrame, steps: Int,
+      p: Int = 4, q: Int = 1, seed: String = "n2v"): DataFrame = {
+    require(steps >= 0, s"steps must be >= 0, got $steps")
+    require(p >= 1 && p <= 8 && q >= 1 && q <= 8,
+      s"node2vec: p=$p, q=$q must be in [1, 8] (integer inverse biases)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).distinct().persist(lvl)
+    e.count()
+    def hashKey(t: Int): org.apache.spark.sql.Column =
+      conv(substring(md5(concat_ws(":",
+      lit(seed), col("start").cast("string"), lit(t).cast("string"),
+      col("dst").cast("string"))), 1, 15), 16, 10).cast("long")
+    var cur = starts.select(starts.columns.head).toDF("node").distinct()
+      .select(col("node").as("start"), col("node"))
+      .localCheckpoint(true)
+    val layers = Seq.newBuilder[DataFrame]
+    layers += cur.select(col("start"), lit(0).as("step"), col("node"))
+    // step 1: unbiased (no predecessor), but carry prev forward
+    var frontier: DataFrame = null // (start, prev, node)
+    var t = 1
+    while (t <= steps) {
+      val next = if (t == 1) {
+        cur.join(e, cur("node") === e("src"))
+          .select(col("start"), col("node").as("prev0"),
+            struct(hashKey(1).as("sc"), col("dst")).as("cand"))
+          .groupBy(col("start")).agg(min(col("cand")).as("m"),
+            first(col("prev0")).as("p0")) // start node is unique per group
+          .select(col("start"), col("p0").as("prev"),
+            col("m").getField("dst").as("node"))
+          .localCheckpoint(true)
+      } else {
+        val cands = frontier.join(e, frontier("node") === e("src"))
+          .select(col("start"), col("prev"), col("node"), col("dst"),
+            hashKey(t).as("hk"))
+        val tri = e.select(col("src").as("prev"), col("dst").as("dst"),
+          lit(true).as("isTri"))
+        cands.join(tri, Seq("prev", "dst"), "left_outer")
+          .select(col("start"), col("node").as("newPrev"),
+            struct((col("hk") * when(col("dst") === col("prev"), lit(p.toLong))
+              .when(col("isTri"), lit(1L))
+              .otherwise(lit(q.toLong))).as("sc"), col("dst")).as("cand"))
+          .groupBy(col("start")).agg(min(col("cand")).as("m"),
+            first(col("newPrev")).as("np"))
+          .select(col("start"), col("np").as("prev"),
+            col("m").getField("dst").as("node"))
+          .localCheckpoint(true)
+      }
+      layers += next.select(col("start"), lit(t).as("step"), col("node"))
+      frontier = next
+      t += 1
+    }
+    e.unpersist(false)
+    layers.result().reduce(_ unionByName _)
+  }
+
   /** Driver-side BFS twin — same (node, dist) schema and semantics as
     * the distributed frontier loop. */
   private def hopDistanceLocal(e: DataFrame, seeds: DataFrame): DataFrame = {

@@ -2249,6 +2249,189 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._2 % 6).toSet.size == 6)
   }
 
+  test("zipf slope: ~-1 on an exact 1/r law, reference equality, degenerate exclusion") {
+    // frequencies follow 840/r exactly for ranks 1..8
+    val freqs = Seq("a" -> 840, "b" -> 420, "c" -> 280, "d" -> 210,
+      "e" -> 168, "f" -> 140, "g" -> 120, "h" -> 105)
+    val text = freqs.flatMap { case (t, n) => Seq.fill(n)(t) }.mkString(" ")
+    val docs = Seq((1L, text, "en"), (2L, "x y", "tiny"))
+      .toDF("doc_id", "text", "lang")
+    val rows = TextAnalysis.zipfSlope(docs, "lang", topK = 8)
+      .as[(String, Long, Double)].collect().toSeq
+    // the 2-term group is excluded (degenerate denominator)
+    assert(rows.map(_._1) == Seq("en"))
+    val (_, n, slope) = rows.head
+    assert(n == 8 && math.abs(slope + 1.0) < 1e-3, s"slope $slope")
+    // exact fixed-point reference
+    val xy = freqs.zipWithIndex.map { case ((_, c), i) =>
+      (math.floor(math.log((i + 1).toDouble) * 1e6).toLong,
+        math.floor(math.log(c.toDouble) * 1e6).toLong)
+    }
+    val nn = xy.size.toLong
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val (sxy, sxx) = (xy.map(p => p._1 * p._2).sum, xy.map(p => p._1 * p._1).sum)
+    val ref = BigDecimal((nn * sxy - sx * sy).toDouble / (nn * sxx - sx * sx).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(slope == ref)
+    // flat distribution (all equal counts): slope 0 exactly
+    val flat = Seq((1L, Seq.fill(5)("p q r s").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val fs = TextAnalysis.zipfSlope(flat, "lang", topK = 8)
+      .as[(String, Long, Double)].collect().head
+    assert(fs._2 == 4 && fs._3 == 0.0, fs)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.zipfSlope(docs, "lang", topK = 2)
+    }
+  }
+
+  test("k-truss invariants on random graphs: nesting, self-consistency (seeded)") {
+    val rnd = new scala.util.Random(97)
+    for (trial <- 0 until 3) {
+      val edges = Seq.fill(120)(
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter(p => p._1 != p._2).toDF("src", "dst")
+      // rounds high enough to converge on 25 nodes
+      val t3 = TopicGraph.kTrussPeel(edges, k = 3, rounds = 30)
+        .as[(Long, Long)].collect().toSet
+      val t4 = TopicGraph.kTrussPeel(edges, k = 4, rounds = 30)
+        .as[(Long, Long)].collect().toSet
+      // nesting: the (k+1)-truss is a subgraph of the k-truss
+      assert(t4.subsetOf(t3), s"trial $trial: 4-truss not within 3-truss")
+      // self-consistency: every surviving k=4 edge has >= 2 common
+      // neighbors INSIDE the surviving subgraph (converged fixpoint)
+      val adj = t4.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      t4.foreach { case (u, v) =>
+        val c = adj(u).count(adj.getOrElse(v, Set.empty).toSet)
+        assert(c >= 2, s"trial $trial: edge ($u,$v) support $c")
+      }
+    }
+  }
+
+  test("hits: duplicating the edge multiset leaves normalized scores unchanged") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val once = TopicGraph.hits(edges, iters = 5)
+      .as[(String, Double, Double)].collect().sortBy(_._1).toSeq
+    val twice = TopicGraph.hits(edges.unionByName(edges), iters = 5)
+      .as[(String, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(once.map(_._1) == twice.map(_._1))
+    once.zip(twice).foreach { case ((n, h1, a1), (_, h2, a2)) =>
+      // doubled sums normalize away (up to summation-order ulps)
+      assert(math.abs(h1 - h2) < 1e-12 && math.abs(a1 - a2) < 1e-12, n)
+    }
+  }
+
+  test("node2vec: p=q=1 equals first-order walks; exact reference equality; guards") {
+    val n = 30L
+    val edges = ((0L until n).map(i => (i, (i + 1) % n)) ++
+      (0L until n).map(i => (i, (i * 2 + 1) % n))).toDF("src", "dst")
+    val starts = edges.select(col("src").as("node")).distinct()
+    // degenerate bias (p = q = 1) collapses to the first-order walk
+    val a = TopicGraph.node2vecWalks(edges, starts, steps = 4,
+      p = 1, q = 1, seed = "w").as[(Long, Int, Long)].collect().toSet
+    val b = TopicGraph.randomWalks(edges, starts, steps = 4)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a == b)
+    // full-output equality with a plain-Scala reference (exact integer
+    // key * class arithmetic)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(x => f"$x%02x").mkString
+    def key(st: Long, t: Int, d: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"n2v:$st:$t:$d").take(15), 16)
+    val adj = (0L until n)
+      .map(i => i -> Seq((i + 1) % n, (i * 2 + 1) % n).distinct).toMap
+    val adjSet = adj.toSeq.flatMap { case (s0, ds) => ds.map((s0, _)) }.toSet
+    def ref(start: Long, steps: Int, p: Long, q: Long): Seq[(Long, Int, Long)] = {
+      var prev = -1L
+      var cur = start
+      (0 to steps).map { t =>
+        if (t == 0) (start, 0, cur)
+        else {
+          val pick = adj(cur).minBy { x =>
+            val w = if (t == 1) 1L
+              else if (x == prev) p
+              else if (adjSet.contains((prev, x))) 1L else q
+            (key(start, t, x) * w, x)
+          }
+          prev = cur; cur = pick
+          (start, t, cur)
+        }
+      }
+    }
+    val got = TopicGraph.node2vecWalks(edges, starts, steps = 4, p = 4, q = 2)
+      .as[(Long, Int, Long)].collect().toSet
+    val want = (0L until n).flatMap(s0 => ref(s0, 4, 4L, 2L)).toSet
+    assert(got == want)
+    // the bias changes SOME step-(>=2) choice vs the unbiased walk
+    val unb = TopicGraph.node2vecWalks(edges, starts, steps = 4,
+      p = 1, q = 1).as[(Long, Int, Long)].collect().toSet
+    assert(got != unb)
+    intercept[IllegalArgumentException] {
+      TopicGraph.node2vecWalks(edges, starts, 2, p = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TopicGraph.node2vecWalks(edges, starts, 2, q = 9)
+    }
+  }
+
+  test("winnowing: driver-reference equality, no-miss guarantee, common-code elimination") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    def ref(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+      val t = text.split(" ").toSeq
+      if (t.size < k + w - 1) Set.empty
+      else {
+        val hs = (0 to t.size - k).map(i => java.lang.Long.parseLong(
+          md5hex(t.slice(i, i + k).mkString(" ")).take(15), 16))
+        (0 to hs.size - w).map { s =>
+          val m = (s until s + w).map(j => (hs(j), -j)).min
+          ((-m._2).toLong, m._1)
+        }.toSet
+      }
+    }
+    val texts = Seq(
+      1L -> "a b c d e f g h i j k l",
+      2L -> "x y z a b c d e f g h q",  // shares the 9-token run a..h? (7+)
+      3L -> "m m m m m m m m m m",      // all-equal grams: rightmost-tie rule
+      4L -> "p q r s t u",              // too short (< k+w-1): no fingerprints
+      5L -> "a b c d e f g h i j k l") // exact dup of 1
+    val docs = texts.toDF("doc_id", "text")
+    val got = Dedup.winnowingFingerprints(docs, k = 4, w = 4)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    texts.foreach { case (id, t) =>
+      assert(got.getOrElse(id, Set.empty) == ref(t, 4, 4), s"doc $id")
+    }
+    // no-miss: docs 1 and 2 share a >= 7-token run -> >= 1 shared hash
+    val h1 = got(1L).map(_._2); val h2 = got(2L).map(_._2)
+    assert(h1.intersect(h2).nonEmpty)
+    // exact dup shares ALL fingerprints
+    assert(got(5L).map(_._2) == h1)
+    // pairs: dup pair dominates; the shared-run pair appears
+    val pairs = Dedup.winnowingPairs(docs, k = 4, w = 4, maxDf = 5)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 5L)) == h1.size.toLong)
+    assert(pairs.contains((1L, 2L)))
+    // common-code elimination: a gram in MORE than maxDf docs stops
+    // matching — with maxDf = 2 the triple-shared hashes (docs 1, 2, 5)
+    // are idiom, so the (1,2) pair dies while (1,5) keeps its
+    // exclusive duplicates
+    val strict = Dedup.winnowingPairs(docs, k = 4, w = 4, maxDf = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(!strict.contains((1L, 2L)) && strict.contains((1L, 5L)))
+    // deterministic under repartition
+    val again = Dedup.winnowingPairs(docs.repartition(5), k = 4, w = 4,
+      maxDf = 5).as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(again == pairs)
+    intercept[IllegalArgumentException] {
+      Dedup.winnowingPairs(docs, maxDf = 1)
+    }
+  }
+
   test("neighbor sampling: fanout bound, real-edge subset, frontier consistency, seeds") {
     // hub with 10 out-neighbors; each neighbor has 3 second-layer edges
     val edges = ((1L to 10L).map(i => (0L, i)) ++

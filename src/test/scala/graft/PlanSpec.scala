@@ -317,6 +317,38 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q120 weighted sample runs as TakeOrderedAndProject (k rows per task)") {
+    val p = plan("q120_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), s"global sort crept into the sample:\n$p")
+  }
+
+  test("q122 bm25: tf columns come from ONE scan pass per query branch, no explode") {
+    // checkpoint=false keeps the lazy plan inspectable (the query slot
+    // itself checkpoints, which collapses the plan to an RDD scan)
+    val p = graft.pipeline.TextAnalysis.bm25TopK(
+      graft.core.Tables.documents(spark, sfDir),
+      queries = Seq(1 -> Seq("hash", "join"), 2 -> Seq("spark", "stream")),
+      k = 10, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    // the inverted-index formulation would explode tokens and shuffle
+    // a (doc, term) relation; the fixed-workload plan must not
+    assert(!p.contains("Generate explode"), s"explode crept into bm25:\n$p")
+    // scoring exchanges: only the per-query top-k window shuffle
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q124 neighbor sampling: WindowGroupLimit partial top-k before every exchange") {
+    val df = SparkEntry.queries("q124_neighbor_sample")(spark, sfDir)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("WindowGroupLimit"), p)
+    // both hops keep the partial/final pair (map-side top-k shipped)
+    val partials = p.linesIterator.count(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    assert(partials >= 2, s"expected partial WindowGroupLimit per hop:\n$p")
+  }
+
   test("mentions-stage plan has ONE object boundary (no counting-map sandwich)") {
     // Main used to thread a dedicated counting `.map` between the scan
     // and every consuming stage — a full DeserializeToObject ->
