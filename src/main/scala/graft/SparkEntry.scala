@@ -2001,6 +2001,14 @@ object SparkEntry {
       TopicGraph.triangles(edges)
     }),
 
+    "q128_source_kl" -> ((s, d) =>
+      // per-source distribution-shift gate: KL(P_source || P_corpus)
+      // over unigrams, exact up to the fixed-point ln grid (integer
+      // sums — aggregation order can never move the hash); template
+      // spam / mislabeled sources surface as outliers
+      TextAnalysis.sourceKl(Tables.documents(s, d), "source")
+        .withColumnRenamed("grp", "source")),
+
     "q127_zipf_slope" -> ((s, d) =>
       // per-language Zipf power-law slope over the top-32 terms —
       // corpus-health distribution gate (natural text ≈ −1). The
@@ -2899,6 +2907,30 @@ object SparkEntry {
     "q117_hits" -> hitsOracleSql,
 
     "q122_bm25" -> bm25OracleSql,
+
+    "q128_source_kl" ->
+      // restates sourceKl verbatim: exact integer S = sum cs*(lnfp(cs)
+      // - lnfp(c)), KL = (S/Ts - lnfp(Ts) + lnfp(T)) / 1e6, pinned
+      // expression order, round 6
+      """WITH tok AS (
+        |  SELECT source AS grp, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |bg AS MATERIALIZED (
+        |  SELECT grp, t, count(*)::BIGINT AS cs FROM tok
+        |  WHERE t <> '' GROUP BY 1, 2),
+        |gl AS MATERIALIZED (SELECT t, sum(cs)::BIGINT AS c FROM bg GROUP BY 1),
+        |tt AS (SELECT sum(c)::BIGINT AS tt FROM gl),
+        |ag AS (
+        |  SELECT b.grp, sum(b.cs)::BIGINT AS ts,
+        |   sum(b.cs * (CAST(floor(ln(b.cs::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT)
+        |             - CAST(floor(ln(g.c::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT)))::BIGINT AS s
+        |  FROM bg b JOIN gl g USING (t) GROUP BY 1)
+        |SELECT grp AS source, ts AS n_tok,
+        | round((s::DOUBLE / ts::DOUBLE
+        |   - CAST(floor(ln(ts::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT)::DOUBLE
+        |   + CAST(floor(ln((SELECT tt FROM tt)::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT)::DOUBLE)
+        |  / 1000000.0::DOUBLE, 6) AS kl_r6
+        |FROM ag""".stripMargin,
 
     "q127_zipf_slope" ->
       // restates zipfSlope verbatim: dense (count DESC, term ASC)

@@ -292,6 +292,45 @@ object TextAnalysis {
   }
 
   /**
+   * Per-group KL divergence to the corpus-global unigram distribution
+   * — the distribution-shift gate of a mixture recipe (a source whose
+   * token distribution diverges hard from the corpus is template spam
+   * or mislabeled data; DoReMi/DSIR reason in exactly these
+   * log-ratios). KL(P_g ‖ P) computed EXACTLY up to the fixed-point
+   * log grid: with lnfp(x) = ⌊ln(x)·1e6⌋ as longs,
+   * S_g = Σ_t c_gt·(lnfp(c_gt) − lnfp(c_t)) is an exact integer
+   * (aggregation-order-free — the [[zipfSlope]]/DSIR trick), and
+   * KL = (S_g/T_g − lnfp(T_g) + lnfp(T)) / 1e6 materializes as a
+   * double once, in a pinned expression order the oracle restates.
+   * Every scored token exists globally by construction, so the ratio
+   * is always finite (no smoothing needed).
+   *
+   * Scale: one explode, one (group, token) count (map-side partial),
+   * a vocabulary-sized broadcast join, and a #groups-row aggregate.
+   *
+   * Output: (grp, n_tok, kl_r6).
+   */
+  def sourceKl(docs: DataFrame, groupCol: String): DataFrame = {
+    def lnfp(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1e6)).cast("long")
+    val tok = docs.select(col(groupCol).as("grp"),
+        explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val byGrp = tok.groupBy(col("grp"), col("t")).agg(count(lit(1)).as("cs"))
+    val global = byGrp.groupBy(col("t")).agg(sum(col("cs")).as("c"))
+    val tot = global.agg(sum(col("c")).as("tt"))
+    byGrp.join(broadcast(global), Seq("t"))
+      .groupBy(col("grp"))
+      .agg(sum(col("cs")).as("ts"),
+        sum(col("cs") * (lnfp(col("cs")) - lnfp(col("c")))).as("s"))
+      .crossJoin(broadcast(tot))
+      .select(col("grp"), col("ts").as("n_tok"),
+        round((col("s").cast("double") / col("ts").cast("double")
+          - lnfp(col("ts")).cast("double") + lnfp(col("tt")).cast("double"))
+          / lit(1e6), 6).as("kl_r6"))
+  }
+
+  /**
    * BM25 top-k retrieval (Robertson & Zaragoza 2009, the Lucene
    * `1 + (N−df+0.5)/(df+0.5)` IDF variant) for a FIXED query
    * workload — the benchmark-retrieval / contamination-audit shape:

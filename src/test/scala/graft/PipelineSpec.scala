@@ -2249,6 +2249,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._2 % 6).toSet.size == 6)
   }
 
+  test("source KL: fixed-point reference equality, zero at parity, shift positivity") {
+    def lnfp(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+    def ref(corpus: Seq[(String, Seq[String])]): Map[String, Double] = {
+      val byGrp = corpus.groupBy(_._1).view
+        .mapValues(_.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap)
+        .toMap
+      val global = byGrp.values.flatten
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val tt = global.values.sum
+      byGrp.map { case (g, cs) =>
+        val ts = cs.values.sum
+        val s = cs.map { case (t, c) => c * (lnfp(c) - lnfp(global(t))) }.sum
+        val kl = (s.toDouble / ts.toDouble - lnfp(ts).toDouble + lnfp(tt).toDouble) / 1e6
+        g -> (BigDecimal(kl).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble + 0.0)
+      }
+    }
+    val corpus = Seq(
+      ("s1", "a a b c"), ("s2", "a a b c"), ("s3", "z z z z z z"))
+    val docs = corpus.zipWithIndex
+      .map { case ((src, t), i) => (i.toLong, t, src) }
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceKl(docs, "source")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val want = ref(corpus.map { case (s0, t) => (s0, t.split(" ").toSeq) })
+    assert(got == want)
+    // the disjoint-vocab source diverges hardest; matching sources sit
+    // at ln 2-ish (half the corpus mass shifted to z by s3)
+    assert(got("s3") > got("s1") && got("s3") > 0.5)
+    // parity corpus (global == each source's distribution): KL ~ 0 up
+    // to the 1e-6 log grid
+    val par = Seq((1L, "a a b", "p1"), (2L, "a a b", "p2"))
+      .toDF("doc_id", "text", "source")
+    TextAnalysis.sourceKl(par, "source")
+      .as[(String, Long, Double)].collect()
+      .foreach { case (g, n, kl) =>
+        assert(n == 3 && math.abs(kl) < 1e-4, s"$g kl=$kl")
+      }
+  }
+
   test("zipf slope: ~-1 on an exact 1/r law, reference equality, degenerate exclusion") {
     // frequencies follow 840/r exactly for ranks 1..8
     val freqs = Seq("a" -> 840, "b" -> 420, "c" -> 280, "d" -> 210,
