@@ -2001,6 +2001,15 @@ object SparkEntry {
       TopicGraph.triangles(edges)
     }),
 
+    "q129_containment_join" -> ((s, d) =>
+      // exact asymmetric containment join over 3-shingle sets at
+      // >= 0.8: "A quoted inside B" pairs the symmetric q105 Jaccard
+      // join structurally misses — rarest-first prefix on the quote
+      // side, full posting list on the container side (lossless,
+      // proof in scaladoc), integer-arithmetic verify
+      Dedup.containmentJoinExact(Tables.documents(s, d),
+        tauNum = 4, tauDen = 5)),
+
     "q128_source_kl" -> ((s, d) =>
       // per-source distribution-shift gate: KL(P_source || P_corpus)
       // over unigrams, exact up to the fixed-point ln grid (integer
@@ -2907,6 +2916,38 @@ object SparkEntry {
     "q117_hits" -> hitsOracleSql,
 
     "q122_bm25" -> bm25OracleSql,
+
+    "q129_containment_join" ->
+      // restates containmentJoinExact verbatim: distinct 3-shingle
+      // sets, df-rarest-first per-doc arrays, prefix length
+      // sz − ((4·sz+4)//5) + 1 on the quote side vs the full posting
+      // list, distinct candidates, integer verify 5·|A∩B| ≥ 4·|A|
+      """WITH sh0 AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   range(1, greatest(length(toks) - 1, 2)),
+        |   i -> array_to_string(toks[i:i+2], ' '))) AS ss
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |tk AS MATERIALIZED (SELECT doc_id, unnest(ss) AS tok FROM sh0),
+        |dfreq AS MATERIALIZED (
+        | SELECT tok, count(*)::BIGINT AS df FROM tk GROUP BY 1),
+        |arrs AS MATERIALIZED (
+        | SELECT t.doc_id, list(t.tok ORDER BY d.df, t.tok) AS arr,
+        |   count(*)::BIGINT AS sz
+        | FROM tk t JOIN dfreq d USING (tok) GROUP BY 1),
+        |pref AS MATERIALIZED (
+        | SELECT doc_id AS doc_a,
+        |  unnest(arr[1:CAST(sz - ((4*sz + 4) // 5) + 1 AS INT)]) AS tok
+        | FROM arrs),
+        |post AS MATERIALIZED (SELECT doc_id AS doc_b, unnest(arr) AS tok FROM arrs),
+        |cand AS MATERIALIZED (
+        | SELECT DISTINCT doc_a, doc_b FROM pref JOIN post USING (tok)
+        | WHERE doc_a <> doc_b)
+        |SELECT c.doc_a, c.doc_b,
+        | round(len(list_intersect(a.arr, b.arr))::DOUBLE / a.sz::DOUBLE, 6)
+        |   AS containment_r6
+        |FROM cand c JOIN arrs a ON a.doc_id = c.doc_a
+        | JOIN arrs b ON b.doc_id = c.doc_b
+        |WHERE 5 * len(list_intersect(a.arr, b.arr)) >= 4 * a.sz""".stripMargin,
 
     "q128_source_kl" ->
       // restates sourceKl verbatim: exact integer S = sum cs*(lnfp(cs)

@@ -705,6 +705,67 @@ object Dedup {
   }
 
   /**
+   * Exact CONTAINMENT join (asymmetric set overlap — "A is quoted
+   * inside B"): all ORDERED pairs with |A∩B|/|A| ≥ num/den, A ≠ B,
+   * over each document's DISTINCT `shingleN`-word shingle set. The
+   * symmetric Jaccard join (q105) structurally misses this case: a
+   * 30-token license header verbatim inside a 3000-token file has
+   * Jaccard ≈ 0.01 but containment 1.0 — the quote / boilerplate /
+   * benchmark-leak shape a contamination audit needs. Shingles (not
+   * unigrams) keep the relation sharp: unigram containment on a
+   * small-vocabulary corpus degenerates toward all-pairs.
+   *
+   * Blocking (complete): A's shingles sort rarest-first (global df
+   * order) and only the PREFIX of length LA − ⌈t·LA⌉ + 1 is indexed;
+   * the container side indexes ALL its shingles — containment puts no
+   * lower bound on |B|, so B has no prefix; its full posting list is
+   * the inherent index of the problem (exactly the inverted index
+   * every quote detector builds). Proof of no-miss: if B misses every
+   * prefix shingle of A it misses ≥ LA − ⌈t·LA⌉ + 1 of A's shingles,
+   * so |A∩B| ≤ ⌈t·LA⌉ − 1 < t·LA. Verify gathers the two arrays and
+   * checks den·|A∩B| ≥ num·LA in integer arithmetic.
+   *
+   * Scale: the quote side ships (1−t)·LA + 1 rows per doc; the
+   * posting side is the corpus shingle relation; fan-out per prefix
+   * shingle is its df — and rarest-first makes that the smallest df
+   * available. Shuffles carry (shingle-hash… here shingle, id, size)
+   * only; arrays re-join only on the candidate set.
+   */
+  def containmentJoinExact(docs: DataFrame, tauNum: Int = 9,
+      tauDen: Int = 10, shingleN: Int = 3): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold must be a rational in (0,1], got $tauNum/$tauDen")
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(wordShingles(col("text"), shingleN))).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sorted = toks.join(dfreq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
+      .select(col("doc_id"),
+        transform(col("ts"), s => s.getField("tok")).as("arr"),
+        size(col("ts")).as("sz"))
+      .localCheckpoint(true) // consumed by the prefix, postings, and both verify sides
+    val p = (col("sz") - ((lit(tauNum.toLong) * col("sz") + lit(tauDen - 1))
+      / lit(tauDen)).cast("int") + 1).as("p")
+    val prefA = sorted.select(col("doc_id").as("doc_a"),
+      explode(slice(col("arr"), lit(1), p)).as("tok"))
+    val postB = sorted.select(col("doc_id").as("doc_b"),
+      explode(col("arr")).as("tok"))
+    val cands = prefA.join(postB, Seq("tok"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val da = sorted.select(col("doc_id").as("doc_a"),
+      col("arr").as("arr_a"), col("sz").as("sza"))
+    val db = sorted.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"))
+    cands.join(da, "doc_a").join(db, "doc_b")
+      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .filter(lit(tauDen.toLong) * col("c") >= lit(tauNum.toLong) * col("sza"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / col("sza").cast("double"), 6)
+          .as("containment_r6"))
+  }
+
+  /**
    * Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
    * the MOSS code-plagiarism selector): token k-grams hash to 60-bit
    * md5 prefixes, and each sliding window of `w` consecutive gram

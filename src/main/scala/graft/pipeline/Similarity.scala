@@ -1016,17 +1016,25 @@ object Similarity {
         distTo(typedlit(seed.getSeq[Float](1)), lit(seed.getDouble(2))))
       .localCheckpoint()
     var i = 2
-    while (i <= k) {
-      val top = cur.orderBy(col("d").desc, col("vec_id").asc).limit(1)
-        .collect().head // 1-row argmax read per round, bounded
-      sel += ((i, top.getLong(0), top.getDouble(3)))
-      if (i < k) {
-        cur = cur.filter(col("vec_id") =!= top.getLong(0))
-          .withColumn("d", least(col("d"),
-            distTo(typedlit(top.getSeq[Float](1)), lit(top.getDouble(2)))))
-          .localCheckpoint()
+    var exhausted = false
+    while (i <= k && !exhausted) {
+      // 1-row argmax read per round, bounded; a corpus smaller than k
+      // exhausts gracefully (every point is a center) instead of
+      // crashing on an empty argmax
+      val topOpt = cur.orderBy(col("d").desc, col("vec_id").asc).limit(1)
+        .collect().headOption
+      if (topOpt.isEmpty) { exhausted = true }
+      else {
+        val top = topOpt.get
+        sel += ((i, top.getLong(0), top.getDouble(3)))
+        if (i < k) {
+          cur = cur.filter(col("vec_id") =!= top.getLong(0))
+            .withColumn("d", least(col("d"),
+              distTo(typedlit(top.getSeq[Float](1)), lit(top.getDouble(2)))))
+            .localCheckpoint()
+        }
+        i += 1
       }
-      i += 1
     }
     spark.createDataFrame(sel.toSeq.map { case (r, id, d) =>
       // HALF_UP like SQL round(); + 0.0 normalizes a -0.0 from a

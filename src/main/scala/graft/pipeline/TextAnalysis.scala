@@ -377,6 +377,7 @@ object TextAnalysis {
         sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
     val st = tf.agg(statAggs.head, statAggs.tail: _*).head() // 1 bounded row
     val n = st.getAs[Long]("n")
+    require(n > 0, "bm25TopK: empty corpus")
     val avgdl = st.getAs[Double]("avgdl")
     val idf = terms.indices.map { i =>
       val dfT = st.getAs[Long](s"df_$i")

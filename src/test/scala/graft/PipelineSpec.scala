@@ -2417,6 +2417,52 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("containment join: finds quotes Jaccard misses; all-pairs reference; asymmetry") {
+    val body = (1 to 120).map(i => s"w$i").mkString(" ")
+    val quote = (40 to 60).map(i => s"w$i").mkString(" ") // verbatim 21-token run
+    val other = (200 to 320).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, quote), (3L, other))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentJoinExact(docs, tauNum = 4, tauDen = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    // the quote is contained in the body at 1.0 — ORDERED pair (2, 1)
+    // only; the body is nowhere near contained in the quote
+    assert(out.map(r => (r._1, r._2)) == Seq((2L, 1L)) && out.head._3 == 1.0)
+    // the symmetric Jaccard join at the same threshold cannot see it
+    assert(Dedup.jaccardJoinExact(docs, col("doc_id"), col("text"), 4, 5)
+      .collect().isEmpty)
+    // completeness: engine == naive all-pairs reference on a seeded
+    // corpus with planted quotes
+    val rnd = new scala.util.Random(41)
+    val bases = Vector.fill(40)(
+      Seq.fill(30)("t" + rnd.nextInt(50)).mkString(" "))
+    val corpus = (0 until 40).map { i =>
+      val t = if (i % 7 == 0) bases((i + 3) % 40).split(" ").slice(5, 20)
+        .mkString(" ") else bases(i)
+      (i.toLong, t)
+    }
+    def shingles(t: String): Set[String] = {
+      val tk = t.split(" ")
+      if (tk.length < 3) Set(tk.mkString(" "))
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus; if ia != ib
+      sa = shingles(ta); c = sa.intersect(shingles(tb)).size
+      if 5L * c >= 4L * sa.size
+    } yield (ia, ib, r6(c.toDouble / sa.size))).toSet
+    val got = Dedup.containmentJoinExact(corpus.toDF("doc_id", "text"),
+        tauNum = 4, tauDen = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty) // the planted quotes actually exercise it
+    intercept[IllegalArgumentException] {
+      Dedup.containmentJoinExact(docs, tauNum = 6, tauDen = 5)
+    }
+  }
+
   test("winnowing: driver-reference equality, no-miss guarantee, common-code elimination") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
@@ -2736,6 +2782,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(src.head._2 - 1.0 / 3) < 1e-12)
     assert(math.abs(dst.head._3 - 1.0 / 2) < 1e-12)
     assert(src.forall(_._3 == 0.0) && dst.forall(_._2 == 0.0))
+  }
+
+  test("k-center selection: k beyond corpus size exhausts gracefully") {
+    val rows = Seq(
+      (1L, Array.tabulate(4)(j => if (j == 0) 1.0f else 0.0f)),
+      (2L, Array.tabulate(4)(j => if (j == 1) 1.0f else 0.0f)),
+      (3L, Array.tabulate(4)(j => if (j == 2) 1.0f else 0.0f)))
+    val out = Similarity.kCenterSelect(rows.toDF("vec_id", "embedding"), k = 10)
+      .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+    // every point becomes a center; ranks stay dense 1..3
+    assert(out.map(_._1) == Seq(1, 2, 3))
+    assert(out.map(_._2).toSet == Set(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.TextAnalysis.bm25TopK(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        Seq(1 -> Seq("x")), k = 1)
+    }
   }
 
   test("k-center selection: zero vectors sit at distance 1; partitioning-independent") {
