@@ -1838,6 +1838,14 @@ object SparkEntry {
       TopicGraph.randomWalks(edges, starts, steps = 5)
     }),
 
+    "q130_adamic_adar" -> ((s, d) =>
+      // Adamic-Adar missing-link ranking over the undirected deg-2
+      // synthetic graph: top-100 non-adjacent pairs by the
+      // rare-common-neighbor score, computed in exact fixed-point
+      // longs (each wedge contributes floor(1e9/ln(deg)) — sums are
+      // exact integers, order-free)
+      TopicGraph.adamicAdar(degree2Edges(s, d), k = 100)),
+
     "q126_node2vec" -> ((s, d) => {
       // deterministic node2vec corpus: the q108 walk upgraded to the
       // second-order (p, q) bias — p=4 discourages returning, q=2
@@ -3549,6 +3557,39 @@ object SparkEntry {
     "q108_random_walks" -> randomWalksOracleSql,
 
     "q126_node2vec" -> node2vecOracleSql,
+
+    "q130_adamic_adar" ->
+      // restates adamicAdar verbatim: canonical undirected simple
+      // graph, per-wedge fixed-point term floor(1e9/ln(deg_w)) as
+      // BIGINT, exact integer score sums, anti-join on existing
+      // edges, (score DESC, u, v) top-100
+      """WITH e AS (
+        | SELECT doc_id AS src,
+        |  ((doc_id % (SELECT count(*) FROM documents)) * (doc_id % (SELECT count(*) FROM documents)) + 3) % (SELECT count(*) FROM documents) AS dst
+        | FROM documents
+        | UNION ALL
+        | SELECT doc_id,
+        |  (doc_id*7 + 3) % (SELECT count(*) FROM documents)
+        | FROM documents),
+        |und AS MATERIALIZED (
+        | SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        | FROM e WHERE src <> dst),
+        |sym AS MATERIALIZED (
+        | SELECT u AS w, v AS x FROM und UNION ALL SELECT v AS w, u AS x FROM und),
+        |deg AS MATERIALIZED (SELECT w, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+        |wedge AS (
+        | SELECT a.x AS u, b.x AS v,
+        |  CAST(floor(1000000000.0::DOUBLE / ln(d.d::DOUBLE)) AS BIGINT) AS t
+        | FROM sym a JOIN sym b ON a.w = b.w AND a.x < b.x
+        | JOIN deg d ON d.w = a.w),
+        |sc AS MATERIALIZED (
+        | SELECT u, v, sum(t)::BIGINT AS aa_fp FROM wedge GROUP BY 1, 2),
+        |pred AS (
+        | SELECT s.u, s.v, s.aa_fp FROM sc s
+        | LEFT JOIN und x ON x.u = s.u AND x.v = s.v WHERE x.u IS NULL)
+        |SELECT u, v,
+        | round(aa_fp::DOUBLE / 1000000000.0::DOUBLE, 6) AS aa_r6
+        |FROM pred ORDER BY aa_fp DESC, u ASC, v ASC LIMIT 100""".stripMargin,
 
     "q109_hyperball" ->
       // the q99 register arithmetic (60-bit md5-prefix hash of the node

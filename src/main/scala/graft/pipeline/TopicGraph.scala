@@ -1577,6 +1577,55 @@ object TopicGraph {
   }
 
   /**
+   * Adamic–Adar link prediction (Adamic & Adar 2003): score every
+   * NON-adjacent node pair by Σ_{w ∈ Γ(u)∩Γ(v)} 1/ln(deg(w)) — common
+   * neighbors weighted inversely by their popularity, the classic
+   * missing-link / KG-completion ranker (a shared rare neighbor says
+   * far more than a shared hub). Output: the top-k predicted links.
+   *
+   * Determinism: each wedge contributes ⌊1e9/ln(deg_w)⌋ as a LONG
+   * (deg_w ≥ 2 for any wedge center, so ln > 0; terms ≤ 1.44e9 —
+   * sums stay exact integers at any fan-in), so aggregation order
+   * can never move a score; ranking ties break on (u, v).
+   *
+   * Scale shape: degrees are one aggregate; wedges are one self-join
+   * of the (w, x) adjacency on the center (map-side partial SUM per
+   * (u, v) behind it); existing edges leave via an anti-join; the
+   * top-k is TakeOrderedAndProject. Wedge fan-out at a hub is
+   * deg² — inherent to exact AA; at web scale cap it by sampling each
+   * hub's neighbor list first ([[sampleNeighbors]] with one layer
+   * composes directly).
+   */
+  def adamicAdar(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"adamicAdar: k=$k must be positive")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().persist(lvl)
+    val sym = und.select(col("u").as("w"), col("v").as("x"))
+      .unionByName(und.select(col("v").as("w"), col("u").as("x")))
+    val deg = sym.groupBy(col("w")).agg(count(lit(1)).as("d"))
+    val nbr = sym.join(deg, Seq("w"))
+      .withColumn("t",
+        floor(lit(1.0e9) / log(col("d").cast("double"))).cast("long"))
+    val wedge = nbr.as("a").join(nbr.as("b"),
+        col("a.w") === col("b.w") && col("a.x") < col("b.x"))
+      .select(col("a.x").as("u"), col("b.x").as("v"), col("a.t").as("t"))
+    val scores = wedge.groupBy(col("u"), col("v"))
+      .agg(sum(col("t")).as("aa_fp"))
+    val out = scores.join(und, Seq("u", "v"), "left_anti")
+      .orderBy(col("aa_fp").desc, col("u").asc, col("v").asc)
+      .limit(k)
+      .select(col("u"), col("v"),
+        round(col("aa_fp").cast("double") / lit(1.0e9), 6).as("aa_r6"))
+      .localCheckpoint(true)
+    und.unpersist(false)
+    out
+  }
+
+  /**
    * Deterministic layered neighbor sampling (the GraphSAGE / GNN
    * minibatch-preparation shape, Hamilton et al. 2017): for every
    * root node, sample at most `fanouts(0)` out-neighbors, then for

@@ -2363,6 +2363,50 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("adamic-adar: naive reference equality, rare beats hub, existing edges excluded") {
+    val edgeSeq = Seq(
+      (1L, 10L), (2L, 10L), (8L, 10L), // rare-ish center 10 (deg 3)
+      (3L, 20L), (4L, 20L), (5L, 20L), (6L, 20L), (7L, 20L), // hub 20
+      (1L, 2L)) // 1-2 adjacent: must NOT be predicted
+    val edges = edgeSeq.toDF("src", "dst")
+    val got = TopicGraph.adamicAdar(edges, k = 50)
+      .as[(Long, Long, Double)].collect().toSet
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(es: Seq[(Long, Long)], k: Int): Set[(Long, Long, Double)] = {
+      val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(p => p._1 != p._2).distinct
+      val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      val undSet = und.toSet
+      val nodes = adj.keys.toSeq.sorted
+      val scored = for {
+        u <- nodes; v <- nodes; if u < v && !undSet((u, v))
+        c = adj(u).intersect(adj(v)); if c.nonEmpty
+      } yield (u, v, c.toSeq.map(w =>
+        math.floor(1e9 / math.log(adj(w).size.toDouble)).toLong).sum)
+      scored.sortBy { case (u, v, s) => (-s, u, v) }.take(k)
+        .map { case (u, v, s) => (u, v, r6(s.toDouble / 1e9)) }.toSet
+    }
+    assert(got == ref(edgeSeq, 50))
+    val m = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(!m.contains((1L, 2L))) // adjacent pair excluded
+    // a rare-neighbor-mediated pair (center deg 3) outscores a
+    // hub-mediated one (center deg 5)
+    assert(m((1L, 8L)) > m((3L, 4L)))
+    assert(m((1L, 8L)) == r6(math.floor(1e9 / math.log(3.0)) / 1e9))
+    assert(m((3L, 4L)) == r6(math.floor(1e9 / math.log(5.0)) / 1e9))
+    // k truncation on a larger seeded graph + reference equality
+    val rnd = new scala.util.Random(23)
+    val big = Seq.fill(150)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val gotBig = TopicGraph.adamicAdar(big.toDF("src", "dst"), k = 20)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotBig == ref(big, 20) && gotBig.size == 20)
+    intercept[IllegalArgumentException] {
+      TopicGraph.adamicAdar(edges, k = 0)
+    }
+  }
+
   test("node2vec: p=q=1 equals first-order walks; exact reference equality; guards") {
     val n = 30L
     val edges = ((0L until n).map(i => (i, (i + 1) % n)) ++
