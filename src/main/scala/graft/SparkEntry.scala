@@ -1843,8 +1843,27 @@ object SparkEntry {
       // synthetic graph: top-100 non-adjacent pairs by the
       // rare-common-neighbor score, computed in exact fixed-point
       // longs (each wedge contributes floor(1e9/ln(deg)) — sums are
-      // exact integers, order-free)
+      // exact integers, order-free); at power-law scale the opt-in
+      // maxDeg seeded neighbor cap bounds hub wedge fan-out at f^2
+      // (spec-pinned; default exact so the oracle is unchanged)
       TopicGraph.adamicAdar(degree2Edges(s, d), k = 100)),
+
+    "q131_media_containers" -> ((s, d) => {
+      // the container parsers BITE here: payloads are REAL PNG/WAV/
+      // GIF/BMP bytes synthesized deterministically from doc_id
+      // (every header field a pure formula of the id), then decoded
+      // by the byte-level parsers — the oracle restates the formulas,
+      // so any construction/parse offset slip mismatches (width !=
+      // height by construction rules out swapped-field coincidences)
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("media_id"))
+      Multimodal.decodeMeta(Multimodal.syntheticContainers(ids)).toDF()
+        .select(col("media_id"), col("format").as("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("byte_len"))
+    }),
 
     "q126_node2vec" -> ((s, d) => {
       // deterministic node2vec corpus: the q108 walk upgraded to the
@@ -2014,7 +2033,10 @@ object SparkEntry {
       // >= 0.8: "A quoted inside B" pairs the symmetric q105 Jaccard
       // join structurally misses — rarest-first prefix on the quote
       // side, full posting list on the container side (lossless,
-      // proof in scaladoc), integer-arithmetic verify
+      // proof in scaladoc), integer-arithmetic verify; at boilerplate
+      // scale the opt-in maxDf common-code elimination bounds the
+      // posting fan-out (spec-pinned; default exact so the oracle is
+      // unchanged)
       Dedup.containmentJoinExact(Tables.documents(s, d),
         tauNum = 4, tauDen = 5)),
 
@@ -2141,8 +2163,12 @@ object SparkEntry {
           count(lit(1)).as("n_tokens"))),
 
     "q49_media_meta" -> ((s, d) => {
-      // multimodal plumbing: binary payloads -> typed metadata (stub
-      // decode); only the SQL-reproducible columns are oracle-checked
+      // multimodal plumbing: binary payloads -> typed metadata via the
+      // REAL container parsers (PNG IHDR / JPEG SOFn / GIF LSD / WAV
+      // RIFF / BMP, Multimodal.parseMeta); this row's fixture payloads
+      // are text so only the SQL-reproducible columns are checked here
+      // — q131_media_containers oracle-checks the parsers themselves
+      // over synthesized real container bytes
       val media = Multimodal.documentsAsMedia(Tables.documents(s, d))
       Multimodal.decodeMeta(media).toDF()
         .select(col("media_id"), col("byte_len"))
@@ -3590,6 +3616,29 @@ object SparkEntry {
         |SELECT u, v,
         | round(aa_fp::DOUBLE / 1000000000.0::DOUBLE, 6) AS aa_r6
         |FROM pred ORDER BY aa_fp DESC, u ASC, v ASC LIMIT 100""".stripMargin,
+
+    "q131_media_containers" ->
+      // restates syntheticContainer's header-field formulas: the Spark
+      // side BUILDS real PNG/WAV/GIF/BMP bytes from doc_id and PARSES
+      // them back with the byte-level container parsers; equality with
+      // these closed forms proves construction and parsing agree on
+      // every offset/endianness (kind cycles id%4; wav width=rate,
+      // height=channels, n_frames=PCM sample frames; byte_len = the
+      // fixed layout sizes)
+      """SELECT doc_id AS media_id,
+        | CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+        |  WHEN 2 THEN 'gif' ELSE 'bmp' END AS kind,
+        | CAST(CASE WHEN doc_id % 4 = 1 THEN 8000 + 100 * (doc_id % 8)
+        |  ELSE 16 + doc_id % 100 END AS BIGINT) AS width,
+        | CAST(CASE WHEN doc_id % 4 = 1 THEN 1 + doc_id % 2
+        |  ELSE 8 + doc_id % 50 END AS BIGINT) AS height,
+        | CAST(CASE doc_id % 4 WHEN 1 THEN 5 + doc_id % 9
+        |  WHEN 2 THEN 1 + doc_id % 3 ELSE 1 END AS BIGINT) AS n_frames,
+        | CAST(CASE doc_id % 4 WHEN 0 THEN 33
+        |  WHEN 1 THEN 44 + (5 + doc_id % 9) * (1 + doc_id % 2) * 2
+        |  WHEN 2 THEN 14 + (1 + doc_id % 3) * 15
+        |  ELSE 54 END AS BIGINT) AS byte_len
+        |FROM documents""".stripMargin,
 
     "q109_hyperball" ->
       // the q99 register arithmetic (60-bit md5-prefix hash of the node

@@ -730,14 +730,37 @@ object Dedup {
    * shingle is its df — and rarest-first makes that the smallest df
    * available. Shuffles carry (shingle-hash… here shingle, id, size)
    * only; arrays re-join only on the candidate set.
+   *
+   * `maxDf` (opt-in) is the MOSS common-code elimination ported from
+   * [[winnowingPairs]]: shingles seen in more than `maxDf` documents
+   * are dropped from BOTH index sides before the candidate join, so
+   * no posting list — and hence no per-prefix-shingle fan-out — can
+   * exceed maxDf even when a corpus-wide boilerplate shingle survives
+   * into a quote's rarest-first prefix (the license-header workload
+   * where every quote shingle is corpus-common). Documented recall
+   * trade: a pair is found only if at least one SHARED prefix shingle
+   * has df ≤ maxDf; a quote composed entirely of corpus-common
+   * shingles is reported as boilerplate-by-construction and skipped
+   * — exactly MOSS's position that idiom shared by hundreds of files
+   * is not a quote. Verification is unchanged (exact integer check
+   * over the FULL arrays), so the cap can only lower recall, never
+   * emit a false positive or move a containment value.
    */
   def containmentJoinExact(docs: DataFrame, tauNum: Int = 9,
-      tauDen: Int = 10, shingleN: Int = 3): DataFrame = {
+      tauDen: Int = 10, shingleN: Int = 3,
+      maxDf: Option[Int] = None): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"threshold must be a rational in (0,1], got $tauNum/$tauDen")
+    require(maxDf.forall(_ >= 2),
+      s"containmentJoinExact: maxDf=$maxDf must be >= 2")
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(wordShingles(col("text"), shingleN))).as("tok"))
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // Hot set materialized once (it is boilerplate-sized, not
+    // corpus-sized) so the two anti-joins below don't each re-run the
+    // corpus df aggregate.
+    val hotOpt = maxDf.map(cap =>
+      dfreq.filter(col("df") > cap).select(col("tok")).localCheckpoint(true))
     val sorted = toks.join(dfreq, "tok")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
@@ -747,10 +770,20 @@ object Dedup {
       .localCheckpoint(true) // consumed by the prefix, postings, and both verify sides
     val p = (col("sz") - ((lit(tauNum.toLong) * col("sz") + lit(tauDen - 1))
       / lit(tauDen)).cast("int") + 1).as("p")
-    val prefA = sorted.select(col("doc_id").as("doc_a"),
+    val prefA0 = sorted.select(col("doc_id").as("doc_a"),
       explode(slice(col("arr"), lit(1), p)).as("tok"))
-    val postB = sorted.select(col("doc_id").as("doc_b"),
+    val postB0 = sorted.select(col("doc_id").as("doc_b"),
       explode(col("arr")).as("tok"))
+    // Common-code elimination: the hot set (df > maxDf) is small by
+    // construction — boilerplate shingles, not the corpus — so the
+    // anti-joins prune both index sides without a corpus-sized shuffle
+    // of their own (AQE broadcasts the hot side when it fits).
+    val (prefA, postB) = hotOpt match {
+      case Some(hot) =>
+        (prefA0.join(hot, Seq("tok"), "left_anti"),
+          postB0.join(hot, Seq("tok"), "left_anti"))
+      case None => (prefA0, postB0)
+    }
     val cands = prefA.join(postB, Seq("tok"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()

@@ -371,4 +371,90 @@ object Multimodal {
   def documentsAsMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").as("media_id"),
       col("text").cast("binary").as("payload"))
+
+  /**
+   * Deterministic REAL container for an id — every header field is a
+   * pure formula of the id, so a SQL oracle can verify the byte-level
+   * parsers end to end (build bytes → [[parseMeta]] → fields must
+   * equal the formulas; a construction/parse offset slip surfaces as
+   * a value mismatch since width ≠ height by construction). Kinds
+   * cycle by id % 4: PNG (33-byte sig+IHDR), WAV (44-byte RIFF header
+   * + PCM16 data), GIF89a (13-byte header + 15 bytes per frame +
+   * trailer), BMP (54-byte headers). Formulas:
+   *   image w = 16 + id%100, h = 8 + id%50;
+   *   wav rate = 8000 + 100·(id%8), channels = 1 + id%2,
+   *       sample frames = 5 + id%9;
+   *   gif frames = 1 + id%3.
+   * CRCs are zeroed (header parsing never validates them); GIF frames
+   * carry one 2-byte LZW sub-block each — minimal but walk-valid.
+   */
+  def syntheticContainer(id: Long): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val w = (16 + id % 100).toInt
+    val h = (8 + id % 50).toInt
+    (id % 4) match {
+      case 0 =>
+        val b = ByteBuffer.allocate(33)
+        b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+          .map(_.toByte))
+        b.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+        b.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+          .put(0.toByte)
+        b.putInt(0) // CRC zeroed
+        b.array()
+      case 1 =>
+        val channels = (1 + id % 2).toInt
+        val rate = (8000 + 100 * (id % 8)).toInt
+        val frames = (5 + id % 9).toInt
+        val blockAlign = channels * 2
+        val dataLen = frames * blockAlign
+        val b = ByteBuffer.allocate(44 + dataLen)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+        b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1)
+          .putShort(channels.toShort).putInt(rate).putInt(rate * blockAlign)
+          .putShort(blockAlign.toShort).putShort(16)
+        b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < dataLen / 2) {
+          b.putShort(((id + i * 1103L) % 65536L - 32768L).toShort); i += 1
+        }
+        b.array()
+      case 2 =>
+        val frames = (1 + id % 3).toInt
+        val b = ByteBuffer.allocate(14 + frames * 15)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        b.put("GIF89a".getBytes("US-ASCII")).putShort(w.toShort)
+          .putShort(h.toShort)
+        b.put(0.toByte).put(0.toByte).put(0.toByte) // no GCT, bg, aspect
+        var f = 0
+        while (f < frames) {
+          b.put(0x2c.toByte).putShort(0).putShort(0) // descriptor, left/top
+            .putShort(w.toShort).putShort(h.toShort).put(0.toByte)
+          b.put(2.toByte) // LZW minimum code size
+          b.put(2.toByte).put(((id + f) % 256).toByte) // one 2-byte sub-block
+            .put(((id * 7 + f) % 256).toByte)
+          b.put(0.toByte) // sub-block terminator
+          f += 1
+        }
+        b.put(0x3b.toByte) // trailer
+        b.array()
+      case _ =>
+        val b = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+        b.put("BM".getBytes("US-ASCII")).putInt(54).putInt(0).putInt(54)
+        b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        b.array() // remaining info-header fields stay zero
+      }
+  }
+
+  /** ids(media_id) → (media_id, payload) synthetic container corpus —
+    * map-side, no shuffle; each payload is [[syntheticContainer]]. */
+  def syntheticContainers(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("media_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticContainer(id))))
+      .toDF("media_id", "payload")
+  }
 }

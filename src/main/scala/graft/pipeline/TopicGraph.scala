@@ -1592,12 +1592,23 @@ object TopicGraph {
    * of the (w, x) adjacency on the center (map-side partial SUM per
    * (u, v) behind it); existing edges leave via an anti-join; the
    * top-k is TakeOrderedAndProject. Wedge fan-out at a hub is
-   * deg² — inherent to exact AA; at web scale cap it by sampling each
-   * hub's neighbor list first ([[sampleNeighbors]] with one layer
-   * composes directly).
+   * deg² — inherent to exact AA — so `maxDeg` (the production form on
+   * a power-law graph) caps each center's adjacency at `maxDeg`
+   * neighbors BEFORE the wedge self-join, sampled by the same seeded
+   * md5 rank as [[sampleNeighbors]] (a pure function of
+   * (seed, w, x) — every run and cluster size keeps the identical
+   * subset, via a WindowGroupLimit partial top-k before the
+   * exchange). The 1/ln weight still uses the TRUE degree, so on any
+   * graph whose max degree ≤ maxDeg the capped estimator IS exact
+   * (spec-pinned); at a degree-D hub wedge output drops from D² to
+   * maxDeg² and only hub-centered wedges (the least informative — AA
+   * down-weights them by 1/ln D) can be missed.
    */
-  def adamicAdar(edges: DataFrame, k: Int): DataFrame = {
+  def adamicAdar(edges: DataFrame, k: Int,
+      maxDeg: Option[Int] = None): DataFrame = {
     require(k >= 1, s"adamicAdar: k=$k must be positive")
+    require(maxDeg.forall(_ >= 2),
+      s"adamicAdar: maxDeg=$maxDeg must be >= 2 (a wedge needs 2 neighbors)")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val und = edges
       .select(least(col("src"), col("dst")).as("u"),
@@ -1607,7 +1618,20 @@ object TopicGraph {
     val sym = und.select(col("u").as("w"), col("v").as("x"))
       .unionByName(und.select(col("v").as("w"), col("u").as("x")))
     val deg = sym.groupBy(col("w")).agg(count(lit(1)).as("d"))
-    val nbr = sym.join(deg, Seq("w"))
+    val symCapped = maxDeg match {
+      case Some(f) =>
+        import org.apache.spark.sql.expressions.Window
+        val win = Window.partitionBy(col("w"))
+          .orderBy(md5(concat(lit("aa:"), col("w").cast("string"), lit(":"),
+            col("x").cast("string"))).asc, col("x").asc)
+        sym.withColumn("rn", row_number().over(win))
+          .filter(col("rn") <= f).drop("rn")
+      case None => sym
+    }
+    // d = 1 centers cannot form a wedge (one adjacency row) and would
+    // divide by ln(1) = 0 — drop them before the weight projection
+    val nbr = symCapped.join(deg, Seq("w"))
+      .filter(col("d") >= 2)
       .withColumn("t",
         floor(lit(1.0e9) / log(col("d").cast("double"))).cast("long"))
     val wedge = nbr.as("a").join(nbr.as("b"),

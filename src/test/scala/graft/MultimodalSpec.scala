@@ -97,6 +97,38 @@ class MultimodalSpec extends AnyFunSuite {
     b.array()
   }
 
+  test("synthetic containers: parse-back equals the id formulas (q131 contract)") {
+    // formulas restated from Multimodal.syntheticContainer scaladoc —
+    // the same closed forms the q131 DuckDB oracle uses
+    ((0L until 64L) ++ Seq(997L, 1000003L, 123456789L)).foreach { id =>
+      val bytes = Multimodal.syntheticContainer(id)
+      val m = Multimodal.parseMeta(id, bytes)
+      val (kind, wE, hE, fE, lE) = (id % 4) match {
+        case 0 => ("png", 16 + id % 100, 8 + id % 50, 1L, 33L)
+        case 1 => ("wav", 8000 + 100 * (id % 8), 1 + id % 2, 5 + id % 9,
+          44 + (5 + id % 9) * (1 + id % 2) * 2)
+        case 2 => ("gif", 16 + id % 100, 8 + id % 50, 1 + id % 3,
+          14 + (1 + id % 3) * 15)
+        case _ => ("bmp", 16 + id % 100, 8 + id % 50, 1L, 54L)
+      }
+      assert(m.format == kind && m.width == wE && m.height == hE &&
+        m.n_frames == fE && m.byte_len == lE, s"id=$id -> $m")
+      assert(m.byte_len == bytes.length.toLong)
+      // width != height always — a swapped-offset bug cannot hide
+      assert(m.width != m.height, s"id=$id")
+    }
+    // the distributed relation carries the same payloads
+    import spark.implicits._
+    val ids = (0L until 32L).toDF("media_id")
+    val metas = Multimodal.decodeMeta(Multimodal.syntheticContainers(ids))
+      .collect().map(m => m.media_id -> m).toMap
+    assert(metas.size == 32 &&
+      metas.forall { case (id, m) =>
+        m.checksum == graft.functions.TextFunctions.sha256Hex(
+          Multimodal.syntheticContainer(id))
+      })
+  }
+
   test("golden headers: real PNG/JPEG/GIF/WAV/BMP container parsing") {
     import spark.implicits._
     val png = encode(img(23, 17, 1), "png")

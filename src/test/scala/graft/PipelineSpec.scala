@@ -2407,6 +2407,52 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("adamic-adar maxDeg: capped == exact under the cap; planted hub bounds wedges") {
+    // capped == exact whenever every degree <= cap: the seeded top-f
+    // sample keeps the whole adjacency, so nothing can differ
+    val rnd = new scala.util.Random(29)
+    val small = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .toDF("src", "dst")
+    val exact = TopicGraph.adamicAdar(small, k = 30)
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = TopicGraph.adamicAdar(small, k = 30, maxDeg = Some(64))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == exact)
+    // planted star hub: center 0 with degree D = 60 plus a disjoint
+    // rare wedge. Exact AA emits C(60,2) = 1770 hub-mediated pairs;
+    // with cap f = 5 only the f sampled spokes can pair through the
+    // hub -> <= C(5,2) = 10 hub wedges survive (deg^2 -> f^2 bound),
+    // while the rare wedge (degrees <= 2) is untouched and still
+    // carries its EXACT 1/ln(true deg) weight.
+    val d = 60
+    val hub = ((1 to d).map(i => (0L, 1000L + i)) ++
+      Seq((5000L, 6000L), (5000L, 7000L))).toDF("src", "dst")
+    val gotHub = TopicGraph.adamicAdar(hub, k = 5000)
+      .as[(Long, Long, Double)].collect()
+    val gotCap = TopicGraph.adamicAdar(hub, k = 5000, maxDeg = Some(5))
+      .as[(Long, Long, Double)].collect()
+    assert(gotHub.length == d * (d - 1) / 2 + 1)
+    val hubPairsCap = gotCap.filter(r => r._1 >= 1000L && r._2 >= 1000L
+      && r._2 < 5000L)
+    assert(hubPairsCap.length == 5 * 4 / 2) // exactly C(f,2), not C(D,2)
+    // hub-mediated scores still use the TRUE degree D, not the cap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wHub = r6(math.floor(1e9 / math.log(d.toDouble)) / 1e9)
+    assert(hubPairsCap.forall(_._3 == wHub))
+    // the low-degree wedge survives the cap bit-for-bit
+    val rare = gotCap.filter(r => r._1 == 6000L && r._2 == 7000L)
+    assert(rare.length == 1 &&
+      rare.head._3 == r6(math.floor(1e9 / math.log(2.0)) / 1e9))
+    // determinism: the seeded sample is a pure function of (w, x)
+    val again = TopicGraph.adamicAdar(hub, k = 5000, maxDeg = Some(5))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again == gotCap.toSet)
+    intercept[IllegalArgumentException] {
+      TopicGraph.adamicAdar(hub, k = 5, maxDeg = Some(1))
+    }
+  }
+
   test("node2vec: p=q=1 equals first-order walks; exact reference equality; guards") {
     val n = 30L
     val edges = ((0L until n).map(i => (i, (i + 1) % n)) ++
@@ -2504,6 +2550,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(want.nonEmpty) // the planted quotes actually exercise it
     intercept[IllegalArgumentException] {
       Dedup.containmentJoinExact(docs, tauNum = 6, tauDen = 5)
+    }
+  }
+
+  test("containment join maxDf: boilerplate flood pruned, rare quotes kept, cap==exact when cold") {
+    // boilerplate flood: 30 docs that are the SAME license header (every
+    // shingle df = 30) -> without the cap that is 30*29 = 870 ordered
+    // pairs, each candidate joining a df-30 posting list; with
+    // maxDf = 5 the hot shingles leave BOTH index sides, so the flood
+    // produces zero candidates — the documented MOSS recall trade
+    val header = (1 to 40).map(i => s"lic$i").mkString(" ")
+    val flood = (0 until 30).map(i => (i.toLong, header))
+    // plus one genuine rare-shingle quote pair, which must survive
+    val rareBody = (100 to 220).map(i => s"rb$i").mkString(" ")
+    val rareQuote = (140 to 170).map(i => s"rb$i").mkString(" ")
+    val docs = (flood ++ Seq((100L, rareBody), (101L, rareQuote)))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.containmentJoinExact(docs, tauNum = 4, tauDen = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(uncapped.count(r => r._1 < 30L) == 30 * 29) // the flood, all pairs
+    assert(uncapped.contains((101L, 100L, 1.0)))
+    val capped = Dedup.containmentJoinExact(docs, tauNum = 4, tauDen = 5,
+      maxDf = Some(5)).as[(Long, Long, Double)].collect().toSet
+    // flood gone (bounded candidates), rare quote intact with its
+    // EXACT containment value (verify is over the full arrays)
+    assert(capped == Set((101L, 100L, 1.0)))
+    // when no shingle exceeds the cap, capped == exact bit-for-bit
+    val rnd = new scala.util.Random(47)
+    val cold = (0 until 25).map { i =>
+      val t = if (i % 6 == 0)
+        ((i * 30) to (i * 30 + 25)).map(j => s"c$j") ++
+          (500 to 515).map(j => s"q$j")
+      else ((i * 30) to (i * 30 + 40)).map(j => s"c$j")
+      (i.toLong, t.mkString(" "))
+    }.toDF("doc_id", "text")
+    val a = Dedup.containmentJoinExact(cold, tauNum = 1, tauDen = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Dedup.containmentJoinExact(cold, tauNum = 1, tauDen = 3,
+      maxDf = Some(25)).as[(Long, Long, Double)].collect().toSet
+    assert(a == b && a.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Dedup.containmentJoinExact(docs, maxDf = Some(1))
     }
   }
 
