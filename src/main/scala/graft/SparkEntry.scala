@@ -444,17 +444,28 @@ object SparkEntry {
     * (1 − dot/(‖a‖·‖b‖), zero-norm at distance 1). */
   private val kCenterOracleSql: String = {
     val k = 6
+    // dist restated EXPLICITLY as dot/(sqrt(na)*sqrt(nb)) — the same
+    // expression shape the engine evaluates (vec_dot / vec_norm) —
+    // rather than list_cosine_similarity's internal arithmetic; the
+    // argmax ranks on round(d, 6) with vec_id tie-break, mirroring
+    // the engine's rounded-then-ranked selection
     def distSql(v: String, c: String): String =
       s"""CASE WHEN $v.nn * (SELECT nn FROM $c) = 0 THEN 1.0
-         |   ELSE 1.0 - list_cosine_similarity($v.embedding::DOUBLE[],
-         |     (SELECT embedding FROM $c)::DOUBLE[]) END""".stripMargin
+         |   ELSE 1.0 - list_dot_product($v.embedding::DOUBLE[],
+         |     (SELECT embedding FROM $c)::DOUBLE[])
+         |     / ($v.nn * (SELECT nn FROM $c)) END""".stripMargin
+    // every CTE is MATERIALIZED: each dN is referenced by both cN and
+    // dN+1, so inlining re-evaluates the whole chain per reference —
+    // exponential in k (measured 12+ min at 500 vectors; materialized:
+    // sub-second)
     val head =
-      """WITH e AS (
+      """WITH e AS MATERIALIZED (
         | SELECT vec_id, embedding,
         |  sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v*v))) AS nn
         | FROM embeddings),
-        |c1 AS (SELECT vec_id, embedding, nn FROM e ORDER BY vec_id LIMIT 1),
-        |d1 AS (
+        |c1 AS MATERIALIZED (
+        | SELECT vec_id, embedding, nn FROM e ORDER BY vec_id LIMIT 1),
+        |d1 AS MATERIALIZED (
         | SELECT v.vec_id, v.embedding, v.nn, """.stripMargin +
         distSql("v", "c1") +
         " AS d\n FROM e v WHERE v.vec_id <> (SELECT vec_id FROM c1))"
@@ -462,13 +473,13 @@ object SparkEntry {
       val upd =
         if (i == k) ""
         else s""",
-           |d$i AS (
+           |d$i AS MATERIALIZED (
            | SELECT v.vec_id, v.embedding, v.nn,
            |  least(v.d, ${distSql("v", s"c$i")}) AS d
            | FROM d${i - 1} v
            | WHERE v.vec_id <> (SELECT vec_id FROM c$i))""".stripMargin
-      s"""c$i AS (SELECT vec_id, embedding, nn, d FROM d${i - 1}
-         | ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin + upd
+      s"""c$i AS MATERIALIZED (SELECT vec_id, embedding, nn, d FROM d${i - 1}
+         | ORDER BY round(d, 6) DESC, vec_id LIMIT 1)""".stripMargin + upd
     }
     val out = (s"""SELECT CAST(1 AS INT) AS sel_rank,
        | (SELECT vec_id FROM c1) AS vec_id, 0.0 AS radius_r6""".stripMargin +:
@@ -1465,7 +1476,8 @@ object SparkEntry {
       // disambiguation stage, hubs flag index/directory files. Same
       // alias edge set, same adaptive driver fast path discipline;
       // PipelineSpec pins the distributed loop (localThreshold = 0)
-      // value-equal
+      // equal to 1e-9 (normalized double sums agree to summation-
+      // order ulps, not bit-for-bit — see TopicGraph.hits scaladoc)
       TopicGraph.hits(aliasEdges(s, d), iters = 4)
         .select(col("node"), round(col("hub"), 8).as("hub_r8"),
           round(col("auth"), 8).as("auth_r8"))),

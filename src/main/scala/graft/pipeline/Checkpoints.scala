@@ -141,9 +141,33 @@ final class Checkpoints(spark: SparkSession, baseDir: String) {
    * the new version number. The log is monotone: committing after a
    * [[rollback]] allocates past the rolled-back versions (old
    * snapshots stay readable — Iceberg semantics).
+   *
+   * Concurrency: the version number is CLAIMED by creating its
+   * directory with `Files.createDirectory` — an atomic
+   * fail-on-collision primitive — so two committers racing the same
+   * stage allocate DISTINCT versions instead of clobbering each
+   * other's parquet/_VMANIFEST (last HEAD swing wins, both snapshots
+   * stay readable — optimistic-concurrency, Iceberg-style). A
+   * sustained collision storm (> 64 contenders) fails loudly.
    */
   def commitVersion(name: String)(compute: => DataFrame): Long = {
-    val v = versions(name).lastOption.getOrElse(0L) + 1L
+    Files.createDirectories(Paths.get(versionsDir(name)))
+    var v = versions(name).lastOption.getOrElse(0L) + 1L
+    var claimed = false
+    var attempts = 0
+    while (!claimed) {
+      try {
+        Files.createDirectory(Paths.get(versionDir(name, v)))
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1
+          if (attempts > 64) throw new IllegalStateException(
+            s"checkpoint stage '$name': could not claim a version after " +
+              s"$attempts collisions — runaway committer contention")
+          v = math.max(v + 1, versions(name).lastOption.getOrElse(0L) + 1L)
+      }
+    }
     val df = compute
     df.write.mode("overwrite").parquet(versionDir(name, v))
     val persisted = spark.read.parquet(versionDir(name, v))

@@ -1020,8 +1020,13 @@ object Similarity {
     while (i <= k && !exhausted) {
       // 1-row argmax read per round, bounded; a corpus smaller than k
       // exhausts gracefully (every point is a center) instead of
-      // crashing on an empty argmax
-      val topOpt = cur.orderBy(col("d").desc, col("vec_id").asc).limit(1)
+      // crashing on an empty argmax. The rank key is round(d, 6) with
+      // vec_id tie-break (the bm25TopK rounded-then-ranked
+      // discipline): a sub-ulp libm/summation divergence between
+      // engines on a near-tie would otherwise pick a different center
+      // and cascade into a wholly different selection
+      val topOpt = cur
+        .orderBy(round(col("d"), 6).desc, col("vec_id").asc).limit(1)
         .collect().headOption
       if (topOpt.isEmpty) { exhausted = true }
       else {

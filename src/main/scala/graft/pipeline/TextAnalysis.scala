@@ -308,6 +308,13 @@ object TextAnalysis {
    * Scale: one explode, one (group, token) count (map-side partial),
    * a vocabulary-sized broadcast join, and a #groups-row aggregate.
    *
+   * Range: each term is bounded by cs·ln(T)·1e6, so a LONG sum would
+   * wrap silently once a group holds ≳ 9.2e18/(ln(T)·1e6) ≈ 3·10^11
+   * tokens at trillion-token corpus scale — inside the advertised
+   * envelope. S therefore accumulates as decimal(38,0): exact to
+   * 10^38 (the DuckDB oracle's HUGEINT semantics), overflow raises
+   * instead of wrapping, and the sum stays order-free.
+   *
    * Output: (grp, n_tok, kl_r6).
    */
   def sourceKl(docs: DataFrame, groupCol: String): DataFrame = {
@@ -322,7 +329,10 @@ object TextAnalysis {
     byGrp.join(broadcast(global), Seq("t"))
       .groupBy(col("grp"))
       .agg(sum(col("cs")).as("ts"),
-        sum(col("cs") * (lnfp(col("cs")) - lnfp(col("c")))).as("s"))
+        // cs promotes to decimal BEFORE the multiply — the long
+        // product itself would wrap first at extreme group sizes
+        sum(col("cs").cast("decimal(20,0)") *
+          (lnfp(col("cs")) - lnfp(col("c")))).as("s"))
       .crossJoin(broadcast(tot))
       .select(col("grp"), col("ts").as("n_tok"),
         round((col("s").cast("double") / col("ts").cast("double")

@@ -1505,7 +1505,12 @@ object TopicGraph {
    * 1-row normalization aggregate rides broadcast (never the driver),
    * shuffle partitions adapted to edge count, every-4th-iteration
    * localCheckpoint, driver fast path below `localThreshold` edges
-   * with the distributed loop spec-pinned value-equal.
+   * with the distributed loop spec-pinned equal to 1e-9 (the
+   * normalization's double sums are shuffle-order-dependent, so the
+   * two paths agree to summation-order ulps, not bit-for-bit — the
+   * 8-dp rounded export can in principle flip on a near-tie at
+   * scale, unlike the fixed-point integer sums of zipfSlope/
+   * sourceKl/adamicAdar which normalization-free operators use).
    *
    * Output: (node, hub, auth) for every node of the edge relation;
    * both columns sum to 1.

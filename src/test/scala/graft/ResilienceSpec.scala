@@ -271,4 +271,21 @@ class ResilienceSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(vm, full.take(full.length / 2))
     assert(new Checkpoints(spark, dir).versions("t") == Seq.empty)
   }
+
+  test("snapshot versions: directory claim walks past a racing/stale allocation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-race").toString
+    val cp = new Checkpoints(spark, dir)
+    assert(cp.commitVersion("t") { spark.range(5).toDF() } == 1L)
+    // a concurrent committer (or a crashed one) already CLAIMED v2:
+    // its directory exists but carries no _VMANIFEST yet — the next
+    // commit must not clobber it, it must allocate v3
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/t/_versions/v00002"))
+    assert(cp.commitVersion("t") { spark.range(7).toDF() } == 3L)
+    assert(cp.versions("t") == Seq(1L, 3L)) // v2 stays the other writer's
+    assert(cp.currentVersion("t").contains(3L))
+    assert(cp.readVersion("t").count() == 7L)
+    // the stale claim never becomes readable without its manifest
+    intercept[IllegalArgumentException] { cp.readVersion("t", Some(2L)) }
+  }
 }
