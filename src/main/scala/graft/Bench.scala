@@ -60,6 +60,12 @@ object Bench {
       // the core count (measured 19 post-shuffle partitions at 32 cores
       // with the 1m default -> a 40% longer reduce tail)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+      // the SQL listener renders a physicalPlanDescription for EVERY
+      // action even with the UI off; the forced-distributed iterative
+      // loops (graph_dist leg) nest plans deeply enough that the
+      // default ~2 GB cap OOMs the driver building that string —
+      // 1 MB is plenty for humans and bounded for the JVM
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -167,7 +173,8 @@ object Bench {
     // 2.9x on identical sf1 work across host windows, round-3 verdict
     // #2) — fresh-credit placement plus a per-query median of 3 passes
     // makes the block comparable round-over-round ----
-    val sf1Json = runHeavy10x(spark, sfDir) + runHeavyEmb10x(spark, sfDir)
+    val sf1Json = runHeavy10x(spark, sfDir) + runHeavyEmb10x(spark, sfDir) +
+      runGraphDist(spark, sfDir)
     // the sweep runs LAST, i.e. entirely inside the post-sf1 throttle
     // window. The round-5 lesson (verdict #1): medianing a few rows and
     // bracketing the WHOLE sweep with two probes detects a dirty window
@@ -293,6 +300,139 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /**
+   * Per-PASS probe-bracketed block protocol (round-6 verdict #3:
+   * the sf1 blocks' median-of-3 had only block-level brackets, so a
+   * throttle pocket hitting mid-block between the two probes poisoned
+   * published medians — the official r6 record's q85 sf1 = 21.5 s off
+   * passes 21.5/6.5/93.4 while clean runs read 8.1 s). Every pass is
+   * bracketed by its own probes; a pass whose worse bracket diverges
+   * >1.5× from the best probe seen in the block ran in a throttle
+   * pocket and is RE-MEASURED (up to 2 retry rounds, keeping the
+   * attempt with the cleanest bracket). The published value is the
+   * median over the kept passes; rows from passes that stay dirty
+   * after retries carry `passes_dirty` + the deflation factor vs the
+   * ABSOLUTE clean probe reference, exactly like the sweep.
+   *
+   * Returns (median per query, json extras to splice into the block).
+   */
+  private def passProtocol(spark: SparkSession, names: Seq[String],
+      time: String => Double, nPasses: Int)
+      : (Seq[(String, Double)], String) = {
+    val probes = scala.collection.mutable.ArrayBuffer[Double]()
+    def probe(): Double = { val v = blockProbe(spark); probes += v; v }
+    final case class PassM(times: Seq[(String, Double)],
+        pPre: Double, pPost: Double) {
+      def bracket: Double = math.max(pPre, pPost)
+    }
+    def onePass(pPre: Double): PassM = {
+      val ts = names.map(q => q -> time(q))
+      PassM(ts, pPre, probe())
+    }
+    var pCur = probe()
+    val passes = scala.collection.mutable.ArrayBuffer[PassM]()
+    for (_ <- 1 to nPasses) {
+      val m = onePass(pCur); passes += m; pCur = m.pPost
+    }
+    var retried = 0
+    for (_ <- 1 to 2) {
+      val best = probes.min
+      for (i <- passes.indices if passes(i).bracket > 1.5 * best) {
+        val cand = onePass(probe())
+        if (cand.bracket < passes(i).bracket) passes(i) = cand
+        retried += 1
+      }
+    }
+    val bestProbe = probes.min
+    def isDirty(p: PassM): Boolean =
+      p.bracket > 1.5 * bestProbe || p.bracket > 1.5 * SweepProbeCleanRef
+    val med = names.map { q =>
+      val ts = passes.map(_.times.toMap.apply(q)).toSeq
+      q -> (if (ts.contains(-1.0)) -1.0
+            else ts.sorted.apply(ts.length / 2))
+    }
+    val passJson = passes.map(p =>
+      p.times.map { case (_, v) => f"$v%.3f" }.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val passProbesJson = passes.map(p =>
+      f"[${p.pPre}%.2f,${p.pPost}%.2f]").mkString("[", ",", "]")
+    val dirtyJson = passes.map(p => isDirty(p).toString)
+      .mkString("[", ",", "]")
+    val extras =
+      s""""pass_order":[${names.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""passes":$passJson,"pass_probes":$passProbesJson,""" +
+        s""""passes_dirty":$dirtyJson,"passes_retried":$retried,""" +
+        f""""probe_best":$bestProbe%.2f,"probe_clean_ref":$SweepProbeCleanRef%.2f,""" +
+        f""""probe_pre":${passes.head.pPre}%.2f,"probe_post":${passes.last.pPost}%.2f"""
+    (med, extras)
+  }
+
+  /** Build (once, cached) the deterministic 10x documents slice used
+    * by the sf1 and graph_dist legs (see [[runHeavy10x]] for the
+    * copy-derivation rationale). Returns its directory. */
+  private def sf1DocsDir(spark: SparkSession, sfDir: String): String = {
+    val srcDir = new java.io.File(s"$sfDir/documents.parquet")
+    val srcTag = (if (srcDir.isDirectory)
+      Option(srcDir.listFiles()).map(_.map(_.lastModified).max).getOrElse(0L)
+      else srcDir.lastModified).toHexString
+    // v-tag: bump when the copy-derivation scheme changes, or a
+    // cached corpus from an older scheme would silently survive
+    val dir10 = s"/tmp/graft-sf1-v1-$srcTag"
+    if (!new java.io.File(s"$dir10/documents.parquet/_SUCCESS").exists()) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n = docs.count()
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      val copies = (0 until 10).map { k =>
+        val rot = alpha.drop(k) + alpha.take(k)
+        docs.select(
+          (col("doc_id") + lit(k * n)).as("doc_id"),
+          translate(col("text"), alpha, rot).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      copies.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir10/documents.parquet")
+    }
+    dir10
+  }
+
+  /**
+   * Distributed-graph-path leg (round-6 verdict next #3): times
+   * [[SparkEntry.distGraphQueries]] — the heavy graph family forced
+   * through its distributed loops (`localThreshold = 0`) — at the
+   * sf1 10x documents scale. At sweep/sf1 sizes the official rows
+   * take the adaptive driver fast path (the right plan there), so
+   * without this leg the official record never times the plans that
+   * run at 100x scale. Single probe-bracketed pass per query with the
+   * dirty-retry rule (these are the slowest rows in the record;
+   * medianing would triple a multi-minute leg for stability the
+   * brackets already police). */
+  private def runGraphDist(spark: SparkSession, sfDir: String): String = {
+    if (sys.env.get("SPARK_GRAFT_GRAPH_DIST").contains("0")) return ""
+    try {
+      val dir10 = sf1DocsDir(spark, sfDir)
+      val dist = SparkEntry.distGraphQueries
+      val names = dist.keys.toSeq.sorted
+      def time(q: String): Double = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { dist(q)(spark, dir10).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] graph_dist $q failed: ${e.getMessage}")
+            false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val (med, extras) = passProtocol(spark, names, time, nPasses = 1)
+      val errs = med.collect { case (q, -1.0) => "\"" + q + "\"" }
+      val qj = med.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString(",")
+      s""""graph_dist":{$qj,"errs":[${errs.mkString(",")}],$extras},"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] graph_dist leg failed: ${e.getMessage}")
+      ""
+    }
+  }
+
   /** Build (once, cached) a deterministic 10x slice of the sf-dir
     * documents table and time the heaviest shuffle-bound queries on it.
     * Copy k shifts doc_id by k*n and rotates the alphabet by k
@@ -323,34 +463,13 @@ object Bench {
     // i.e. ~6x time for 10x work — is recorded in COVERAGE.md. q102's
     // table (customer) isn't part of the 10x corpus dir at all.
     try {
-      val srcDir = new java.io.File(s"$sfDir/documents.parquet")
-      val srcTag = (if (srcDir.isDirectory)
-        Option(srcDir.listFiles()).map(_.map(_.lastModified).max).getOrElse(0L)
-        else srcDir.lastModified).toHexString
-      // v-tag: bump when the copy-derivation scheme changes, or a
-      // cached corpus from an older scheme would silently survive
-      val dir10 = s"/tmp/graft-sf1-v1-$srcTag"
-      if (!new java.io.File(s"$dir10/documents.parquet/_SUCCESS").exists()) {
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        val n = docs.count()
-        val alpha = "abcdefghijklmnopqrstuvwxyz"
-        val copies = (0 until 10).map { k =>
-          val rot = alpha.drop(k) + alpha.take(k)
-          docs.select(
-            (col("doc_id") + lit(k * n)).as("doc_id"),
-            translate(col("text"), alpha, rot).as("text"),
-            col("lang"), col("source"), col("n_chars"))
-        }
-        copies.reduce(_ unionByName _)
-          .repartition(32)
-          .write.mode("overwrite").parquet(s"$dir10/documents.parquet")
-      }
+      val dir10 = sf1DocsDir(spark, sfDir)
       val nDocs = spark.read.parquet(s"$dir10/documents.parquet").count()
       // q82's corpus signature index is a per-corpus STAGE (built once
       // per batch in production): commit it untimed so the timed row
       // measures the O(|new|) increment the operator advertises
       SparkEntry.q82SigIndex(spark, dir10)
-      def onePass(): Seq[(String, Double)] = heavy.map { q =>
+      def time(q: String): Double = {
         val t0 = System.nanoTime()
         val ok =
           try { SparkEntry.queries(q)(spark, dir10).count(); true }
@@ -358,25 +477,13 @@ object Bench {
             System.err.println(s"[bench] sf1 $q failed: ${e.getMessage}")
             false
           }
-        q -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        // a failed pass poisons the row: -1 sentinel, not a timing
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val pPre = blockProbe(spark)
-      val passes = (1 to 3).map(_ => onePass())
-      val pPost = blockProbe(spark)
-      val med = heavy.map { q =>
-        val ts = passes.map(_.toMap.apply(q))
-        // any failed pass poisons the row: -1 sentinel, not a timing
-        q -> (if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(ts.length / 2))
-      }
+      val (med, extras) = passProtocol(spark, heavy, time, nPasses = 3)
       val errs = med.collect { case (q, -1.0) => "\"" + q + "\"" }
       val qj = med.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString(",")
-      val passJson = passes.map(p =>
-        p.map { case (_, v) => f"$v%.3f" }.mkString("[", ",", "]"))
-        .mkString("[", ",", "]")
-      s""""sf1":{"docs":$nDocs,$qj,"errs":[${errs.mkString(",")}],""" +
-        f""""probe_pre":$pPre%.2f,"probe_post":$pPost%.2f,""" +
-        s""""pass_order":[${heavy.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""passes":$passJson},"""
+      s""""sf1":{"docs":$nDocs,$qj,"errs":[${errs.mkString(",")}],$extras},"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] sf1 block failed: ${e.getMessage}")
       ""
@@ -425,7 +532,7 @@ object Bench {
           .write.mode("overwrite").parquet(s"$dir10/embeddings.parquet")
       }
       val nVecs = spark.read.parquet(s"$dir10/embeddings.parquet").count()
-      def onePass(): Seq[(String, Double)] = heavy.map { q =>
+      def time(q: String): Double = {
         val t0 = System.nanoTime()
         val ok =
           try { SparkEntry.queries(q)(spark, dir10).count(); true }
@@ -433,23 +540,12 @@ object Bench {
             System.err.println(s"[bench] sf1_emb $q failed: ${e.getMessage}")
             false
           }
-        q -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val pPre = blockProbe(spark)
-      val passes = (1 to 3).map(_ => onePass())
-      val pPost = blockProbe(spark)
-      val med = heavy.map { q =>
-        val ts = passes.map(_.toMap.apply(q))
-        q -> (if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(ts.length / 2))
-      }
+      val (med, extras) = passProtocol(spark, heavy, time, nPasses = 3)
       val errs = med.collect { case (q, -1.0) => "\"" + q + "\"" }
       val qj = med.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString(",")
-      val passJson = passes.map(p =>
-        p.map { case (_, v) => f"$v%.3f" }.mkString("[", ",", "]"))
-        .mkString("[", ",", "]")
-      s""""sf1_emb":{"vectors":$nVecs,$qj,"errs":[${errs.mkString(",")}],""" +
-        f""""probe_pre":$pPre%.2f,"probe_post":$pPost%.2f,""" +
-        s""""passes":$passJson},"""
+      s""""sf1_emb":{"vectors":$nVecs,$qj,"errs":[${errs.mkString(",")}],$extras},"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] sf1_emb block failed: ${e.getMessage}")
       ""

@@ -493,6 +493,107 @@ object SparkEntry {
     * step — at step t the walk picks the out-neighbor minimizing
     * ('0x'||md5("w:start:t:dst")[1..15])::BIGINT (dst tie-break), the
     * exact TopicGraph.randomWalks score arithmetic. */
+  /** DuckDB oracle for q132: SGNS training REPLAYED bit-for-bit — the
+    * 3-step seeded walk (q108 arithmetic), window-2 pair extraction,
+    * md5-rank negatives, seeded fp6 init, and TWO full-batch epochs of
+    * hard-sigmoid gradients unrolled as CTEs. Everything is exact
+    * integer arithmetic: HUGEINT sums, floor divisions via the pmod
+    * identity (numerator made divisible, so `//` semantics are moot),
+    * ±2e6 clamps — no float appears anywhere. */
+  private val sgnsOracleSql: String = {
+    val steps = 3
+    val epochs = 2
+    // fd(a, b) = floor(a / b) in exact integer arithmetic
+    def fd(a: String, b: String): String =
+      s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b))"
+    val head =
+      """WITH edges AS MATERIALIZED (
+        | SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src,
+        |   ((doc_id % (SELECT count(*) FROM documents)) * (doc_id % (SELECT count(*) FROM documents)) + 3) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |   (doc_id*7 + 3) % (SELECT count(*) FROM documents)
+        |  FROM documents)),
+        |w0 AS (SELECT DISTINCT src AS start, src AS node FROM edges)""".stripMargin
+    val walks = (1 to steps).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT start, node FROM (
+         |  SELECT w.start, e.dst AS node,
+         |   row_number() OVER (PARTITION BY w.start ORDER BY
+         |    ('0x' || substring(md5('w:' || w.start || ':$t:' || e.dst), 1, 15))::BIGINT ASC,
+         |    e.dst ASC) AS rk
+         |  FROM w${t - 1} w JOIN edges e ON w.node = e.src) WHERE rk = 1)""".stripMargin
+    }
+    val ws = "ws AS MATERIALIZED (\n" + (0 to steps).map(t =>
+      s" SELECT start, $t AS step, node FROM w$t").mkString("\n UNION ALL") +
+      ")"
+    val prep =
+      s"""vocab AS MATERIALIZED (
+         | SELECT node, row_number() OVER (ORDER BY node) AS rn
+         | FROM (SELECT DISTINCT node FROM ws)),
+         |nv AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM vocab),
+         |pos AS MATERIALIZED (
+         | SELECT a.node AS c, b.node AS x, count(*)::BIGINT AS m
+         | FROM ws a JOIN ws b ON a.start = b.start AND a.step <> b.step
+         |  AND abs(a.step - b.step) <= 2 AND a.node <> b.node
+         | GROUP BY 1, 2),
+         |negs AS MATERIALIZED (
+         | SELECT p.c, v.node AS x, p.m
+         | FROM pos p
+         | CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS j) js
+         | JOIN vocab v ON v.rn =
+         |  ('0x' || substring(md5('sgns:neg:' || p.c || ':' || p.x || ':' || js.j), 1, 15))::BIGINT % (SELECT n FROM nv) + 1),
+         |tri AS MATERIALIZED (
+         | SELECT c, x, label, sum(m)::BIGINT AS m FROM (
+         |  SELECT c, x, 1000000::BIGINT AS label, m FROM pos
+         |  UNION ALL SELECT c, x, 0::BIGINT AS label, m FROM negs)
+         | GROUP BY 1, 2, 3),
+         |dims AS (SELECT unnest(generate_series(0, 3)) AS k),
+         |e0i AS MATERIALIZED (
+         | SELECT v.node, d.k,
+         |  (('0x' || substring(md5('sgns:init:i:' || v.node || ':' || d.k), 1, 15))::BIGINT % 200001 - 100000)::BIGINT AS v
+         | FROM vocab v CROSS JOIN dims d),
+         |e0o AS MATERIALIZED (
+         | SELECT v.node, d.k,
+         |  (('0x' || substring(md5('sgns:init:o:' || v.node || ':' || d.k), 1, 15))::BIGINT % 200001 - 100000)::BIGINT AS v
+         | FROM vocab v CROSS JOIN dims d)""".stripMargin
+    val hs = fd(fd("t.dot12", "1000000"), "4") + " + 500000"
+    val delta = fd("g.s * 1", "20000000")
+    val epochCtes = (1 to epochs).map { t =>
+      val p = t - 1
+      s"""d$t AS MATERIALIZED (
+         | SELECT t.c, t.x, t.label, t.m, sum(i.v * o.v) AS dot12
+         | FROM tri t
+         | JOIN e${p}i i ON i.node = t.c
+         | JOIN e${p}o o ON o.node = t.x AND o.k = i.k
+         | GROUP BY 1, 2, 3, 4),
+         |g$t AS MATERIALIZED (
+         | SELECT t.c, t.x,
+         |  t.m * (t.label - least(1000000, greatest(0, $hs))) AS gm
+         | FROM d$t t),
+         |gi$t AS MATERIALIZED (
+         | SELECT g.c AS node, o.k, sum(g.gm * o.v) AS s
+         | FROM g$t g JOIN e${p}o o ON o.node = g.x GROUP BY 1, 2),
+         |go$t AS MATERIALIZED (
+         | SELECT g.x AS node, i.k, sum(g.gm * i.v) AS s
+         | FROM g$t g JOIN e${p}i i ON i.node = g.c GROUP BY 1, 2),
+         |e${t}i AS MATERIALIZED (
+         | SELECT e.node, e.k,
+         |  least(2000000, greatest(-2000000,
+         |   e.v + coalesce($delta, 0)))::BIGINT AS v
+         | FROM e${p}i e LEFT JOIN gi$t g ON g.node = e.node AND g.k = e.k),
+         |e${t}o AS MATERIALIZED (
+         | SELECT e.node, e.k,
+         |  least(2000000, greatest(-2000000,
+         |   e.v + coalesce($delta, 0)))::BIGINT AS v
+         | FROM e${p}o e LEFT JOIN go$t g ON g.node = e.node AND g.k = e.k)"""
+        .stripMargin
+    }
+    (Seq(head) ++ walks ++ Seq(ws, prep) ++ epochCtes).mkString(",\n") +
+      s"\nSELECT node, k::BIGINT AS k, v AS v_fp FROM e${epochs}i"
+  }
+
   private val randomWalksOracleSql: String = {
     val steps = 5
     val head =
@@ -1860,6 +1961,21 @@ object SparkEntry {
       // (spec-pinned; default exact so the oracle is unchanged)
       TopicGraph.adamicAdar(degree2Edges(s, d), k = 100)),
 
+    "q132_sgns_embeddings" -> ((s, d) => {
+      // walks -> embeddings: the consumer that closes the q108/q126
+      // walk corpus into trainable vectors (Embeddings scaladoc).
+      // Full-batch fixed-point SGNS — hard-sigmoid gradients, exact
+      // integer sums, seeded init/negatives — so the oracle replays
+      // TRAINING bit-for-bit (2 epochs unrolled over the 3-step walk
+      // corpus); output is the input-embedding table in fp6 longs
+      val edges = degree2Edges(s, d)
+      val starts = edges.select(col("src").as("node")).distinct()
+      val walks = TopicGraph.randomWalks(edges, starts, steps = 3)
+      Embeddings.sgnsTrain(walks, dim = 4, window = 2, negatives = 2,
+          epochs = 2)
+        .select(col("node"), col("k").cast("long").as("k"), col("v_fp"))
+    }),
+
     "q131_media_containers" -> ((s, d) => {
       // the container parsers BITE here: payloads are REAL PNG/WAV/
       // GIF/BMP bytes synthesized deterministically from doc_id
@@ -2343,6 +2459,80 @@ object SparkEntry {
   /** Queries with no DuckDB oracle — empty: every query carries a full
     * oracle (engine-specific hash families live in spec tests instead). */
   val rowsOnlyQueries: Set[String] = Set.empty
+
+  /**
+   * Distributed-path twins of the heavy graph queries: the IDENTICAL
+   * pipelines with `localThreshold = 0`, forcing the distributed
+   * loops that run at real scale. At sweep/sf1 graph sizes the
+   * adaptive fast path makes the official rows time driver code for
+   * this family (correct, and the right plan at those sizes), so the
+   * bench's `graph_dist` leg times THESE — the 100×-scale plans —
+   * alongside the default rows. Results are value-equal to the
+   * official rows (spec-pinned per operator); q109's propagation is
+   * always distributed (no fast path) and is timed in the same leg
+   * for completeness.
+   */
+  def distGraphQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    def simhashEdges(s: SparkSession, d: String): DataFrame =
+      Dedup.simhashCandidates(Tables.documents(s, d), maxHamming = 8)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+    Map(
+      "q64_connected_components" -> ((s, d) =>
+        TopicGraph.connectedComponents(simhashEdges(s, d),
+          localThreshold = 0L)),
+      "q75_pagerank" -> ((s, d) =>
+        TopicGraph.pageRank(aliasEdges(s, d), iters = 5, damping = 0.85,
+          localThreshold = 0L)
+          .select(col("node"), round(col("rank"), 8).as("rank_r8"))),
+      "q97_kcore" -> ((s, d) =>
+        TopicGraph.kCore(simhashEdges(s, d), k = 3, localThreshold = 0L)),
+      "q98_lpa_communities" -> ((s, d) =>
+        TopicGraph.labelPropagation(simhashEdges(s, d), iters = 3,
+          localThreshold = 0L)),
+      "q103_redirect_cycles" -> ((s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.count()
+        val edges = docs.select(col("doc_id").as("src"),
+          (((col("doc_id") % n) * (col("doc_id") % n) + 3) % n).as("dst"))
+        Redirects.cycleMembers(edges, localThreshold = 0L)
+      }),
+      "q107_bfs_depth" -> ((s, d) => {
+        val seeds = Tables.documents(s, d)
+          .select(col("doc_id").as("node")).orderBy(col("node")).limit(3)
+        TopicGraph.hopDistance(degree2Edges(s, d), seeds,
+          localThreshold = 0L)
+      }),
+      "q109_hyperball" -> ((s, d) =>
+        TopicGraph.hyperBall(degree2Edges(s, d), radius = 3)),
+      "q117_hits" -> ((s, d) =>
+        TopicGraph.hits(aliasEdges(s, d), iters = 4, localThreshold = 0L)
+          .select(col("node"), round(col("hub"), 8).as("hub_r8"),
+            round(col("auth"), 8).as("auth_r8"))),
+      "q121_ktruss" -> ((s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("src"), b.as("dst")))
+        val edges = docs.select(explode(pairs).as("p"))
+          .select(col("p.src").as("src"), col("p.dst").as("dst"))
+          .filter(col("src") =!= col("dst"))
+        TopicGraph.kTrussPeel(edges, k = 4, rounds = 3,
+          localThreshold = 0L)
+      }),
+      "q123_incremental_cc" -> ((s, d) => {
+        val base = aliasEdges(s, d)
+        val committed = TopicGraph.connectedComponents(base,
+          localThreshold = 0L)
+        val docs = Tables.documents(s, d)
+        val n = docs.count()
+        val delta = docs.filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") * 13 + 7) % n).as("dst"))
+        TopicGraph.incrementalComponents(committed, delta,
+          localThreshold = 0L)
+      }))
+  }
 
   // =================================================================
   // DuckDB oracles (driver runs these on the same parquet tables)
@@ -3628,6 +3818,8 @@ object SparkEntry {
         |SELECT u, v,
         | round(aa_fp::DOUBLE / 1000000000.0::DOUBLE, 6) AS aa_r6
         |FROM pred ORDER BY aa_fp DESC, u ASC, v ASC LIMIT 100""".stripMargin,
+
+    "q132_sgns_embeddings" -> sgnsOracleSql,
 
     "q131_media_containers" ->
       // restates syntheticContainer's header-field formulas: the Spark

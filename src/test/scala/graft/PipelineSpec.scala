@@ -2553,6 +2553,138 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sgns: exact equality with a plain-Scala reference; planted-cluster recall; guards") {
+    import graft.pipeline.Embeddings
+    // ---- plain-Scala reference restating the exact integer SGNS ----
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    def h60(parts: Seq[String]): Long =
+      java.lang.Long.parseLong(md5hex(parts.mkString(":")).take(15), 16)
+    def fdivB(a: BigInt, b: Long): BigInt = (a - (((a % b) + b) % b)) / b
+    def ref(walks: Seq[(Long, Int, Long)], dim: Int, window: Int,
+        negatives: Int, epochs: Int, lrNum: Long, lrDen: Long,
+        seed: String): Map[(Long, Int), Long] = {
+      val nodes = walks.map(_._3).distinct.sorted
+      val byRank = nodes.zipWithIndex.map { case (nd, i) => (i + 1L, nd) }.toMap
+      val n = nodes.size
+      val pos = scala.collection.mutable.Map[(Long, Long), Long]()
+      for ((s1, t1, n1) <- walks; (s2, t2, n2) <- walks
+           if s1 == s2 && t1 != t2 && math.abs(t1 - t2) <= window && n1 != n2)
+        pos((n1, n2)) = pos.getOrElse((n1, n2), 0L) + 1
+      val tri = scala.collection.mutable.Map[(Long, Long, Long), Long]()
+      for (((c, x), m) <- pos) {
+        tri((c, x, 1000000L)) = tri.getOrElse((c, x, 1000000L), 0L) + m
+        for (j <- 1 to negatives) {
+          val rn = h60(Seq(seed, "neg", c.toString, x.toString,
+            j.toString)) % n + 1
+          val xn = byRank(rn)
+          tri((c, xn, 0L)) = tri.getOrElse((c, xn, 0L), 0L) + m
+        }
+      }
+      def init(which: String) = nodes.flatMap(nd => (0 until dim).map(k =>
+        (nd, k) -> (h60(Seq(seed, "init", which, nd.toString,
+          k.toString)) % 200001L - 100000L))).toMap
+      var eIn = init("i"); var eOut = init("o")
+      for (_ <- 1 to epochs) {
+        val gIn = scala.collection.mutable.Map[(Long, Int), BigInt]()
+          .withDefaultValue(BigInt(0))
+        val gOut = scala.collection.mutable.Map[(Long, Int), BigInt]()
+          .withDefaultValue(BigInt(0))
+        for (((c, x, label), m) <- tri) {
+          val dot12 = (0 until dim).map(k =>
+            BigInt(eIn((c, k))) * eOut((x, k))).sum
+          val hs = (fdivB(fdivB(dot12, 1000000L), 4L) + 500000L)
+            .max(0).min(1000000L)
+          val gm = BigInt(m) * (BigInt(label) - hs)
+          for (k <- 0 until dim) {
+            gIn((c, k)) += gm * eOut((x, k))
+            gOut((x, k)) += gm * eIn((c, k))
+          }
+        }
+        def upd(e: Map[(Long, Int), Long],
+            gr: scala.collection.mutable.Map[(Long, Int), BigInt]) =
+          e.map { case (key, v) =>
+            key -> (v + fdivB(gr(key) * lrNum, lrDen * 1000000L).toLong)
+              .max(-2000000L).min(2000000L)
+          }
+        eIn = upd(eIn, gIn); eOut = upd(eOut, gOut)
+      }
+      eIn
+    }
+    // exact equality on a seeded walk corpus
+    val rnd = new scala.util.Random(53)
+    val walkSeq = for (s <- 0L until 8L; t <- 0 to 4)
+      yield (s, t, rnd.nextInt(12).toLong)
+    val got = Embeddings.sgnsTrain(walkSeq.toDF("start", "step", "node"),
+        dim = 3, window = 2, negatives = 2, epochs = 2)
+      .as[(Long, Int, Long)].collect()
+      .map { case (nd, k, v) => (nd, k) -> v }.toMap
+    val want = ref(walkSeq, dim = 3, window = 2, negatives = 2,
+      epochs = 2, lrNum = 1, lrDen = 20, seed = "sgns")
+    assert(got == want)
+    // planted-cluster recall: walks confined to two disjoint cliques —
+    // within-cluster cosine must beat cross-cluster after training
+    val cliqueWalks =
+      (for (s <- 0 until 20; t <- 0 to 4)
+        yield ((s + 100).toLong, t, (1 + (s + t) % 5).toLong)) ++
+      (for (s <- 0 until 20; t <- 0 to 4)
+        yield ((s + 200).toLong, t, (11 + (s + t) % 5).toLong))
+    val emb = Embeddings.sgnsTrain(cliqueWalks.toDF("start", "step", "node"),
+        dim = 4, window = 2, negatives = 2, epochs = 4)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb == 0) 0.0 else d / (na * nb)
+    }
+    val ca = (1L to 5L).map(emb); val cb = (11L to 15L).map(emb)
+    def pairs(xs: Seq[Seq[Double]]) =
+      for (i <- xs.indices; j <- xs.indices if i < j) yield cos(xs(i), xs(j))
+    val within = (pairs(ca.map(_.toSeq)) ++ pairs(cb.map(_.toSeq)))
+    val cross = for (a <- ca; b <- cb) yield cos(a.toSeq, b.toSeq)
+    assert(within.sum / within.size > cross.sum / cross.size,
+      s"within ${within.sum / within.size} vs cross ${cross.sum / cross.size}")
+    // guards
+    intercept[IllegalArgumentException] {
+      Embeddings.sgnsTrain(walkSeq.toDF("start", "step", "node"), dim = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Embeddings.sgnsTrain(walkSeq.toDF("start", "step", "node"), epochs = 0)
+    }
+  }
+
+  test("distGraphQueries: every distributed twin equals its official row at sf0.001") {
+    // the bench's graph_dist leg times these twins — each must be
+    // VALUE-equal to the official query (same pipeline, only
+    // localThreshold = 0 forcing the distributed loop). hits compares
+    // after the r8 rounding its own slot exports (double sums agree to
+    // ulps, see TopicGraph.hits scaladoc); everything else is exact.
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$d/documents.parquet").exists())
+    // the deep AQE plans of the forced-distributed loops OOM the test
+    // JVM through INFO-level plan-string logging (StringConcat grows
+    // with the exponentially nested cached lineage) — cap the plan
+    // string and silence logs for this test only
+    val prevLen = spark.conf.get("spark.sql.maxPlanStringLength")
+    spark.conf.set("spark.sql.maxPlanStringLength", "65536")
+    spark.sparkContext.setLogLevel("ERROR")
+    try SparkEntry.distGraphQueries.foreach { case (name, fn) =>
+      val official = SparkEntry.queries(name)(spark, d)
+      val dist = fn(spark, d)
+      assert(official.columns.toSeq == dist.columns.toSeq, name)
+      val a = official.collect().map(_.toSeq).toSet
+      val b = dist.collect().map(_.toSeq).toSet
+      assert(a == b, s"$name: distributed twin diverges from official row")
+      spark.catalog.clearCache()
+    } finally {
+      spark.conf.set("spark.sql.maxPlanStringLength", prevLen)
+      spark.sparkContext.setLogLevel("WARN")
+    }
+  }
+
   test("containment join maxDf: boilerplate flood pruned, rare quotes kept, cap==exact when cold") {
     // boilerplate flood: 30 docs that are the SAME license header (every
     // shingle df = 30) -> without the cap that is 30*29 = 870 ordered
