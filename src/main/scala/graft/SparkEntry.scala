@@ -420,6 +420,45 @@ object SparkEntry {
     (Seq(head) ++ rounds).mkString(",\n") + "\n" + out
   }
 
+  /** DuckDB oracle for q133: the q113 rounds over the BYTE-LEVEL
+    * initial vocabulary — every word decomposes to UTF-8 bytes mapped
+    * through the literal 256-entry GPT-2 bytes_to_unicode table
+    * (restated verbatim as a list literal), so no `<unk>` exists for
+    * any input; the merge rounds are byte-identical to q113's. */
+  private val bpeBytesOracleSql: String = {
+    val k = 4
+    def qc(sym: String) = "'" + sym.replace("'", "''") + "'"
+    val alphList =
+      "[" + graft.pipeline.Tokenizer.ByteToChar.map(qc).mkString(", ") + "]"
+    val symsExpr =
+      s"""array_to_string(list_transform(
+         |   generate_series(1, length(hex(encode(word))) // 2),
+         |   i -> $alphList[(('0x' || substring(hex(encode(word)), 2*i - 1, 2))::INT) + 1]), ' ')""".stripMargin
+    val head =
+      s"""WITH words AS (
+         | SELECT w AS word, count(*) AS freq
+         | FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         | WHERE w <> '' GROUP BY 1),
+         |v0 AS MATERIALIZED (
+         | SELECT freq, $symsExpr || ' </w>' AS toks FROM words)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      val merged = bpeMergeSql(bpeEncSql("toks"),
+        s"' || (SELECT l FROM m$i) || '", s"' || (SELECT r FROM m$i) || '")
+      s"""p$i AS (
+         | SELECT s.t[u.i] AS l, s.t[u.i + 1] AS r, sum(s.freq) AS cnt
+         | FROM (SELECT freq, string_split(toks, ' ') AS t FROM v${i - 1}) s,
+         |      unnest(range(1, len(s.t))) AS u(i)
+         | GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$i AS (SELECT freq, ${bpeDecSql(merged)} AS toks FROM v${i - 1})""".stripMargin
+    }
+    val out = (1 to k).map(i =>
+      s"""SELECT CAST($i AS INT) AS rank, l AS "left", r AS "right",
+         | CAST(cnt AS BIGINT) AS pair_count FROM m$i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    (Seq(head) ++ rounds).mkString(",\n") + "\n" + out
+  }
+
   /** DuckDB oracle for q114: char-split + marker per word, the fixed
     * merge chain as nested replaces, subword histogram. */
   private val bpeTokensOracleSql: String = {
@@ -2050,6 +2089,16 @@ object SparkEntry {
       // consecutive runs included). Ties break (cnt desc, l, r) —
       // engine/partitioning deterministic. Oracle: 4 unrolled rounds
       Tokenizer.learnMerges(Tables.documents(s, d), k = 4)),
+
+    "q133_bpe_bytes" -> ((s, d) =>
+      // BYTE-LEVEL BPE training (GPT-2 form, Radford 2019): the q113
+      // rounds over the byte alphabet — every word decomposes to
+      // UTF-8 bytes mapped through the 256-entry bytes_to_unicode
+      // table (a codegen hex-pair + array-literal lookup chain, no
+      // UDF), so no <unk> exists for ANY input at any scale; the
+      // merge machinery, determinism, and shuffle shape are q113's
+      Tokenizer.learnMerges(Tables.documents(s, d), k = 4,
+        byteLevel = true)),
 
     "q114_bpe_tokens" -> ((s, d) =>
       // tokenizer APPLICATION with a fixed merge table (the
@@ -3897,6 +3946,8 @@ object SparkEntry {
     "q112_harmonic_centrality" -> harmonicCentralityOracleSql,
 
     "q113_bpe_merges" -> bpeMergesOracleSql,
+
+    "q133_bpe_bytes" -> bpeBytesOracleSql,
 
     "q114_bpe_tokens" -> bpeTokensOracleSql,
 

@@ -69,6 +69,41 @@ object Tokenizer {
     * char-split content; see class doc). */
   val EndOfWord = "</w>"
 
+  /**
+   * BYTE-LEVEL alphabet (Radford et al. 2019, GPT-2's
+   * bytes_to_unicode): each of the 256 UTF-8 byte values maps to one
+   * printable single character — visible ASCII/Latin-1 bytes map to
+   * themselves, the 68 remaining (controls, space, DEL, 0x80–0xA0,
+   * 0xAD) shift into U+0100.. in ascending byte order. Consequences:
+   * NO `<unk>` can exist for any input (every string decomposes to
+   * known byte symbols — emoji, CJK, binary-ish content included),
+   * every symbol is a single non-space character (so the double-space
+   * merge encoding and the `</w>` unforgeability argument carry over
+   * verbatim), and the map is a pure 256-entry table both engines
+   * restate literally.
+   */
+  val ByteToChar: IndexedSeq[String] = {
+    val printable =
+      ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = -1
+    (0 to 255).map { b =>
+      if (printable(b)) b.toChar.toString
+      else { n += 1; (256 + n).toChar.toString }
+    }
+  }
+
+  /** Space-joined byte symbols of a word: UTF-8 bytes via hex pairs,
+    * each mapped through the 256-entry [[ByteToChar]] array literal —
+    * a pure codegen Column chain (no UDF). */
+  def byteSymbols(word: Column): Column = {
+    val alph = array(ByteToChar.map(lit): _*)
+    val h = hex(encode(word, "UTF-8"))
+    array_join(transform(
+      sequence(lit(1), (length(h) / lit(2)).cast("int")),
+      i => element_at(alph,
+        conv(h.substr(i * 2 - 1, lit(2)), 16, 10).cast("int") + 1)), " ")
+  }
+
   /** Double-space encode a single-space token string (see class doc). */
   private def enc(toks: Column): Column =
     concat(lit("  "), replace(toks, lit(" "), lit("  ")), lit("  "))
@@ -90,13 +125,17 @@ object Tokenizer {
    * (word, freq, toks) where toks = chars joined by ' ' + ' </w>'.
    * The one corpus-wide pass; map-side partial count.
    */
-  def wordVocab(docs: DataFrame, textCol: String = "text"): DataFrame =
+  def wordVocab(docs: DataFrame, textCol: String = "text",
+      byteLevel: Boolean = false): DataFrame = {
+    val symbols =
+      if (byteLevel) byteSymbols(col("word"))
+      else concat_ws(" ", split(col("word"), ""))
     docs
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("toks",
-        concat(concat_ws(" ", split(col("word"), "")), lit(" " + EndOfWord)))
+      .withColumn("toks", concat(symbols, lit(" " + EndOfWord)))
+  }
 
   /**
    * Adjacent symbol-pair counts over a (word, freq, toks) vocab,
@@ -133,11 +172,12 @@ object Tokenizer {
    * application time.
    */
   def learnMerges(docs: DataFrame, k: Int, minFreq: Long = 1L,
-      batch: Int = 1, textCol: String = "text"): DataFrame = {
+      batch: Int = 1, textCol: String = "text",
+      byteLevel: Boolean = false): DataFrame = {
     require(k >= 1 && k <= 65536, s"learnMerges: k=$k out of range")
     require(batch >= 1, s"learnMerges: batch=$batch must be >= 1")
     val spark = docs.sparkSession
-    var vocab = wordVocab(docs, textCol).localCheckpoint()
+    var vocab = wordVocab(docs, textCol, byteLevel).localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var exhausted = false
     while (out.size < k && !exhausted) {
@@ -177,19 +217,23 @@ object Tokenizer {
    * boundaries because no learned pair has `</w>` on the left.
    * Returns the space-joined subword token string.
    */
-  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column = {
+  def bpeTokens(text: Column, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): Column = {
     val base = concat_ws(" ",
       transform(filter(split(text, " "), w => w =!= ""),
-        w => concat(concat_ws(" ", split(w, "")), lit(" " + EndOfWord))))
+        w => concat(
+          if (byteLevel) byteSymbols(w) else concat_ws(" ", split(w, "")),
+          lit(" " + EndOfWord))))
     dec(merges.foldLeft(enc(base)) { case (e, (l, r)) => mergeEnc(e, l, r) })
   }
 
   /** Corpus-level subword histogram after applying `merges`:
     * (token, cnt). Vocab-bounded output; map-side partial count. */
   def bpeHistogram(docs: DataFrame, merges: Seq[(String, String)],
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text", byteLevel: Boolean = false): DataFrame =
     docs
-      .select(explode(split(bpeTokens(col(textCol), merges), " ")).as("token"))
+      .select(explode(split(bpeTokens(col(textCol), merges, byteLevel), " "))
+        .as("token"))
       .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("cnt"))
 }

@@ -178,4 +178,84 @@ class TokenizerSpec extends AnyFunSuite {
     // char-split breaks the literal into < / w > chars
     assert(toks == "x < / w > x </w> y </w>")
   }
+
+  // ---- byte-level (GPT-2 bytes_to_unicode) variant ----
+
+  private def refByteSyms(w: String): Vector[String] =
+    w.getBytes("UTF-8").toVector.map(b => Tokenizer.ByteToChar(b & 0xff))
+
+  private def refVocabBytes(texts: Seq[String]): Map[Vector[String], Long] =
+    texts.flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) =>
+        (refByteSyms(w) :+ Tokenizer.EndOfWord) -> ws.size.toLong
+      }
+
+  private def refLearnBytes(texts: Seq[String], k: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var v = refVocabBytes(texts)
+    (1 to k).flatMap { rank =>
+      val pc = refPairCounts(v)
+      if (pc.isEmpty) None
+      else {
+        val ((l, r), c) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        v = v.map { case (syms, f) => refMergeWord(syms, l, r) -> f }
+          .groupBy(_._1).map { case (s, xs) => s -> xs.values.sum }
+        Some((rank, l, r, c))
+      }
+    }
+  }
+
+  test("byte alphabet is the GPT-2 bytes_to_unicode table") {
+    val a = Tokenizer.ByteToChar
+    assert(a.length == 256 && a.distinct.length == 256)
+    assert(a.forall(s => s.length == 1 && s != " ")) // single, non-space
+    // printable bytes map to themselves; the 68 others shift to U+0100..
+    assert(a('A'.toInt) == "A" && a('!'.toInt) == "!" && a(0xFF) == "ÿ")
+    assert(a(0) == "Ā" && a(32) == "Ġ" && a(0xAD).head >= 0x100)
+    assert(a.count(_.head >= 0x100) == 68)
+  }
+
+  test("byte-level learnMerges matches the byte reference on multi-byte UTF-8") {
+    // é/ü/emoji force multi-byte sequences; the repeated 'é' words make
+    // an UTF-8 continuation-byte pair the top merge — invisible to the
+    // char-level trainer
+    val texts = Seq(
+      "héllo héllo héllo naïve café café",
+      "日本語 テスト 日本語",
+      "smile 🙂 smile 🙂 🙂",
+      "plain ascii words here")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Tokenizer.learnMerges(d, k = 8, byteLevel = true)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == refLearnBytes(texts, 8))
+    // and differs from the char-level table (multi-byte chars split)
+    val charLevel = Tokenizer.learnMerges(d, k = 8)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got != charLevel)
+  }
+
+  test("byte-level: no <unk> — any input decomposes to alphabet symbols and round-trips") {
+    val wild = "héllo 🙂 日本語 x</w>x control ¡ÿ mixed"
+    val d = Seq((1L, wild)).toDF("doc_id", "text")
+    val toks = d.select(Tokenizer.bpeTokens(col("text"), Nil, byteLevel = true))
+      .as[String].collect().head.split(" ").toSeq
+    val alphabet = Tokenizer.ByteToChar.toSet + Tokenizer.EndOfWord
+    assert(toks.nonEmpty && toks.forall(alphabet.contains))
+    // round trip: mapping symbols back to bytes reconstructs the words
+    val charToByte = Tokenizer.ByteToChar.zipWithIndex
+      .map { case (c, b) => c -> b.toByte }.toMap
+    val words = toks.foldLeft(Vector(Vector.empty[Byte])) { (acc, t) =>
+      if (t == Tokenizer.EndOfWord) acc :+ Vector.empty
+      else acc.init :+ (acc.last :+ charToByte(t))
+    }.filter(_.nonEmpty).map(bs => new String(bs.toArray, "UTF-8"))
+    assert(words == wild.split(" ").filter(_.nonEmpty).toVector)
+    // histogram path composes with a learned byte merge table
+    val merges = Tokenizer.learnMerges(d, k = 2, byteLevel = true)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+      .map(m => (m._2, m._3))
+    val hist = Tokenizer.bpeHistogram(d, merges, byteLevel = true)
+      .as[(String, Long)].collect()
+    assert(hist.map(_._2).sum > 0)
+  }
 }
