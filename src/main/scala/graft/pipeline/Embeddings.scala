@@ -106,6 +106,9 @@ object Embeddings {
         Window.orderBy(col("node").asc)))
       .localCheckpoint(true)
     val n = vocab.count()
+    // an empty corpus would make the negative draw a pmod-by-zero and
+    // the output silently empty — refuse loudly (the bm25 discipline)
+    require(n > 0, "sgnsTrain: empty walk relation — nothing to train on")
 
     // ---- positive pairs with multiplicity ----
     val a = w.as("a")

@@ -2654,6 +2654,9 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Embeddings.sgnsTrain(walkSeq.toDF("start", "step", "node"), epochs = 0)
     }
+    intercept[IllegalArgumentException] { // empty corpus refused loudly
+      Embeddings.sgnsTrain(walkSeq.toDF("start", "step", "node").limit(0))
+    }
   }
 
   test("distGraphQueries: every distributed twin equals its official row at sf0.001") {
