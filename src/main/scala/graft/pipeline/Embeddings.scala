@@ -186,4 +186,21 @@ object Embeddings {
     }
     eIn.select(col("node"), col("k"), col("v").as("v_fp"))
   }
+
+  /**
+   * Convert a trained (node, k, v_fp) table to the Similarity tier's
+   * (vec_id, embedding: array<float>) contract — fp6 longs to floats
+   * (dim-bounded per-node collect_list, sorted by k). This is the
+   * handoff that closes walks → [[sgnsTrain]] → ANN/SemDeDup: the
+   * output feeds [[Similarity.bruteForceTopK]] / lshTopK / semDedup
+   * directly (spec-verified end to end on a planted-cluster graph).
+   */
+  def asVectors(embTable: DataFrame): DataFrame =
+    embTable
+      .groupBy(col("node").as("vec_id"))
+      .agg(sort_array(collect_list(struct(col("k"), col("v_fp")))).as("s"))
+      .select(col("vec_id"),
+        transform(col("s"),
+          e => (e.getField("v_fp").cast("double") / lit(Fp.toDouble))
+            .cast("float")).as("embedding"))
 }

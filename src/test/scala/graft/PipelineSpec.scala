@@ -2657,6 +2657,26 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { // empty corpus refused loudly
       Embeddings.sgnsTrain(walkSeq.toDF("start", "step", "node").limit(0))
     }
+    // end-to-end handoff: walks -> train -> asVectors -> ANN. The
+    // trained vectors feed bruteForceTopK directly, and every cluster
+    // node's nearest neighbor is a member of its own clique
+    val vecs = Embeddings.asVectors(
+      Embeddings.sgnsTrain(cliqueWalks.toDF("start", "step", "node"),
+        dim = 4, window = 2, negatives = 2, epochs = 4))
+    assert(vecs.schema("embedding").dataType.simpleString == "array<float>")
+    // full ranking through the ANN operator: mean cosine of in-cluster
+    // pairs must beat cross-cluster pairs AS SCORED BY the Similarity
+    // tier — the same separation the raw-vector assertion above pins,
+    // now measured end to end through the handoff
+    val ranked = graft.pipeline.Similarity.bruteForceTopK(vecs, vecs, k = 9)
+      .select(col("probe_id"), col("cand_id"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+    assert(ranked.length == 10 * 9)
+    val (sameCl, diffCl) = ranked.partition { case (p, c, _) =>
+      (p <= 5L) == (c <= 5L) }
+    val mw = sameCl.map(_._3).sum / sameCl.length
+    val mc = diffCl.map(_._3).sum / diffCl.length
+    assert(mw > mc, s"ANN-path separation lost: within $mw vs cross $mc")
   }
 
   test("distGraphQueries: every distributed twin equals its official row at sf0.001") {
