@@ -339,7 +339,12 @@ object Bench {
       val best = probes.min
       for (i <- passes.indices if passes(i).bracket > 1.5 * best) {
         val cand = onePass(probe())
-        if (cand.bracket < passes(i).bracket) passes(i) = cand
+        // cleaner bracket wins — but a retry that FAILED rows the
+        // incumbent has (crash, or the graph_dist budget running out
+        // mid-retry) must never replace real timings with -1 sentinels
+        if (cand.bracket < passes(i).bracket &&
+            cand.times.count(_._2 == -1.0) <=
+              passes(i).times.count(_._2 == -1.0)) passes(i) = cand
         retried += 1
       }
     }
@@ -412,8 +417,23 @@ object Bench {
     try {
       val dir10 = sf1DocsDir(spark, sfDir)
       val dist = SparkEntry.distGraphQueries
-      val names = dist.keys.toSeq.sorted
+      // q107 (synchronous per-hop BFS, eccentricity ≈ 200 on this
+      // graph) is the leg's dominant row and the most window-sensitive
+      // — it runs LAST so a contended window can't starve the other
+      // nine, and the whole leg carries a wall budget: once exceeded,
+      // remaining rows record -1 with a "budget:" err marker instead
+      // of risking the driver's round timeout.
+      val names = dist.keys.toSeq.sorted.partition(_ != "q107_bfs_depth")
+        match { case (rest, bfs) => rest ++ bfs }
+      val budgetSec = sys.env.getOrElse(
+        "SPARK_GRAFT_GRAPH_DIST_BUDGET", "1800").toDouble
+      val legStart = System.nanoTime()
+      val skipped = scala.collection.mutable.ArrayBuffer[String]()
       def time(q: String): Double = {
+        if ((System.nanoTime() - legStart) / 1e9 > budgetSec) {
+          skipped += q
+          return -1.0
+        }
         val t0 = System.nanoTime()
         val ok =
           try { dist(q)(spark, dir10).count(); true }
@@ -424,9 +444,12 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val (med, extras) = passProtocol(spark, names, time, nPasses = 1)
-      val errs = med.collect { case (q, -1.0) => "\"" + q + "\"" }
+      val errs = med.collect { case (q, -1.0) =>
+        if (skipped.contains(q)) "\"budget:" + q + "\"" else "\"" + q + "\""
+      }
       val qj = med.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString(",")
-      s""""graph_dist":{$qj,"errs":[${errs.mkString(",")}],$extras},"""
+      s""""graph_dist":{$qj,"errs":[${errs.mkString(",")}],""" +
+        f""""budget_sec":$budgetSec%.0f,$extras},"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] graph_dist leg failed: ${e.getMessage}")
       ""
