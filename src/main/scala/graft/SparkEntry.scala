@@ -2015,6 +2015,27 @@ object SparkEntry {
         .select(col("node"), col("k").cast("long").as("k"), col("v_fp"))
     }),
 
+    "q134_link_pred_auc" -> ((s, d) => {
+      // the KG-completion EVALUATION stage: hold out every 5th edge
+      // by seeded hash, score distance-2-in-train candidates with the
+      // q130 fixed-point Adamic-Adar arithmetic, and compute the
+      // tie-aware ROC-AUC by exact integer rank statistics (the
+      // single-partition running sum touches only |distinct scores|
+      // rows — the pair relation never globally sorts). Over the
+      // triangle-rich q81/q121 token-adjacency graph (the sparse
+      // synthetic deg-2 graph leaves no held-out edge at train
+      // distance 2 — a degenerate evaluation)
+      val docs = Tables.documents(s, d)
+      val pairs = zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("src"), b.as("dst")))
+      val edges = docs.select(explode(pairs).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      TopicGraph.linkPredictionAuc(edges, testMod = 5)
+    }),
+
     "q131_media_containers" -> ((s, d) => {
       // the container parsers BITE here: payloads are REAL PNG/WAV/
       // GIF/BMP bytes synthesized deterministically from doc_id
@@ -3869,6 +3890,59 @@ object SparkEntry {
         |FROM pred ORDER BY aa_fp DESC, u ASC, v ASC LIMIT 100""".stripMargin,
 
     "q132_sgns_embeddings" -> sgnsOracleSql,
+
+    "q134_link_pred_auc" ->
+      // restates linkPredictionAuc verbatim: seeded md5 edge holdout
+      // (mod 5), fixed-point AA scoring on the train graph, candidate
+      // labeling (train-edge exclusion, holdout = positive), score-
+      // group rank statistics with tie-aware doubled average ranks,
+      // one exact division at the end
+      """WITH raw AS (
+        |  SELECT z[1] AS src, z[2] AS dst
+        |  FROM (SELECT unnest(list_zip(toks[1:length(toks)-1], toks[2:length(toks)])) AS z
+        |        FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+        |  WHERE z[1] <> z[2]),
+        |und AS MATERIALIZED (
+        | SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        | FROM raw),
+        |sp AS MATERIALIZED (
+        | SELECT u, v,
+        |  ('0x' || substring(md5('lp:' || u || ':' || v), 1, 15))::BIGINT % 5 AS m
+        | FROM und),
+        |test AS MATERIALIZED (SELECT u, v FROM sp WHERE m = 0),
+        |train AS MATERIALIZED (SELECT u, v FROM sp WHERE m <> 0),
+        |sym AS MATERIALIZED (
+        | SELECT u AS w, v AS x FROM train UNION ALL SELECT v, u FROM train),
+        |deg AS MATERIALIZED (SELECT w, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+        |nbr AS MATERIALIZED (
+        | SELECT s.w, s.x,
+        |  CAST(floor(1000000000.0::DOUBLE / ln(d.d::DOUBLE)) AS BIGINT) AS t
+        | FROM sym s JOIN deg d ON d.w = s.w WHERE d.d >= 2),
+        |sc AS MATERIALIZED (
+        | SELECT a.x AS u, b.x AS v, sum(a.t)::BIGINT AS aa_fp
+        | FROM nbr a JOIN nbr b ON a.w = b.w AND a.x < b.x
+        | GROUP BY 1, 2),
+        |cand AS MATERIALIZED (
+        | SELECT s.aa_fp,
+        |  (CASE WHEN t.u IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS lbl
+        | FROM sc s
+        | LEFT JOIN train tr ON tr.u = s.u AND tr.v = s.v
+        | LEFT JOIN test t ON t.u = s.u AND t.v = s.v
+        | WHERE tr.u IS NULL),
+        |grp AS MATERIALIZED (
+        | SELECT aa_fp, count(*)::BIGINT AS cnt, sum(lbl)::BIGINT AS pos
+        | FROM cand GROUP BY 1),
+        |rk AS MATERIALIZED (
+        | SELECT aa_fp, cnt, pos,
+        |  coalesce(sum(cnt) OVER (ORDER BY aa_fp ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS below
+        | FROM grp)
+        |SELECT sum(pos)::BIGINT AS n_pos, sum(cnt - pos)::BIGINT AS n_neg,
+        | CASE WHEN sum(pos) > 0 AND sum(cnt - pos) > 0 THEN
+        |  round((sum(pos * (2*(below + 1) + cnt - 1)) - sum(pos)*(sum(pos) + 1))::DOUBLE
+        |   / (2.0::DOUBLE * sum(pos)::DOUBLE * sum(cnt - pos)::DOUBLE), 6)
+        | END AS auc_r6
+        |FROM rk""".stripMargin,
 
     "q131_media_containers" ->
       // restates syntheticContainer's header-field formulas: the Spark

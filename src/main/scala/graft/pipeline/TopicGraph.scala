@@ -1667,6 +1667,107 @@ object TopicGraph {
   }
 
   /**
+   * Link-prediction EVALUATION: tie-aware ROC-AUC of the Adamic–Adar
+   * ranker under a seeded edge holdout — the measurement stage every
+   * KG-completion pipeline needs between "computed scores" (q130) and
+   * "shipped model". Protocol (the standard AA evaluation, Liben-
+   * Nowell & Kleinberg 2003 shape):
+   *
+   *  - the canonical undirected simple graph splits by a seeded md5:
+   *    edges with h60("lp:u:v") mod `testMod` = 0 are HELD OUT (test
+   *    positives), the rest train;
+   *  - AA scores compute on the TRAIN graph only (same fixed-point
+   *    ⌊1e9/ln deg⌋ wedge arithmetic as [[adamicAdar]]) for every
+   *    distance-2-in-train pair that is not a train edge — the
+   *    candidate universe AA can rank. Candidates are positives (in
+   *    the holdout) or true non-edges (negatives);
+   *  - AUC = P(score_pos > score_neg) + ½P(tie), computed EXACTLY by
+   *    rank statistics: with ascending ties sharing average rank,
+   *    AUC = (Σ_pos avgrank − P(P+1)/2)/(P·N). Scores are exact
+   *    integers, so the doubled rank sum S2 = Σ_pos (2·rank_min +
+   *    n_ties − 1) is an exact integer in both engines — the AUC is
+   *    deterministic to the last ulp of one final division.
+   *
+   * Scale shape: the split is a map-side filter; scoring is the
+   * [[adamicAdar]] wedge plan on the train relation (`maxDeg`
+   * composes the same way); ranking is one global sort of the
+   * CANDIDATE relation (distance-2 non-train pairs — the same
+   * relation AA already materializes) plus a 1-row aggregate.
+   *
+   * Output: one row (n_pos, n_neg, auc_r6); auc_r6 is NULL when
+   * either class is empty (nothing to rank — surfaced, not guessed).
+   */
+  def linkPredictionAuc(edges: DataFrame, testMod: Int = 5,
+      maxDeg: Option[Int] = None): DataFrame = {
+    require(testMod >= 2, s"linkPredictionAuc: testMod=$testMod must be >= 2")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().persist(lvl)
+    val h = conv(substring(md5(concat_ws(":", lit("lp"),
+      col("u").cast("string"), col("v").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val test = und.filter(pmod(h, lit(testMod.toLong)) === 0)
+    val train = und.filter(pmod(h, lit(testMod.toLong)) =!= 0)
+      .localCheckpoint(true)
+    val sym = train.select(col("u").as("w"), col("v").as("x"))
+      .unionByName(train.select(col("v").as("w"), col("u").as("x")))
+    val deg = sym.groupBy(col("w")).agg(count(lit(1)).as("d"))
+    val symCapped = maxDeg match {
+      case Some(f) =>
+        import org.apache.spark.sql.expressions.Window
+        val win = Window.partitionBy(col("w"))
+          .orderBy(md5(concat(lit("aa:"), col("w").cast("string"), lit(":"),
+            col("x").cast("string"))).asc, col("x").asc)
+        sym.withColumn("rn", row_number().over(win))
+          .filter(col("rn") <= f).drop("rn")
+      case None => sym
+    }
+    val nbr = symCapped.join(deg, Seq("w"))
+      .filter(col("d") >= 2)
+      .withColumn("t",
+        floor(lit(1.0e9) / log(col("d").cast("double"))).cast("long"))
+    val wedge = nbr.as("a").join(nbr.as("b"),
+        col("a.w") === col("b.w") && col("a.x") < col("b.x"))
+      .select(col("a.x").as("u"), col("b.x").as("v"), col("a.t").as("t"))
+    val cand = wedge.groupBy(col("u"), col("v"))
+      .agg(sum(col("t")).as("aa_fp"))
+      .join(train, Seq("u", "v"), "left_anti")
+      .join(test.withColumn("lbl", lit(1L)), Seq("u", "v"), "left_outer")
+      .select(col("aa_fp"), coalesce(col("lbl"), lit(0L)).as("lbl"))
+    // tie-aware average ranks in exact integers, WITHOUT ranking the
+    // pair relation: candidates first aggregate per SCORE GROUP
+    // (map-side partial), then one running sum over the distinct-score
+    // relation gives each group's rank_min — the single-partition
+    // window touches |distinct scores| rows, never the pair set. Each
+    // group member's DOUBLED average rank is 2·rank_min + n_ties − 1.
+    import org.apache.spark.sql.expressions.Window
+    val grp = cand.groupBy(col("aa_fp")).agg(
+      count(lit(1)).as("cnt"), sum(col("lbl")).as("pos"))
+    val wAsc = Window.orderBy(col("aa_fp").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val out = grp
+      .withColumn("below", coalesce(sum(col("cnt")).over(wAsc), lit(0L)))
+      .agg(
+        sum(col("pos")).as("p"),
+        sum(col("cnt") - col("pos")).as("n"),
+        // decimal: s2 ≤ 2·C² for C candidates — a long would wrap
+        // past ~3e9 candidates; decimal matches the oracle's HUGEINT
+        sum((col("pos") * (lit(2L) * (col("below") + 1L) + col("cnt") - 1L))
+          .cast("decimal(38,0)")).as("s2"))
+      .select(col("p").as("n_pos"), col("n").as("n_neg"),
+        when(col("p") > 0 && col("n") > 0,
+          round((col("s2") - col("p") * (col("p") + 1L)).cast("double") /
+            (lit(2.0) * col("p").cast("double") * col("n").cast("double")),
+            6)).as("auc_r6"))
+      .localCheckpoint(true)
+    und.unpersist(false)
+    out
+  }
+
+  /**
    * Deterministic layered neighbor sampling (the GraphSAGE / GNN
    * minibatch-preparation shape, Hamilton et al. 2017): for every
    * root node, sample at most `fanouts(0)` out-neighbors, then for
