@@ -344,6 +344,30 @@ object Sketches {
         col("_pk_b").cast("long").as("bucket") :+
         col("_pk_rho").as("rho")): _*)
 
+  /** Read-off DIRECTLY from a packed register file — no explode, no
+    * shuffle: every register contributes 2^(55−rho) to the indicator
+    * sum (an EMPTY register's rho = 0 contributes exactly the 2^55 the
+    * row-form read-off adds per zero register), so the whole
+    * (n_zero_regs, reg_sum, n_distinct_est) triple is one codegen
+    * `aggregate` over the array per ROW. The row-form path
+    * ([[packedToRegisterRows]] → [[hllEstimateFromRegisters]]) explodes
+    * 64 rows per group and re-groups them through an exchange — on
+    * HyperBall's per-round read-offs that exchange carries 64·V rows
+    * per radius for values this projection computes in place.
+    * Identical output by construction (same exact integer arithmetic;
+    * spec-pinned against the bridge path). */
+  def hllEstimateFromPacked(df: DataFrame, groupCols: Seq[String],
+      regsCol: String = "regs"): DataFrame = {
+    val gcols = groupCols.map(col)
+    val nZero = size(filter(col(regsCol), x => x === 0)).cast("long")
+    val regSum = expr(s"aggregate($regsCol, CAST(0 AS BIGINT), " +
+      s"(acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), ${RestBits + 1} - x))")
+    df.select((gcols :+ nZero.as("n_zero_regs") :+ regSum.as("reg_sum")): _*)
+      .withColumn("n_distinct_est",
+        round(lit(HllAlpha * HllM * HllM) * lit(1L << (RestBits + 1)).cast("double") /
+          col("reg_sum").cast("double"), 4))
+  }
+
   def hllEstimate(df: DataFrame, key: Column, groupCols: Seq[String]): DataFrame =
     hllEstimateFromRegisters(hllRegisters(df, key, groupCols), groupCols)
 

@@ -780,21 +780,51 @@ object TopicGraph {
       e.unpersist(false)
       return out
     }
+    // Broadcast gate in ROWS, known EXACTLY each round from the layer
+    // counts (no estimator guesswork): frontier/visited rows are
+    // (id, int) pairs, so 4M rows is ~64 MB framed — far under the
+    // broadcast cap, and the same judgment AQE would make if the
+    // checkpointed relations carried statistics (they do not: a
+    // LogicalRDD defaults to sizeInBytes = MAX, which is why the
+    // planner never found these broadcasts itself).
+    val bcastRows = 4000000L
     var dist = sd.select(col("node"), lit(0).as("dist")).localCheckpoint(true)
     var frontier = dist
     var frontierCount = dist.count()
+    var distCount = frontierCount
     var layer = 0
     var layersSinceCompact = 0
     while (frontierCount > 0) {
       layer += 1
-      val next = frontier
-        .join(e, frontier("node") === e("src"))
-        .select(col("dst").as("node"))
-        .distinct()
-        .join(dist, Seq("node"), "left_anti")
-        .select(col("node"), lit(layer).as("dist"))
-        .localCheckpoint(true) // each LAYER materialized exactly once
+      // Per-round plan, small-frontier regime (the common one: BFS
+      // frontiers are a sliver of V on a high-diameter graph): the
+      // frontier BROADCASTS into the expansion join, so the persisted
+      // edge relation is probed in place — never shuffled, never
+      // sorted; the visited set broadcasts into the anti-join, which
+      // then runs map-side BEFORE the distinct so duplicate hits die
+      // before the round's one exchange. Measured on the forced-
+      // distributed 10x leg (1M edges, ecc≈200): the old plan
+      // sort-merge-joined the full edge relation EVERY round — ~2.4
+      // s/round, 533 s total; this shape is one cached-edge scan +
+      // one tiny exchange per round. Above `bcastRows` the round
+      // falls back to the shuffle plan (distinct first, then the
+      // anti-join shuffles each candidate once) — the 100 TB shape
+      // when a frontier outgrows a broadcast.
+      val expanded =
+        (if (frontierCount <= bcastRows) broadcast(frontier) else frontier)
+          .join(e, frontier("node") === e("src"))
+          .select(col("dst").as("node"))
+      val next =
+        (if (distCount <= bcastRows)
+          expanded.join(broadcast(dist), Seq("node"), "left_anti").distinct()
+        else
+          expanded.distinct().join(dist, Seq("node"), "left_anti"))
+          .select(col("node"), lit(layer).as("dist"))
+          .localCheckpoint(eager = false) // LAZY: the count() below is
+      // the materializing action — one job per layer where the eager
+      // checkpoint + count pair cost two identical passes
       frontierCount = next.count()
+      distCount += frontierCount
       dist = dist.unionByName(next)
       frontier = next
       // COMPACT the visited set every 8 layers: the anti-join above
@@ -840,10 +870,12 @@ object TopicGraph {
    * only float step is the final division).
    */
   def hyperBall(edges: DataFrame, radius: Int): DataFrame =
-    Sketches.hllEstimateFromRegisters(
-      Sketches.packedToRegisterRows(
-        hyperBallPackedRegisters(edges, radius), Seq("node")),
-      Seq("node")).withColumnRenamed("n_distinct_est", "ball_est")
+    // read-off straight from the packed file: one codegen aggregate per
+    // node row, where the row-form bridge exploded 64·V rows through an
+    // exchange for the identical integers (Sketches.hllEstimateFromPacked)
+    Sketches.hllEstimateFromPacked(
+      hyperBallPackedRegisters(edges, radius), Seq("node"))
+      .withColumnRenamed("n_distinct_est", "ball_est")
 
   /** ROW-FORM propagation loop — the spec/oracle twin of
     * [[hyperBallPackedRegisters]] (the q109 DuckDB oracle restates this
@@ -945,8 +977,7 @@ object TopicGraph {
         Sketches.hllPackedSingleton(col("node").cast("string")).as("regs"))
       .localCheckpoint(true)
     def roundRow(r: Int, rg: DataFrame): DataFrame =
-      Sketches.hllEstimateFromRegisters(
-          Sketches.packedToRegisterRows(rg, Seq("node")), Seq("node"))
+      Sketches.hllEstimateFromPacked(rg, Seq("node"))
         .agg(count(lit(1)).as("n_nodes"),
           sum(col("reg_sum").cast("decimal(38,0)")).cast("string")
             .as("reg_sum_total"),
@@ -1018,8 +1049,7 @@ object TopicGraph {
       else if (r == radius) bigL / radius
       else bigL / r - bigL / (r + 1)
     def weighted(r: Int, rg: DataFrame): DataFrame =
-      Sketches.hllEstimateFromRegisters(
-          Sketches.packedToRegisterRows(rg, Seq("node")), Seq("node"))
+      Sketches.hllEstimateFromPacked(rg, Seq("node"))
         .select(col("node"),
           (expr(s"CAST('${Sketches.HllEstE4Num}' AS DECIMAL(38,0))" +
             " DIV CAST(reg_sum AS DECIMAL(38,0))") * lit(weight(r))).as("part"))
@@ -1074,8 +1104,7 @@ object TopicGraph {
         Sketches.hllPackedSingleton(col("node").cast("string")).as("regs"))
       .localCheckpoint(true)
     def nfun(rg: DataFrame): Double =
-      Sketches.hllEstimateFromRegisters(
-          Sketches.packedToRegisterRows(rg, Seq("node")), Seq("node"))
+      Sketches.hllEstimateFromPacked(rg, Seq("node"))
         .agg(coalesce(sum(col("n_distinct_est")), lit(0.0))).head().getDouble(0)
     def sig(rg: DataFrame): (Long, Long) = {
       val row = rg.agg(count(lit(1)),

@@ -1252,6 +1252,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaPacked == viaRows)
   }
 
+  test("hllEstimateFromPacked: shuffle-free read-off == the explode+regroup bridge") {
+    // the packed read-off (one codegen aggregate per row) must equal the
+    // row-form bridge (posexplode -> groupBy) on every column, including
+    // n_zero_regs (empty registers contribute 2^55 either way) — the
+    // HyperBall read-offs (q109/q110/q112) ride this equivalence
+    val rnd = new scala.util.Random(47)
+    val n = 40
+    val es = (0 until 2 * n).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+    val edges = es.toDF("src", "dst")
+    for (radius <- Seq(0, 2)) {
+      val packedFile = TopicGraph.hyperBallPackedRegisters(edges, radius)
+      val direct = Sketches.hllEstimateFromPacked(packedFile, Seq("node"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val bridge = Sketches.hllEstimateFromRegisters(
+          Sketches.packedToRegisterRows(packedFile, Seq("node")), Seq("node"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(direct == bridge, s"radius $radius: packed read-off != bridge")
+    }
+  }
+
   test("neighborhoodFunction: exact-integer N(r) table, fixpoint and ed flags") {
     val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
     val t = TopicGraph.neighborhoodFunction(chain, maxRadius = 6)
