@@ -89,6 +89,10 @@ final class Checkpoints(spark: SparkSession, baseDir: String) {
   private def versionsDir(name: String) = s"${stageDir(name)}/_versions"
   private def versionDir(name: String, v: Long) =
     f"${versionsDir(name)}/v$v%05d"
+  /** Version-claim marker (see [[commitVersion]]): a dot-file so the
+    * `versions` listing (names starting with "v") never picks it up. */
+  private def claimPath(name: String, v: Long) =
+    f"${versionsDir(name)}/.claim-v$v%05d"
   private def headPath(name: String) = Paths.get(s"${stageDir(name)}/_HEAD")
   private def vManifest(name: String, v: Long) =
     Paths.get(s"${versionDir(name, v)}/_VMANIFEST")
@@ -142,13 +146,20 @@ final class Checkpoints(spark: SparkSession, baseDir: String) {
    * [[rollback]] allocates past the rolled-back versions (old
    * snapshots stay readable — Iceberg semantics).
    *
-   * Concurrency: the version number is CLAIMED by creating its
-   * directory with `Files.createDirectory` — an atomic
-   * fail-on-collision primitive — so two committers racing the same
-   * stage allocate DISTINCT versions instead of clobbering each
+   * Concurrency: the version number is CLAIMED by creating a marker
+   * FILE (`_versions/.claim-vNNNNN`) with `Files.createFile` — an
+   * atomic fail-on-collision primitive — so two committers racing the
+   * same stage allocate DISTINCT versions instead of clobbering each
    * other's parquet/_VMANIFEST (last HEAD swing wins, both snapshots
-   * stay readable — optimistic-concurrency, Iceberg-style). A
-   * sustained collision storm (> 64 contenders) fails loudly.
+   * stay readable — optimistic-concurrency, Iceberg-style). The
+   * marker lives OUTSIDE the version directory: the parquet
+   * `overwrite` below deletes and recreates that directory, and a
+   * directory-based claim died in exactly that window (a concurrent
+   * `createDirectory` for the same version succeeded mid-overwrite
+   * and both writers interleaved output into one dir). A pre-existing
+   * version DIRECTORY (an old-format or crashed claim) is also
+   * honored as taken. A sustained collision storm (> 64 contenders)
+   * fails loudly.
    */
   def commitVersion(name: String)(compute: => DataFrame): Long = {
     Files.createDirectories(Paths.get(versionsDir(name)))
@@ -157,7 +168,9 @@ final class Checkpoints(spark: SparkSession, baseDir: String) {
     var attempts = 0
     while (!claimed) {
       try {
-        Files.createDirectory(Paths.get(versionDir(name, v)))
+        if (Files.exists(Paths.get(versionDir(name, v))))
+          throw new java.nio.file.FileAlreadyExistsException(versionDir(name, v))
+        Files.createFile(Paths.get(claimPath(name, v)))
         claimed = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>

@@ -656,11 +656,19 @@ object Dedup {
     // (longs stay exact; the cast truncates an already-integral value)
     val p = (col("sz") - ((lit(tauNum.toLong) * col("sz") + lit(tauDen - 1))
       / lit(tauDen)).cast("int") + 1).as("p")
+    // the candidate join meets on the token's 8-byte xxhash64, not the
+    // token string — the prefix relations are the stage's shuffle-byte
+    // bill at corpus scale and the string is dead weight there: a hash
+    // collision can only ADD a candidate pair, never drop one, and the
+    // exact verify (full-array intersection) removes it — the same
+    // collision-proof-exact argument as editDistancePairs' keyed join
     val pref = sorted.select(col("doc_id"), col("sz"), col("wsig"),
         posexplode(slice(col("arr"), lit(1), p)).as(Seq("i0", "tok")))
-    val ca = pref.select(col("tok"), col("doc_id").as("doc_a"),
+      .select(col("doc_id"), col("sz"), col("wsig"), col("i0"),
+        xxhash64(col("tok")).as("kh"))
+    val ca = pref.select(col("kh"), col("doc_id").as("doc_a"),
       col("sz").as("sza"), (col("i0") + 1).as("ia"), col("wsig").as("wsa"))
-    val cb = pref.select(col("tok"), col("doc_id").as("doc_b"),
+    val cb = pref.select(col("kh"), col("doc_id").as("doc_b"),
       col("sz").as("szb"), (col("i0") + 1).as("ib"), col("wsig").as("wsb"))
     // PPJoin positional filter (complete): a qualifying pair's FIRST
     // common token w, met at 1-based positions (ia, ib), has every
@@ -695,7 +703,7 @@ object Dedup {
       bit_count(col("wsa").bitwiseXOR(col("wsb"))).cast("long")) *
       lit(tauNum.toLong + tauDen.toLong) >=
       lit(2L * tauNum) * (col("sza") + col("szb"))
-    val cond = ca("tok") === cb("tok") && col("doc_a") < col("doc_b") &&
+    val cond = ca("kh") === cb("kh") && col("doc_a") < col("doc_b") &&
       // length filter: min >= t*max, both directions, integer form
       lit(tauDen.toLong) * col("sza") >= lit(tauNum.toLong) * col("szb") &&
       lit(tauDen.toLong) * col("szb") >= lit(tauNum.toLong) * col("sza")
@@ -777,14 +785,23 @@ object Dedup {
     // Common-code elimination: the hot set (df > maxDf) is small by
     // construction — boilerplate shingles, not the corpus — so the
     // anti-joins prune both index sides without a corpus-sized shuffle
-    // of their own (AQE broadcasts the hot side when it fits).
+    // of their own (AQE broadcasts the hot side when it fits). The
+    // anti-join runs on the TRUE shingle (a hash collision here could
+    // silently widen the elimination); only the candidate join below
+    // switches to the hash.
     val (prefA, postB) = hotOpt match {
       case Some(hot) =>
         (prefA0.join(hot, Seq("tok"), "left_anti"),
           postB0.join(hot, Seq("tok"), "left_anti"))
       case None => (prefA0, postB0)
     }
-    val cands = prefA.join(postB, Seq("tok"))
+    // candidate join on the shingle's 8-byte xxhash64 instead of the
+    // 3-word string — the posting relation is the operator's shuffle-
+    // byte bill at corpus scale; collisions only ADD candidates and
+    // the exact full-array verify removes them (the editDistancePairs
+    // keyed-join argument)
+    val cands = prefA.select(xxhash64(col("tok")).as("kh"), col("doc_a"))
+      .join(postB.select(xxhash64(col("tok")).as("kh"), col("doc_b")), Seq("kh"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     val da = sorted.select(col("doc_id").as("doc_a"),

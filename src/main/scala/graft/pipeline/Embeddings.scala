@@ -94,18 +94,16 @@ object Embeddings {
     val spark = walks.sparkSession
     val w = walks.select(col("start"), col("step"), col("node"))
 
-    // ---- vocab with a dense rank for negative draws. The unkeyed
-    // row_number is a single-partition sort of the VOCAB (distinct
-    // walk nodes — orders of magnitude below the pair relation); at a
-    // billions-node vocab substitute the standard two-phase
-    // distributed rank (per-partition counts + prefix offsets), which
-    // yields the identical node-ordered ranks ----
-    import org.apache.spark.sql.expressions.Window
-    val vocab = w.select(col("node")).distinct()
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("node").asc)))
+    // ---- vocab with a dense rank for negative draws: rank = 1 + the
+    // number of nodes strictly before, via the scale-adaptive
+    // Ranks.withPrefixSum (one-task window while the vocab fits a
+    // task, two-phase range-partitioned rank at a billions-node vocab
+    // — the rank values are identical either way, spec-pinned) ----
+    val (ranked, n) = Ranks.withPrefixSumCounted(
+      w.select(col("node")).distinct(), "node", lit(1L), "below")
+    val vocab = ranked
+      .select(col("node"), (col("below") + 1L).cast("int").as("rn"))
       .localCheckpoint(true)
-    val n = vocab.count()
     // an empty corpus would make the negative draw a pmod-by-zero and
     // the output silently empty — refuse loudly (the bm25 discipline)
     require(n > 0, "sgnsTrain: empty walk relation — nothing to train on")
@@ -169,7 +167,11 @@ object Embeddings {
         g.join(other.select(col("node").as(otherKey), col("k"),
             col("v").as("vo")), Seq(otherKey))
           .groupBy(col(key).as("node"), col("k"))
-          .agg(sum((col("gm") * col("vo")).cast("decimal(38,0)")).as("s"))
+          // promote BEFORE the multiply: gm reaches m·1e6 and |vo| 2e6,
+          // so the per-term LONG product wraps once a pair multiplicity
+          // m exceeds ~4.6e6 — casting one factor keeps every
+          // intermediate exact (the sourceKl discipline)
+          .agg(sum(col("gm").cast("decimal(38,0)") * col("vo")).as("s"))
       }
       def applyGrad(e: DataFrame, grad: DataFrame): DataFrame =
         e.join(grad, Seq("node", "k"), "left_outer")

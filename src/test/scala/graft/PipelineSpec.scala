@@ -1252,6 +1252,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaPacked == viaRows)
   }
 
+  test("Ranks.withPrefixSum: two-phase distributed rank == single-partition window") {
+    // the q134 tie-rank and the SGNS vocab rank ride this equivalence:
+    // forcing the threshold to 0 exercises the range-partitioned
+    // two-phase path (per-partition totals -> driver prefix offsets ->
+    // per-partition window), which must equal the one-task window's
+    // running sum exactly — on every row, for weights both constant
+    // and varying
+    val rnd = new scala.util.Random(53)
+    val rows = (0 until 500).map(_ => rnd.nextLong() % 10000)
+      .distinct.map(k => (k, (math.abs(k) % 7) + 1L))
+    val df = rows.toDF("score", "w")
+    val viaWindow = Ranks.withPrefixSum(df, "score", col("w"), "below",
+        singlePartThreshold = Long.MaxValue)
+      .select(col("score"), col("below"))
+      .as[(Long, Long)].collect().toSet
+    val viaTwoPhase = Ranks.withPrefixSum(df, "score", col("w"), "below",
+        singlePartThreshold = 0L)
+      .select(col("score"), col("below"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaTwoPhase == viaWindow)
+    // unit weight = the dense-rank form (rank = below + 1)
+    val ranks = Ranks.withPrefixSum(df.select(col("score")), "score",
+        lit(1L), "below", singlePartThreshold = 0L)
+      .select(col("score"), (col("below") + 1L).as("rn"))
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(ranks.map(_._1).toSeq == rows.map(_._1).sorted)
+    assert(ranks.map(_._2).toSeq == (1L to rows.length).toSeq)
+  }
+
   test("hllEstimateFromPacked: shuffle-free read-off == the explode+regroup bridge") {
     // the packed read-off (one codegen aggregate per row) must equal the
     // row-form bridge (posexplode -> groupBy) on every column, including

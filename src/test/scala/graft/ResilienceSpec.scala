@@ -288,4 +288,19 @@ class ResilienceSpec extends AnyFunSuite {
     // the stale claim never becomes readable without its manifest
     intercept[IllegalArgumentException] { cp.readVersion("t", Some(2L)) }
   }
+
+  test("snapshot versions: the claim survives the overwrite window (marker file)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-claimf").toString
+    val cp = new Checkpoints(spark, dir)
+    assert(cp.commitVersion("t") { spark.range(5).toDF() } == 1L)
+    // a concurrent committer holds ONLY the claim marker for v2 — its
+    // version directory does not exist yet (or was just deleted by its
+    // own overwrite). The old directory-based claim was invisible in
+    // exactly this window; the marker claim must still block v2.
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/t/_versions/.claim-v00002"))
+    assert(cp.commitVersion("t") { spark.range(7).toDF() } == 3L)
+    assert(cp.versions("t") == Seq(1L, 3L))
+    assert(cp.readVersion("t").count() == 7L)
+  }
 }
