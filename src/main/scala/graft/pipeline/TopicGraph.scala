@@ -1916,10 +1916,13 @@ object TopicGraph {
     var done = n == 0
     while (r < rounds && !done) {
       val sup = triangleEdgeSupport(cur)
+      // lazy: the count below materializes the round — one job instead
+      // of the eager-checkpoint + count pair (sup itself stays eager:
+      // its orient cache is unpersisted inside triangleEdgeSupport)
       val next = cur.join(sup, Seq("u", "v"))
         .filter(col("sup") >= k - 2)
         .select(col("u"), col("v"))
-        .localCheckpoint(true)
+        .localCheckpoint(eager = false)
       val m = next.count()
       done = m == n || m == 0
       n = m
