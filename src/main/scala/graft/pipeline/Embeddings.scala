@@ -157,6 +157,9 @@ object Embeddings {
         .groupBy(col("c"), col("x"), col("label"), col("m"))
         .agg(sum(col("vc") * col("vx")).as("dot12"))
       // dot ≤ dim·(2e6)² per k-term sum — exact in longs to dim ~ 2e6
+      // g is EAGER and doubles as the epoch's one materializing job:
+      // it consumes BOTH of the previous epoch's (lazy) tables, so its
+      // job persists them; gradFor reads g twice from cache
       val g = dots.select(col("c"), col("x"),
           (col("m") * (col("label") - hardSig(fdiv(col("dot12"), Fp))))
             .as("gm"))
@@ -173,6 +176,13 @@ object Embeddings {
           // intermediate exact (the sourceKl discipline)
           .agg(sum(col("gm").cast("decimal(38,0)") * col("vo")).as("s"))
       }
+      // LAZY epoch tables (plans truncated all the same): their result
+      // stages are computed — and persisted — inside the NEXT epoch's
+      // eager g job, dropping the two per-epoch persist jobs, and the
+      // FINAL epoch's out-table — which nothing consumes (only eIn is
+      // returned) — never runs its apply/persist pass at all (its
+      // gradFor shuffle stages still execute at plan-construction time
+      // under AQE; the join+clamp+store of the full table does not).
       def applyGrad(e: DataFrame, grad: DataFrame): DataFrame =
         e.join(grad, Seq("node", "k"), "left_outer")
           .select(col("node"), col("k"),
@@ -180,7 +190,7 @@ object Embeddings {
               col("v") + coalesce(
                 fdivDec(col("s") * lit(lrNum), lrDen * Fp), lit(0L))))
               .as("v"))
-          .localCheckpoint(true)
+          .localCheckpoint(eager = false)
       val newIn = applyGrad(eIn, gradFor("in"))
       val newOut = applyGrad(eOut, gradFor("out"))
       eIn = newIn

@@ -344,7 +344,8 @@ object TopicGraph {
             coalesce(col("b.label"), col("a.label")).as("label"))
           .persist(lvl)
         it += 1
-        val next = if (it % 4 == 0) cached.localCheckpoint(true) else cached
+        // lazy: the convergence count / count() below materializes it
+        val next = if (it % 4 == 0) cached.localCheckpoint(eager = false) else cached
         // convergence check every 2nd round only (one join+count per
         // check; at worst one extra cheap round past the fixpoint)
         if (it % 2 == 0 || it >= maxIter) {
@@ -949,10 +950,17 @@ object TopicGraph {
       .localCheckpoint(true)
     var r = 0
     while (r < radius) {
+      // intermediate rounds checkpoint LAZILY (plan truncated either
+      // way): each round's deferred result stage is computed — and its
+      // partitions persisted — inside the NEXT round's first pass, so
+      // the per-round persist job disappears; the FINAL round is eager
+      // so the chain settles while the edge cache is still live (the
+      // unpersist below would otherwise force recomputes of the
+      // distinct)
       regs = Sketches.hllPackedMerge(
         regs.unionByName(e.join(regs, regs("node") === e("dst"))
           .select(e("src").as("node"), col("regs"))),
-        Seq("node")).localCheckpoint(true)
+        Seq("node")).localCheckpoint(eager = r + 1 == radius)
       r += 1
     }
     e.unpersist(false)
@@ -1007,10 +1015,15 @@ object TopicGraph {
     var rows = Seq(roundRow(0, regs))
     var r = 1
     while (r <= maxRadius) {
+      // lazy intermediates, eager FINAL round: each round's deferred
+      // result stage materializes inside the next round's first pass
+      // (no per-round persist job), and the final eager round settles
+      // the chain while the edge cache is still live — the read-off
+      // rows only execute in the caller's terminal action
       regs = Sketches.hllPackedMerge(
         regs.unionByName(e.join(regs, regs("node") === e("dst"))
           .select(e("src").as("node"), col("regs"))),
-        Seq("node")).localCheckpoint(true)
+        Seq("node")).localCheckpoint(eager = r == maxRadius)
       rows = rows :+ roundRow(r, regs)
       r += 1
     }
@@ -1075,10 +1088,13 @@ object TopicGraph {
     var parts = Seq(weighted(0, regs))
     var r = 1
     while (r <= radius) {
+      // lazy intermediates, eager final round (see neighborhoodFunction:
+      // per-round persist jobs disappear; the weighted read-offs execute
+      // in the caller's terminal action against the settled chain)
       regs = Sketches.hllPackedMerge(
         regs.unionByName(e.join(regs, regs("node") === e("dst"))
           .select(e("src").as("node"), col("regs"))),
-        Seq("node")).localCheckpoint(true)
+        Seq("node")).localCheckpoint(eager = r == radius)
       parts = parts :+ weighted(r, regs)
       r += 1
     }
@@ -1136,10 +1152,12 @@ object TopicGraph {
     var rounds = 0
     var fixed = false
     while (!fixed && rounds < maxRadius) {
+      // lazy: the per-round fixpoint signature below is the
+      // materializing action — one job per round instead of two
       val next = Sketches.hllPackedMerge(
         regs.unionByName(e.join(regs, regs("node") === e("dst"))
           .select(e("src").as("node"), col("regs"))),
-        Seq("node")).localCheckpoint(true)
+        Seq("node")).localCheckpoint(eager = false)
       val cur = sig(next)
       if (cur == prev) fixed = true
       else {
@@ -1195,11 +1213,16 @@ object TopicGraph {
       val score = conv(substring(md5(concat_ws(":", lit(seed),
         col("start").cast("string"), lit(t).cast("string"),
         col("dst").cast("string"))), 1, 15), 16, 10).cast("long")
+      // lazy intermediates, eager FINAL step: each step's deferred
+      // result stage materializes inside the next step's first pass (no
+      // per-step persist job); the final eager step settles the chain
+      // while the edge cache is still live — the layer union only
+      // executes in the caller's terminal action
       val next = cur.join(e, cur("node") === e("src"))
         .select(col("start"), struct(score.as("sc"), col("dst")).as("cand"))
         .groupBy(col("start")).agg(min(col("cand")).as("m"))
         .select(col("start"), col("m").getField("dst").as("node"))
-        .localCheckpoint(true)
+        .localCheckpoint(eager = t == steps)
       layers += next.select(col("start"), lit(t).as("step"), col("node"))
       cur = next
       t += 1
@@ -1255,6 +1278,8 @@ object TopicGraph {
     var frontier: DataFrame = null // (start, prev, node)
     var t = 1
     while (t <= steps) {
+      // lazy intermediates, eager final step (see randomWalks): the
+      // per-step persist jobs disappear into the successor passes
       val next = if (t == 1) {
         cur.join(e, cur("node") === e("src"))
           .select(col("start"), col("node").as("prev0"),
@@ -1263,7 +1288,7 @@ object TopicGraph {
             first(col("prev0")).as("p0")) // start node is unique per group
           .select(col("start"), col("p0").as("prev"),
             col("m").getField("dst").as("node"))
-          .localCheckpoint(true)
+          .localCheckpoint(eager = t == steps)
       } else {
         val cands = frontier.join(e, frontier("node") === e("src"))
           .select(col("start"), col("prev"), col("node"), col("dst"),
@@ -1279,7 +1304,7 @@ object TopicGraph {
             first(col("newPrev")).as("np"))
           .select(col("start"), col("np").as("prev"),
             col("m").getField("dst").as("node"))
-          .localCheckpoint(true)
+          .localCheckpoint(eager = t == steps)
       }
       layers += next.select(col("start"), lit(t).as("step"), col("node"))
       frontier = next
@@ -1614,17 +1639,21 @@ object TopicGraph {
           .join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
           .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hs"))
         val hTot = hRaw.agg(sum(col("hs")).as("ht"))
-        // EAGER checkpoint each half-step: an iteration references the
+        // Checkpoint each half-step: an iteration references the
         // previous relation twice per half-step (raw + total), so the
         // logical tree QUADRUPLES per iteration — a %4 cadence leaves
         // a 256x tree whose per-action re-analysis and listener plan
         // rendering dominate wall time (measured 106 s -> ~5 s at 500
-        // edges) and can OOM the driver's plan-description string
+        // edges) and can OOM the driver's plan-description string.
+        // The hub half-step is LAZY (plan truncated all the same): its
+        // result stage is computed — and persisted — inside the auth
+        // half-step's eager job below, dropping the separate hub
+        // persist job each iteration
         val newHub = nodes.join(hRaw, Seq("node"), "left_outer")
           .crossJoin(broadcast(hTot))
           .select(col("node"),
             (coalesce(col("hs"), lit(0.0)) / col("ht")).as("hub"))
-          .localCheckpoint(true)
+          .localCheckpoint(eager = false)
         val aRaw = e
           .join(newHub.select(col("node").as("src"), col("hub")), Seq("src"))
           .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("as_"))
